@@ -4,6 +4,6 @@
 fully-populated registry.
 """
 
-from .operators import windows  # noqa: F401
+from .operators import relational, windows  # noqa: F401
 
-MODULES = [windows]
+MODULES = [relational, windows]

@@ -11,7 +11,9 @@ exact):
 - alias every computed column identically in Spark and SQL;
 - round float aggregates (ROUND(x, 2)) on BOTH sides so engine-order
   float summation noise cannot flip the value hash;
-- make every window/top-k deterministic with explicit tie-breaks.
+- make every window/top-k deterministic with explicit tie-breaks;
+- CAST integer SUMs to BIGINT in the DuckDB oracle — DuckDB sums
+  integers into HUGEINT (→ float in pandas), Spark into LONG.
 """
 
 from __future__ import annotations
