@@ -4,6 +4,6 @@
 fully-populated registry.
 """
 
-from .operators import relational, windows  # noqa: F401
+from .operators import etl, relational, timeseries, windows  # noqa: F401
 
-MODULES = [relational, windows]
+MODULES = [etl, relational, timeseries, windows]

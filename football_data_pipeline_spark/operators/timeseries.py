@@ -1,0 +1,208 @@
+"""Time-series operators (SURVEY.md §2.6 A9-A11, §2.5 J5, §2.10 T2/T3).
+
+The reference's odds time series (`odds_history`) drives these
+shapes; `events` is the stand-in series (user_id ≈ fixture_id,
+ts ≈ collected_at, value ≈ odds — FIXTURES.md §C).
+
+Scale notes: every operator here is either a single hash aggregate
+with map-side partial combine, or an equi-key join whose range
+predicate rides along as a post-join filter (never a cross product).
+The deterministic "now" anchor (max timestamp) is computed as a tiny
+1-row aggregate and broadcast — no driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum
+from ..registry import query
+
+CUTOFF = "2024-01-15 00:00:00"
+
+
+@query(
+    "q_before_after",
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type,
+             count(CASE WHEN ts <  TIMESTAMP '{CUTOFF}' THEN 1 END) AS n_before,
+             count(CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN 1 END) AS n_after,
+             {oracle_davg(f"CASE WHEN ts <  TIMESTAMP '{CUTOFF}' THEN value END")} AS avg_before,
+             {oracle_davg(f"CASE WHEN ts >= TIMESTAMP '{CUTOFF}' THEN value END")} AS avg_after
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n_before, n_after, avg_before, avg_after,
+           round((avg_after - avg_before) / avg_before * 100.0, 2) AS pct_change
+    FROM halves
+    WHERE avg_before IS NOT NULL AND avg_before <> 0
+    """,
+)
+def q_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: mean value before vs after an event instant, % change.
+
+    Mirrors the news-impact analysis — two filtered means around a
+    team-news timestamp, then % change
+    (/root/reference/streamlit_dashboard.py:599-622). One hash
+    aggregate with conditional branches instead of two table scans.
+    """
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    halves = events.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_before"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_after"),
+        davg(F.when(F.col("ts") < cutoff, F.col("value"))).alias("avg_before"),
+        davg(F.when(F.col("ts") >= cutoff, F.col("value"))).alias("avg_after"),
+    )
+    return (
+        halves.filter(F.col("avg_before").isNotNull() & (F.col("avg_before") != 0))
+        .withColumn(
+            "pct_change",
+            F.round((F.col("avg_after") - F.col("avg_before")) / F.col("avg_before") * 100.0, 2),
+        )
+    )
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_shipments,
+           {oracle_dsum('l.l_extendedprice')} AS shipped_value
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate - INTERVAL 3 DAY
+                          AND o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: equi-key join with a [-3d, +7d] interval predicate.
+
+    Mirrors "odds snapshots for fixtures whose kickoff is within
+    [event −3d, event +7d]" (/root/reference/streamlit_dashboard.py:
+    584-594, database_integration.py:409-415). The reference's range
+    rides on the fixture equi-key; here likewise the range predicate
+    is applied after an equi shuffle join on the order key, so the
+    plan is a plain sort-merge/shuffled-hash join + filter, never a
+    BroadcastNestedLoopJoin — at 100 TB a pure interval join would
+    instead need range-bucketing (see docs/SCALE.md).
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate - F.expr("INTERVAL 3 DAYS"))
+        & (lineitem.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            dsum("l_extendedprice").alias("shipped_value"),
+        )
+    )
+
+
+@query(
+    "q_weighted_sum",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 3
+                         WHEN event_type = 'signup' THEN 2
+                         ELSE 1 END) AS BIGINT) AS est_api_calls
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def q_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: weighted count by category — the API-budget estimator.
+
+    Mirrors the per-job-type API-call cost model (final_data = 3
+    calls, others 1; .github/workflows/football-data-pipeline.yml:
+    958-978).
+    """
+    events = load(spark, sf_dir, "events")
+    weight = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .otherwise(1)
+    )
+    return events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(weight).alias("est_api_calls"),
+    )
+
+
+@query(
+    "q_kpi_ratio",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0
+                 / greatest(count(*), 1), 2) AS return_pct
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q_kpi_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: write-time KPI — round(x / greatest(n, 1) * 100, 2).
+
+    Mirrors ``win_percentage = round(wins/max(played,1)*100, 2)``
+    (/root/reference/database_integration.py:253), including the
+    divide-by-zero guard via ``greatest``.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return lineitem.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(returned).alias("n_returned"),
+        F.round(F.sum(returned) * 100.0 / F.greatest(F.count("*"), F.lit(1)), 2).alias(
+            "return_pct"
+        ),
+    )
+
+
+@query(
+    "q_job_expiry",
+    oracle="""
+    WITH now_anchor AS (SELECT max(ts) AS now FROM events),
+    statused AS (
+      SELECT e.event_type,
+             CASE WHEN e.ts < n.now - INTERVAL 45 MINUTE THEN 'expired'
+                  WHEN e.ts <= n.now THEN 'pending'
+                  ELSE 'scheduled' END AS status
+      FROM events e CROSS JOIN now_anchor n
+    )
+    SELECT event_type, status, count(*) AS n_jobs
+    FROM statused
+    GROUP BY event_type, status
+    """,
+)
+def q_job_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3: event-time scheduling with the 45-minute late-data rule.
+
+    Mirrors the job processor's expiry policy — jobs more than 45
+    minutes past due are marked expired and dropped
+    (.github/workflows/football-data-pipeline.yml:420-424), the batch
+    analogue of a watermark. "now" is anchored to max(ts) so the
+    result is deterministic; the anchor is a 1-row aggregate
+    cross-joined (broadcast) onto the fact flow — no collect, no
+    second scan dependency on wall clock.
+    """
+    events = load(spark, sf_dir, "events")
+    now = events.agg(F.max("ts").alias("now"))
+    statused = events.crossJoin(F.broadcast(now)).withColumn(
+        "status",
+        F.when(F.col("ts") < F.col("now") - F.expr("INTERVAL 45 MINUTES"), "expired")
+        .when(F.col("ts") <= F.col("now"), "pending")
+        .otherwise("scheduled"),
+    )
+    return statused.groupBy("event_type", "status").agg(F.count("*").alias("n_jobs"))
