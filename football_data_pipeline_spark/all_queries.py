@@ -4,6 +4,6 @@
 fully-populated registry.
 """
 
-from .operators import etl, relational, timeseries, windows  # noqa: F401
+from .operators import er_queries, etl, relational, timeseries, windows  # noqa: F401
 
-MODULES = [etl, relational, timeseries, windows]
+MODULES = [er_queries, etl, relational, timeseries, windows]

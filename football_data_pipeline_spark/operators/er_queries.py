@@ -1,0 +1,179 @@
+"""Driver-checkable entity-resolution queries (F6-F12, J9).
+
+The name universes are derived deterministically from ``customer``
+(decorated variants per key bucket) so every cascade strategy fires
+somewhere and both engines compute the same inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.normalize import normalize_name, oracle_normalize
+from ..functions.similarity import (
+    oracle_jaccard_words,
+    oracle_levenshtein_ratio,
+    oracle_substring_confidence,
+)
+from ..registry import query
+from .resolution import resolve_names
+
+
+def _decorated_name() -> F.Column:
+    """Name decorations keyed by c_custkey % 6, exercising each rule
+    family (token strip, United→Utd, case fold, &→and, accents,
+    whitespace)."""
+    k = F.col("c_custkey") % 6
+    n = F.col("c_name")
+    return (
+        F.when(k == 0, F.concat(F.lit("FC "), n))
+        .when(k == 1, F.concat(n, F.lit(" United")))
+        .when(k == 2, F.upper(n))
+        .when(k == 3, F.regexp_replace(n, "#", " & "))
+        .when(k == 4, F.concat(n, F.lit(" Café")))
+        .otherwise(F.concat(F.lit("  "), n, F.lit("  ")))
+    )
+
+
+_DECORATED_SQL = """CASE c_custkey % 6
+      WHEN 0 THEN 'FC ' || c_name
+      WHEN 1 THEN c_name || ' United'
+      WHEN 2 THEN upper(c_name)
+      WHEN 3 THEN regexp_replace(c_name, '#', ' & ', 'g')
+      WHEN 4 THEN c_name || ' Café'
+      ELSE '  ' || c_name || '  ' END"""
+
+
+@query(
+    "q_normalize_names",
+    oracle=f"""
+    WITH decorated AS (
+      SELECT c_custkey, {_DECORATED_SQL} AS raw_name FROM customer
+    )
+    SELECT c_custkey, raw_name, {oracle_normalize('raw_name')} AS normalized
+    FROM decorated
+    """,
+)
+def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: the full normalization rule chain as one projection.
+
+    Rule table from /root/reference/enhanced_mapping.py:216-261,
+    applied per :309-323. Pure regexp_replace/translate — whole-stage
+    codegen, trivially scan-parallel at any scale.
+    """
+    customer = load(spark, sf_dir, "customer")
+    decorated = customer.select("c_custkey", _decorated_name().alias("raw_name"))
+    return decorated.select(
+        "c_custkey", "raw_name", normalize_name("raw_name").alias("normalized")
+    )
+
+
+_CAND_SQL = """CASE c_custkey % 4
+      WHEN 0 THEN c_name
+      WHEN 1 THEN c_name || ' FC'
+      WHEN 2 THEN upper(c_name)
+      ELSE replace(c_name, 'Customer#', 'Cust#') END"""
+
+_STRAT_CASE = (
+    "CASE s_star WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 4 THEN c4 "
+    "WHEN 5 THEN c5 WHEN 6 THEN c6 WHEN 7 THEN c7 WHEN 8 THEN c7 END"
+)
+
+
+def _fuzzy_oracle() -> str:
+    an, cn = "an", "cn"
+    lev = oracle_levenshtein_ratio(an, cn)
+    return f"""
+    WITH api AS (
+      SELECT c_name AS api_name, c_nationkey AS nk FROM customer
+    ),
+    cand AS (
+      SELECT {_CAND_SQL} AS odds_name, c_nationkey AS nk FROM customer
+    ),
+    manual AS (
+      SELECT c_name AS api_name,
+             replace(c_name, 'Customer#', 'Cust#') AS manual_target
+      FROM customer WHERE c_custkey % 12 = 3
+    ),
+    pairs AS (
+      SELECT a.api_name, c.odds_name, m.manual_target,
+             {oracle_normalize('a.api_name')} AS an,
+             {oracle_normalize('c.odds_name')} AS cn
+      FROM api a
+      JOIN cand c ON a.nk = c.nk
+      LEFT JOIN manual m ON a.api_name = m.api_name
+    ),
+    scored AS (
+      SELECT api_name, odds_name,
+             CASE WHEN api_name = odds_name THEN 1.0 ELSE 0.0 END AS c1,
+             CASE WHEN odds_name = manual_target THEN 0.95 ELSE 0.0 END AS c2,
+             CASE WHEN an = cn THEN 0.85 ELSE 0.0 END AS c4,
+             {oracle_substring_confidence(an, cn)} AS c5,
+             {oracle_jaccard_words(an, cn)} AS c6,
+             CASE WHEN {lev} > 0.4 THEN {lev} * 0.6 ELSE 0.0 END AS c7
+      FROM pairs
+    ),
+    passed AS (
+      SELECT *,
+             least(CASE WHEN c1 >= 1.0 THEN 1 END,
+                   CASE WHEN c2 >= 0.95 THEN 2 END,
+                   CASE WHEN c4 >= 0.85 THEN 4 END,
+                   CASE WHEN c5 >= 0.75 THEN 5 END,
+                   CASE WHEN c6 >= 0.7 THEN 6 END,
+                   CASE WHEN c7 >= 0.6 THEN 7 END,
+                   CASE WHEN c7 >= 0.3 THEN 8 END) AS pass_idx
+      FROM scored
+    ),
+    starred AS (
+      SELECT *, min(pass_idx) OVER (PARTITION BY api_name) AS s_star
+      FROM passed
+    ),
+    chosen AS (
+      SELECT *, {_STRAT_CASE} AS conf_star,
+             row_number() OVER (PARTITION BY api_name
+                                ORDER BY {_STRAT_CASE} DESC, odds_name ASC) AS rn
+      FROM starred
+    )
+    SELECT api_name,
+           CASE WHEN s_star IS NOT NULL THEN odds_name END AS matched_name,
+           CASE WHEN s_star IS NOT NULL THEN round(conf_star, 4) END AS confidence,
+           CASE s_star WHEN 1 THEN 'exact_match' WHEN 2 THEN 'manual_mapping'
+                WHEN 4 THEN 'normalized_matching' WHEN 5 THEN 'substring_matching'
+                WHEN 6 THEN 'word_based_matching' WHEN 7 THEN 'fuzzy_matching'
+                WHEN 8 THEN 'fuzzy_matching' ELSE 'no_match' END AS strategy
+    FROM chosen WHERE rn = 1
+    """
+
+
+@query("q_fuzzy_join", oracle=_fuzzy_oracle())
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/J9: the full strategy cascade as a blocked scoring join.
+
+    api side = raw customer names; candidate side = decorated
+    variants (identity / ' FC' suffix / uppercase / 'Cust#' prefix
+    rewrite); manual mapping table covers a quarter of the rewrite
+    bucket. Blocking key = nationkey, mirroring the reference's
+    league-scoped candidate pruning
+    (/root/reference/enhanced_mapping.py:846-851) — the cross product
+    stays bounded per block at any scale, and the candidate universe
+    is broadcast.
+    """
+    customer = load(spark, sf_dir, "customer")
+    api = customer.select(F.col("c_name").alias("api_name"), F.col("c_nationkey").alias("nk"))
+    k = F.col("c_custkey") % 4
+    cand = customer.select(
+        F.when(k == 0, F.col("c_name"))
+        .when(k == 1, F.concat(F.col("c_name"), F.lit(" FC")))
+        .when(k == 2, F.upper(F.col("c_name")))
+        .otherwise(F.regexp_replace(F.col("c_name"), "Customer#", "Cust#"))
+        .alias("odds_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    manual = customer.filter(F.col("c_custkey") % 12 == 3).select(
+        F.col("c_name").alias("api_name"),
+        F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
+    )
+    resolved = resolve_names(api, cand, block_key="nk", manual=manual)
+    return resolved.select("api_name", "matched_name", "confidence", "strategy")

@@ -1,0 +1,155 @@
+"""Entity-resolution cascade tests — replicates the reference's
+inline strategy tests (/root/reference/enhanced_mapping.py:912-957)
+and the demo's negative case
+(/root/reference/demo_enhanced_pipeline.py:42).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.functions.normalize import normalize_name
+from football_data_pipeline_spark.operators.resolution import (
+    attempt_log,
+    learn_mappings,
+    resolve_names,
+)
+
+CANDIDATES = [
+    "Manchester Utd",
+    "Manchester City",
+    "Liverpool",
+    "Barcelona",
+    "Real Madrid",
+    "Atletico Madrid",
+    "Bayern Munich",
+    "Dortmund",
+    "RB Leipzig",
+    "Schalke",
+    "PSG",
+    "Marseille",
+    "Lyon",
+]
+
+API_NAMES = [
+    "Manchester United",
+    "FC Barcelona",
+    "Bayern Munich",
+    "Borussia Dortmund",
+    "Paris Saint Germain",
+    "Unknown Team FC",
+]
+
+
+def _resolve(spark, use_difflib, manual_rows=None):
+    api = spark.createDataFrame([(n,) for n in API_NAMES], "api_name string")
+    cand = spark.createDataFrame([(n,) for n in CANDIDATES], "odds_name string")
+    manual = (
+        spark.createDataFrame(manual_rows, "api_name string, target string")
+        if manual_rows
+        else None
+    )
+    out = resolve_names(api, cand, manual=manual, use_difflib=use_difflib)
+    return {r.api_name: r for r in out.collect()}
+
+
+def test_normalization_examples(spark):
+    df = spark.createDataFrame(
+        [
+            ("Manchester United FC",),
+            ("  Café  Atlético ",),
+            ("Tottenham Hotspur & Co",),
+            ("FC BARCELONA",),
+        ],
+        "name string",
+    ).select(normalize_name("name").alias("n"))
+    assert [r.n for r in df.collect()] == [
+        "manchester utd",
+        "cafe atletico",
+        "tottenham and co",
+        "barcelona",
+    ]
+
+
+def test_cascade_reference_cases_levenshtein(spark):
+    """Engine-default fuzzy kernel (Levenshtein ratio, F11b)."""
+    res = _resolve(spark, use_difflib=False)
+
+    assert res["Bayern Munich"].strategy == "exact_match"
+    assert res["Bayern Munich"].confidence == 1.0
+    assert res["Bayern Munich"].matched_name == "Bayern Munich"
+
+    assert res["Manchester United"].strategy == "normalized_matching"
+    assert res["Manchester United"].matched_name == "Manchester Utd"
+    assert res["Manchester United"].confidence == 0.85
+
+    assert res["FC Barcelona"].strategy == "normalized_matching"
+    assert res["FC Barcelona"].matched_name == "Barcelona"
+
+    # documented divergence (F11b): lev-ratio(borussia dortmund,
+    # dortmund) = 1 - 9/17 ≈ 0.47 → conf 0.28 < 0.3 → no match
+    assert res["Borussia Dortmund"].strategy == "no_match"
+
+    assert res["Paris Saint Germain"].strategy == "no_match"
+    assert res["Unknown Team FC"].strategy == "no_match"
+    assert res["Unknown Team FC"].matched_name is None
+
+
+def test_cascade_reference_cases_difflib(spark):
+    """Reference-parity fuzzy kernel (difflib Pandas UDF, F11a):
+    Borussia Dortmund → Dortmund via the fuzzy fallback
+    (ratio 0.64 × 0.6 = 0.384 ≥ 0.3)."""
+    res = _resolve(spark, use_difflib=True)
+    r = res["Borussia Dortmund"]
+    assert r.strategy == "fuzzy_matching"
+    assert r.matched_name == "Dortmund"
+    assert r.confidence == pytest.approx(0.384, abs=1e-4)
+    # PSG still unmatched without the manual table (ratio 0.27 < 0.4)
+    assert res["Paris Saint Germain"].strategy == "no_match"
+
+
+def test_manual_mapping_strategy(spark):
+    """F7: the manual dictionary resolves PSG at confidence 0.95."""
+    res = _resolve(
+        spark, use_difflib=False, manual_rows=[("Paris Saint Germain", "PSG")]
+    )
+    r = res["Paris Saint Germain"]
+    assert (r.strategy, r.matched_name, r.confidence) == ("manual_mapping", "PSG", 0.95)
+
+
+def test_learn_and_attempt_log(spark):
+    api = spark.createDataFrame([(n,) for n in API_NAMES], "api_name string")
+    cand = spark.createDataFrame([(n,) for n in CANDIDATES], "odds_name string")
+    resolved = resolve_names(api, cand)
+
+    existing = spark.createDataFrame(
+        [("Manchester United", "OLD TARGET", 0.9, "learned_mapping", True)],
+        "api_name string, learned_name string, confidence double, strategy string, verified boolean",
+    )
+    learned = {r.api_name: r for r in learn_mappings(resolved, existing).collect()}
+    # F13: conf ≥ 0.8 matches replace the old row (INSERT OR REPLACE)
+    assert learned["Manchester United"].learned_name == "Manchester Utd"
+    assert learned["Manchester United"].verified is False
+    # unmatched / low-confidence names are not learned
+    assert "Unknown Team FC" not in learned
+
+    log = {r.api_name: r for r in attempt_log(resolved).collect()}
+    assert len(log) == len(API_NAMES)  # F14: every attempt logged
+    assert log["Unknown Team FC"].success is False
+    alts = json.loads(log["Manchester United"].alternatives)
+    assert isinstance(alts, list) and len(alts) <= 3
+
+
+def test_blocking_key_restricts_candidates(spark):
+    """J9 blocking: candidates outside the block are invisible."""
+    api = spark.createDataFrame(
+        [("Bayern Munich", 1)], "api_name string, league string"
+    ).withColumn("league", F.lit("DE"))
+    cand = spark.createDataFrame(
+        [("Bayern Munich", "EN")], "odds_name string, league string"
+    )
+    out = resolve_names(api, cand, block_key="league").collect()
+    assert out == []  # no pair in block → api row absent (caller left-joins if needed)
