@@ -4,6 +4,16 @@
 fully-populated registry.
 """
 
-from .operators import er_queries, etl, relational, timeseries, windows  # noqa: F401
+from .operators import (  # noqa: F401
+    dedup,
+    embedsearch,
+    er_queries,
+    etl,
+    multimodal,
+    relational,
+    textstats,
+    timeseries,
+    windows,
+)
 
-MODULES = [er_queries, etl, relational, timeseries, windows]
+MODULES = [dedup, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]

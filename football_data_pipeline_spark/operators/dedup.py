@@ -1,0 +1,285 @@
+"""Large-scale deduplication operators (build-plan step 6 — the
+LLM-training-data extensions beyond the reference surface).
+
+Four dedup families over ``documents``:
+- exact (canonical-form): hash of the sorted distinct word set —
+  catches reordered/repeated-word duplicates that byte-exact hashing
+  misses (testdata has 0 byte-exact but thousands of set-equal pairs);
+- MinHash + LSH banding: H=8 signatures, 4 bands × 2 rows; candidate
+  pairs come from band-bucket joins, then true Jaccard verification.
+  This is THE 100 TB dedup path: cost is O(docs × H) for signatures
+  plus bucket-local pair generation — never an all-pairs product;
+- SimHash: 16-bit sign-sum fingerprint; identical word sets collide
+  exactly, near sets land at small Hamming distance;
+- n-gram Jaccard: word-3-gram set similarity for pairs inside small
+  (lang, source) blocks — the bounded-block pattern for pairwise
+  verification.
+
+Engine/oracle parity: all hashing goes through md5 (stable in both
+engines); minima over hex strings are lexicographic; Jaccard ratios
+are exact small-int divisions — no float-summation drift anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import rnd
+from ..registry import query
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+JACCARD_VERIFY = 0.5
+
+
+def word_set(text: Column) -> Column:
+    return F.array_distinct(F.array_remove(F.split(text, " "), ""))
+
+
+_WORD_SET_SQL = "list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))"
+
+
+def _salted_min(words: Column, salt: str) -> Column:
+    # NB: the transform lambda MUST be single-parameter — PySpark
+    # treats a second lambda parameter as the array index, which once
+    # silently replaced a default-arg salt here with the index column
+    return F.array_min(F.transform(words, lambda t: F.md5(F.concat(F.lit(salt), t))))
+
+
+def minhash_signature(words: Column) -> list[Column]:
+    """H independent min-hashes: min over tokens of md5(i ':' token).
+    Hex-string minima are lexicographic in both engines."""
+    return [_salted_min(words, f"{i}:") for i in range(N_HASHES)]
+
+
+def _band_sigs() -> Column:
+    cols = []
+    for b in range(N_BANDS):
+        cols.append(
+            F.concat_ws("|", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        )
+    return F.array(*cols)
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a canonical form (sorted distinct word set).
+
+    One groupBy on a 32-byte hash — at 100 TB this is a single
+    well-spread shuffle; the canonical representative is min(doc_id).
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(ws, t -> md5('{i}:' || t))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    band_exprs = ", ".join(
+        f"'{b}' || '|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_WORD_SET_SQL} AS ws FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, ws, {mh_cols} FROM d
+    ),
+    sigs AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS sig FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           floor((len(list_intersect(da.ws, db.ws)) * 1.0
+                 / len(list_distinct(list_concat(da.ws, db.ws)))) * 10000 + 0.5) / 10000 AS jaccard
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b
+    WHERE len(list_intersect(da.ws, db.ws)) * 1.0
+          / len(list_distinct(list_concat(da.ws, db.ws))) >= {JACCARD_VERIFY}
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, Jaccard-verified.
+
+    Plan shape (the part that matters at 100 TB):
+    signatures are a narrow projection (docs × 8 md5-minima, no
+    shuffle) → explode to 4 band rows per doc → self-equi-join on the
+    band signature (shuffle on signature — collision buckets only,
+    never all-pairs) → distinct candidate pairs → verification join
+    back to word sets. Skewed mega-buckets are AQE-split; the verify
+    threshold keeps the output meaningful.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
+    mh = d
+    for i, c in enumerate(minhash_signature(F.col("ws"))):
+        mh = mh.withColumn(f"mh{i}", c)
+    sigs = mh.select("doc_id", F.explode(_band_sigs()).alias("sig"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    jac = F.size(F.array_intersect("ws_a", "ws_b")) / F.size(F.array_union("ws_a", "ws_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_VERIFY)
+        .select("doc_a", "doc_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{bit}"
+        for bit in range(16)
+    )
+    simhash = " + ".join(f"(CASE WHEN s{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORD_SET_SQL}) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    explode(words) → 16 conditional sums in ONE hash aggregate →
+    sign-pack. Near-dup docs land at small Hamming distance; grouping
+    by the fingerprint (or banding its halves) gives the scale path.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(word_set(F.col("text"))).alias("w"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{bit}")
+        for bit in range(16)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for bit in range(16):
+        term = F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# range(1, N) is exclusive-end in DuckDB but sequence(1, N) is
+# inclusive in Spark: both forms below generate i = 1..max(len-2, 1)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(words) - 1, 2)), "
+    "i -> array_to_string(words[i:i+2], ' ')))"
+)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM w
+    )
+    SELECT a.lang, a.source,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))) * 10000 + 0.5) / 10000 AS jaccard
+    FROM sh a
+    JOIN sh b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard for every pair inside a (lang, source)
+    block — bounded-block pairwise similarity.
+
+    Blocking turns the quadratic pair space into per-block squares
+    (the same trick the resolver uses with league context); at scale
+    the block key comes from LSH buckets instead (q_dedup_minhash).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.col("text"), " "), "")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(words) - 2, 1)), "
+            "i -> concat_ws(' ', slice(words, i, 3)))"
+        )
+    )
+    sh = docs.select(
+        "doc_id", "lang", "source", words.alias("words")
+    ).select("doc_id", "lang", "source", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(union > 0)
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            rnd(inter / union, 4).alias("jaccard"),
+        )
+    )

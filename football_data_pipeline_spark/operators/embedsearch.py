@@ -1,0 +1,174 @@
+"""Similarity search over the embedding column (build-plan step 6).
+
+Two plans over ``embeddings`` (64-dim float vectors):
+- brute-force cosine top-k: the correctness baseline — broadcast the
+  query set, score every candidate, per-query top-k via window;
+- IVF-style pruned top-k: candidates restricted to the query's
+  coarse cluster (``label`` stands in for a k-means cell id); at
+  100 TB this is the real plan — the centroid assignment bounds each
+  query's candidate set, turning a cross product into a bucketed
+  equi-join (same role LSH bands play for dedup).
+
+Float parity: dot products are computed as an explicit left-to-right
+fold over double-cast elements in BOTH engines (F.aggregate here,
+list_sum(list_transform(range…)) in DuckDB), so the summation order
+is identical and rounded similarities hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import rnd
+from ..registry import query
+
+TOP_K = 5
+N_QUERIES = 10  # queries = vec_id < N_QUERIES
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i], double-cast, strict left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _oracle_dot(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _oracle_norm(a: str) -> str:
+    return f"sqrt({_oracle_dot(a, a)})"
+
+
+def _knn_bruteforce_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_oracle_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, rn AS rank,
+           floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_knn_bruteforce", oracle=_knn_bruteforce_oracle())
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a broadcast query set.
+
+    The query side is tiny → broadcast; the candidate scan streams
+    once with no shuffle until the per-query window (partitioned by
+    query_id — N_QUERIES partitions, each ≤ |candidates| rows).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "sim",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "rank", rnd(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
+def _knn_ivf_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_oracle_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS sim
+      FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rn AS rank, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_knn_ivf", oracle=_knn_ivf_oracle())
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned top-k: candidates share the query's coarse
+    cluster (label ≈ centroid cell).
+
+    The equi-join on the cluster id replaces the cross product —
+    per-query work drops from |all| to |cell|. This is the ANN scale
+    path; recall vs q_knn_bruteforce is measurable by diffing the two
+    results.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", rnd(F.col("sim"), 6).alias("cosine_sim"))
+    )

@@ -138,7 +138,7 @@ def _fuzzy_oracle() -> str:
     )
     SELECT api_name,
            CASE WHEN s_star IS NOT NULL THEN odds_name END AS matched_name,
-           CASE WHEN s_star IS NOT NULL THEN round(conf_star, 4) END AS confidence,
+           CASE WHEN s_star IS NOT NULL THEN floor(conf_star * 10000 + 0.5) / 10000 END AS confidence,
            CASE s_star WHEN 1 THEN 'exact_match' WHEN 2 THEN 'manual_mapping'
                 WHEN 4 THEN 'normalized_matching' WHEN 5 THEN 'substring_matching'
                 WHEN 6 THEN 'word_based_matching' WHEN 7 THEN 'fuzzy_matching'

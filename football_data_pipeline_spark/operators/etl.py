@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import oracle_davg
+from ..functions.stable import oracle_davg, rnd
 from ..registry import query
 from .upsert import keep_latest
 
@@ -43,7 +43,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(k).alias("sum_k"),
-        F.round(F.sum(k.cast("decimal(28,4)")).cast("double") / F.count(k), 2).alias("avg_k"),
+        rnd(F.sum(k.cast("decimal(28,4)")).cast("double") / F.count(k)).alias("avg_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
     )
 
@@ -58,7 +58,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_type,
-           round(value, 2) AS current_value,
+           floor(value * 100 + 0.5) / 100 AS current_value,
            ts AS updated_at
     FROM ranked WHERE rn = 1
     """,
@@ -76,6 +76,6 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id",
         "event_type",
-        F.round("value", 2).alias("current_value"),
+        rnd(F.col("value")).alias("current_value"),
         F.col("ts").alias("updated_at"),
     )

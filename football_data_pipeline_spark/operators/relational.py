@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum
+from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, oracle_rnd, rnd
 from ..registry import query
 
 
@@ -92,7 +92,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
            count(c.c_custkey) AS n_customers,
-           round(coalesce({oracle_dsum('c.c_acctbal')}, 0), 2) AS total_acctbal
+           coalesce({oracle_dsum('c.c_acctbal')}, 0.0) AS total_acctbal
     FROM nation n
     JOIN region r ON n.n_regionkey = r.r_regionkey
     LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -115,7 +115,7 @@ def q_left_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            F.round(F.coalesce(dsum("c_acctbal", round_to=9), F.lit(0.0)), 2).alias("total_acctbal"),
+            F.coalesce(dsum("c_acctbal"), F.lit(0.0)).alias("total_acctbal"),
         )
     )
 
@@ -184,7 +184,7 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            {oracle_davg("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS avg_finished_price,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS finished_rate
+           floor((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / count(*)) * 100 + 0.5) / 100 AS finished_rate
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -204,7 +204,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias(
             "avg_finished_price"
         ),
-        F.round(F.sum(finished) * 100.0 / F.count("*"), 2).alias("finished_rate"),
+        rnd(F.sum(finished) * 100.0 / F.count("*")).alias("finished_rate"),
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_name
+from ..functions.stable import rnd
 from ..functions.similarity import (
     difflib_ratio,
     jaccard_words,
@@ -164,7 +165,7 @@ def resolve(
     return best.select(
         F.col(api_col),
         F.when(matched, F.col(cand_col)).alias("matched_name"),
-        F.when(matched, F.round(F.col("__conf_star"), 4)).alias("confidence"),
+        F.when(matched, rnd(F.col("__conf_star"), 4)).alias("confidence"),
         F.when(matched, F.col("__strategy")).otherwise(F.lit("no_match")).alias("strategy"),
         F.transform(F.col("__alts"), lambda s: s["name"]).alias("alternatives"),
     )

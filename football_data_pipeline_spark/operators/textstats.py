@@ -1,0 +1,241 @@
+"""Text-analysis operators for a training-data pipeline (build-plan
+step 6): quality scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+All pure column expressions — codegen'd, scan-parallel, no shuffle
+except the final small aggregates. Ratios are exact small-int
+divisions, so oracle hashes are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import rnd
+from ..registry import query
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _words() -> Column:
+    return F.array_remove(F.split(F.col("text"), " "), "")
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, {_WORDS_SQL} AS words FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, n_chars,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct,
+             list_sum(list_transform(words, x -> length(x))) AS total_word_chars
+      FROM w
+    )
+    SELECT doc_id, lang, n_chars, n_words, n_distinct,
+           floor((n_distinct * 1.0 / n_words) * 10000 + 0.5) / 10000 AS distinct_ratio,
+           floor((total_word_chars * 1.0 / n_words) * 10000 + 0.5) / 10000 AS avg_word_len,
+           floor(((least(n_words * 1.0 / 100, 1.0)) * 0.5
+                 + (n_distinct * 1.0 / n_words) * 0.3
+                 + (least((total_word_chars * 1.0 / n_words) / 10, 1.0)) * 0.2)
+                 * 10000 + 0.5) / 10000 AS quality_score
+    FROM m
+    WHERE n_words > 0
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length, lexical diversity, word
+    shape — the document-quality heuristic family (length/punct/
+    stopword-ratio class of filters used to score training text).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", "n_chars", _words().alias("words"))
+    n_words = F.size("words")
+    n_distinct = F.size(F.array_distinct("words"))
+    total_chars = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    m = w.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        total_chars.alias("total_word_chars"),
+    ).filter(F.col("n_words") > 0)
+    distinct_ratio = F.col("n_distinct") * 1.0 / F.col("n_words")
+    avg_word_len = F.col("total_word_chars") * 1.0 / F.col("n_words")
+    quality = (
+        F.least(F.col("n_words") * 1.0 / 100, F.lit(1.0)) * 0.5
+        + distinct_ratio * 0.3
+        + F.least(avg_word_len / 10, F.lit(1.0)) * 0.2
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        "n_distinct",
+        rnd(distinct_ratio, 4).alias("distinct_ratio"),
+        rnd(avg_word_len, 4).alias("avg_word_len"),
+        rnd(quality, 4).alias("quality_score"),
+    )
+
+
+#: language marker words (stopword heuristic); priority order breaks
+#: score ties. The synthetic corpus shares one vocabulary, so this
+#: mainly demonstrates the operator shape: real corpora swap the table.
+LANG_MARKERS = (
+    ("en", ("the", "a")),
+    ("es", ("el", "la", "los", "y")),
+    ("de", ("der", "die", "das", "und")),
+    ("fr", ("le", "les", "et", "une")),
+)
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, markers in LANG_MARKERS:
+        terms = " + ".join(
+            f"(CASE WHEN list_contains(words, '{m}') THEN 1 ELSE 0 END)" for m in markers
+        )
+        cols.append(f"({terms}) AS score_{lang}")
+    return ", ".join(cols)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, {_lang_scores_sql()} FROM w
+    ),
+    p AS (
+      SELECT doc_id, lang,
+             CASE WHEN score_en >= score_es AND score_en >= score_de
+                       AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                  WHEN score_es >= score_de AND score_es >= score_fr
+                       AND score_es > 0 THEN 'es'
+                  WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+                  WHEN score_fr > 0 THEN 'fr'
+                  ELSE 'unknown' END AS predicted
+      FROM s
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM p GROUP BY lang, predicted
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word scoring) vs the labeled
+    ``lang`` column — confusion-matrix counts.
+
+    Marker scoring is a broadcastable lookup + argmax with a fixed
+    priority tie-break; per-doc work only, one tiny final aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", _words().alias("words"))
+    scores = {}
+    for lang, markers in LANG_MARKERS:
+        s = None
+        for m in markers:
+            term = F.when(F.array_contains("words", m), 1).otherwise(0)
+            s = term if s is None else s + term
+        scores[lang] = s
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]) & (scores["es"] > 0), "es")
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        w.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_WORDS_SQL}) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+           floor((sum(n_chars) * 1.0 / sum(re_tokens)) * 10000 + 0.5) / 10000 AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    tokenizer — with chars-per-token, per language.
+
+    The counting is per-row codegen; only the 5-group aggregate
+    shuffles. This is the shape of corpus-size accounting at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(_words()).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("re_tokens").alias("total_re_tokens"),
+        rnd(F.sum("n_chars") * 1.0 / F.sum("re_tokens"), 4).alias("chars_per_token"),
+    )
+
+
+FP_MOD = 1_000_000_007
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(text[i:i])) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                       (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint
+    FROM codes
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the character stream
+    (acc×31 + code, mod 1e9+7) — order-sensitive (unlike the word-set
+    hash in q_dedup_exact), so byte-level edits change it.
+
+    Left-fold with an explicit 0 seed on both engines; values stay
+    < 2^35, no overflow in either.
+    """
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FP_MOD
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum
+from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, oracle_rnd, rnd
 from ..registry import query
 
 CUTOFF = "2024-01-15 00:00:00"
@@ -36,7 +36,7 @@ CUTOFF = "2024-01-15 00:00:00"
       GROUP BY event_type
     )
     SELECT event_type, n_before, n_after, avg_before, avg_after,
-           round((avg_after - avg_before) / avg_before * 100.0, 2) AS pct_change
+           floor(((avg_after - avg_before) / avg_before * 100.0) * 100 + 0.5) / 100 AS pct_change
     FROM halves
     WHERE avg_before IS NOT NULL AND avg_before <> 0
     """,
@@ -61,7 +61,7 @@ def q_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         halves.filter(F.col("avg_before").isNotNull() & (F.col("avg_before") != 0))
         .withColumn(
             "pct_change",
-            F.round((F.col("avg_after") - F.col("avg_before")) / F.col("avg_before") * 100.0, 2),
+            rnd((F.col("avg_after") - F.col("avg_before")) / F.col("avg_before") * 100.0),
         )
     )
 
@@ -146,8 +146,8 @@ def q_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey,
            count(*) AS n_items,
            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-           round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0
-                 / greatest(count(*), 1), 2) AS return_pct
+           floor((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0
+                 / greatest(count(*), 1)) * 100 + 0.5) / 100 AS return_pct
     FROM lineitem
     GROUP BY l_suppkey
     """,
@@ -164,7 +164,7 @@ def q_kpi_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.groupBy("l_suppkey").agg(
         F.count("*").alias("n_items"),
         F.sum(returned).alias("n_returned"),
-        F.round(F.sum(returned) * 100.0 / F.greatest(F.count("*"), F.lit(1)), 2).alias(
+        rnd(F.sum(returned) * 100.0 / F.greatest(F.count("*"), F.lit(1))).alias(
             "return_pct"
         ),
     )

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.stable import oracle_rnd, rnd
 from ..registry import query
 
 
@@ -58,7 +59,7 @@ def pct_change(cur: Column, prev: Column) -> Column:
     SELECT l.user_id,
            c.c_name AS user_name,
            l.event_type AS latest_event_type,
-           round(l.value, 2) AS latest_value,
+           floor(l.value * 100 + 0.5) / 100 AS latest_value,
            l.ts AS latest_ts
     FROM latest l
     LEFT JOIN customer c ON l.user_id = c.c_custkey
@@ -84,7 +85,7 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("c_name").alias("user_name"),
             F.col("event_type").alias("latest_event_type"),
-            F.round("value", 2).alias("latest_value"),
+            rnd(F.col("value")).alias("latest_value"),
             F.col("ts").alias("latest_ts"),
         )
     )
@@ -100,9 +101,9 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_type, ts,
-           round(value, 2) AS value,
-           round(prev_value, 2) AS prev_value,
-           round((value - prev_value) / prev_value * 100.0, 2) AS pct_change
+           floor(value * 100 + 0.5) / 100 AS value,
+           floor(prev_value * 100 + 0.5) / 100 AS prev_value,
+           floor(((value - prev_value) / prev_value * 100.0) * 100 + 0.5) / 100 AS pct_change
     FROM with_prev
     WHERE prev_value IS NOT NULL AND prev_value <> 0
       AND abs((value - prev_value) / prev_value) > 0.10
@@ -128,9 +129,9 @@ def q_lag_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
-            F.round("value", 2).alias("value"),
-            F.round("prev_value", 2).alias("prev_value"),
-            F.round(pct_change(F.col("value"), F.col("prev_value")), 2).alias("pct_change"),
+            rnd(F.col("value")).alias("value"),
+            rnd(F.col("prev_value")).alias("prev_value"),
+            rnd(pct_change(F.col("value"), F.col("prev_value"))).alias("pct_change"),
         )
     )
 
@@ -154,9 +155,9 @@ def q_lag_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered GROUP BY user_id, event_type
     )
     SELECT user_id, event_type, n_snapshots,
-           round(first_value, 2) AS first_value,
-           round(last_value, 2) AS last_value,
-           round((last_value - first_value) / first_value * 100.0, 2) AS pct_change
+           floor(first_value * 100 + 0.5) / 100 AS first_value,
+           floor(last_value * 100 + 0.5) / 100 AS last_value,
+           floor(((last_value - first_value) / first_value * 100.0) * 100 + 0.5) / 100 AS pct_change
     FROM fl
     WHERE first_value <> 0
       AND abs((last_value - first_value) / first_value) > 0.05
@@ -187,8 +188,8 @@ def q_first_last_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "n_snapshots",
-            F.round("first_value", 2).alias("first_value"),
-            F.round("last_value", 2).alias("last_value"),
-            F.round(pct_change(F.col("last_value"), F.col("first_value")), 2).alias("pct_change"),
+            rnd(F.col("first_value")).alias("first_value"),
+            rnd(F.col("last_value")).alias("last_value"),
+            rnd(pct_change(F.col("last_value"), F.col("first_value"))).alias("pct_change"),
         )
     )

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary column layout, Arrow-batched
+feature kernel, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from football_data_pipeline_spark.catalog import load
+from football_data_pipeline_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    to_media_assets,
+)
+
+from .conftest import SF_DIR
+
+
+def test_media_asset_layout(spark):
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    assets = to_media_assets(docs)
+    schema = dict(assets.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["meta"].startswith("struct<")
+    r = assets.first()
+    assert bytes(r.payload).decode("utf-8")  # round-trips
+    assert r.meta.mime == "image/fake"
+    assert r.meta.n_bytes == len(bytes(r.payload))
+
+
+def test_extract_features_deterministic(spark):
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    assets = to_media_assets(docs)
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == len(raw)
+    for doc_id, text in raw.items():
+        f = feats[doc_id]
+        b = text.encode("utf-8")
+        assert f.n_bytes == len(b)
+        assert f.checksum == hashlib.md5(b).hexdigest()
+        assert f.fake_width == 64 + len(b) % 512
+        assert f.decoded is False
+
+
+def test_extract_features_partition_invariant(spark):
+    """mapInPandas output must not depend on partitioning."""
+    docs = load(spark, SF_DIR, "documents").limit(30)
+    one = extract_features(to_media_assets(docs.coalesce(1)))
+    many = extract_features(to_media_assets(docs.repartition(7)))
+    a = sorted((r.asset_id, r.checksum) for r in one.collect())
+    b = sorted((r.asset_id, r.checksum) for r in many.collect())
+    assert a == b
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
