@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <float>}
+
+Each query is fully materialized through the no-op sink (format
+"noop") so projection pruning can't skip work, and timing excludes
+result transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import football_data_pipeline_spark.all_queries  # noqa: F401
+from football_data_pipeline_spark.registry import QUERIES
+from football_data_pipeline_spark.session import get_spark
+
+#: representative cross-section: joins, windows, aggs, ER cascade,
+#: dedup/LSH, ANN, text — the operators that dominate real workloads
+HEADLINE = [
+    "q_star_join",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_group_multi",
+    "q_topk_group",
+    "q_range_join",
+    "q_upsert_latest",
+    "q_fuzzy_join",
+    "q_dedup_minhash",
+    "q_knn_bruteforce",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="fdps-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

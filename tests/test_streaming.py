@@ -1,0 +1,138 @@
+"""Streaming layer tests (T1-T5): job scheduling/expiry semantics
+and the stateful movement-alert operator, driven end-to-end through
+Structured Streaming with a memory sink.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.catalog import load
+from football_data_pipeline_spark.streaming.jobs import (
+    due_jobs,
+    gc_jobs,
+    mark_expired,
+    merge_jobs,
+    synthesize_jobs,
+)
+from football_data_pipeline_spark.streaming.movement import movement_alerts
+
+from .conftest import SF_DIR
+
+def _now():
+    return F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+
+
+def _fixtures(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2024-03-03 15:00:00", "highest"),
+            (2, "2024-03-03 15:00:00", "high"),
+            (3, "2024-03-01 13:00:00", "medium"),  # only 1h-offset job still future
+            (4, "2024-02-01 15:00:00", "highest"),  # fully past → no jobs
+        ],
+        "fixture_id long, kickoff string, priority string",
+    ).withColumn("kickoff_utc", F.to_timestamp("kickoff"))
+
+
+def test_synthesize_jobs_offsets_and_future_filter(spark):
+    jobs = synthesize_jobs(_fixtures(spark), _now()).collect()
+    by_fixture = {}
+    for j in jobs:
+        by_fixture.setdefault(j.fixture_id, []).append(j)
+    # highest: 48h offset (Mar 1 15:00) + 12/3/1 → all 4 future
+    assert len(by_fixture[1]) == 4
+    assert {j.type for j in by_fixture[1]} == {"early_odds", "pre_match", "team_news", "final_data"}
+    # high: 24h early_odds → Mar 2 15:00, all 4 future
+    assert len(by_fixture[2]) == 4
+    # medium kickoff 13:00 today: only final_data (kickoff-1h = 12:00) is NOT > now → 0? 12:00 == now → excluded (strict >)
+    assert 3 not in by_fixture
+    assert 4 not in by_fixture
+    assert all(j.status == "pending" for j in jobs)
+    assert all(j.id == f"{j.fixture_id}_{j.type}" for j in jobs)
+
+
+def test_expiry_and_due(spark):
+    jobs = spark.createDataFrame(
+        [
+            ("a", "2024-03-01 11:00:00", "pending"),   # 60 min late → expired
+            ("b", "2024-03-01 11:30:00", "pending"),   # 30 min late → due
+            ("c", "2024-03-01 13:00:00", "pending"),   # future → not due
+            ("d", "2024-03-01 10:00:00", "completed"), # untouched
+        ],
+        "id string, sched string, status string",
+    ).withColumn("scheduled_for", F.to_timestamp("sched"))
+    statused = {r.id: r.status for r in mark_expired(jobs, _now()).collect()}
+    assert statused == {"a": "expired", "b": "pending", "c": "pending", "d": "completed"}
+    assert {r.id for r in due_jobs(jobs, _now()).collect()} == {"b"}
+
+
+def test_gc_and_merge(spark):
+    existing = spark.createDataFrame(
+        [
+            ("1_early_odds", "2024-03-01 09:00:00", "pending"),    # 3h past grace → dropped
+            ("2_early_odds", "2024-03-01 11:00:00", "pending"),    # within 2h grace → kept
+            ("3_final_data", "2024-02-25 00:00:00", "completed"),  # >3d → dropped
+            ("4_final_data", "2024-02-29 12:00:00", "failed"),     # <3d → kept
+        ],
+        "id string, sched string, status string",
+    ).withColumn("scheduled_for", F.to_timestamp("sched")).drop("sched")
+    new = spark.createDataFrame(
+        [
+            ("2_early_odds", "2024-03-02 11:00:00", "pending"),  # id clash → ignored
+            ("9_team_news", "2024-03-02 09:00:00", "pending"),   # new → added
+        ],
+        "id string, sched string, status string",
+    ).withColumn("scheduled_for", F.to_timestamp("sched")).drop("sched")
+    merged = {r.id: r for r in merge_jobs(existing, new, _now()).collect()}
+    assert set(merged) == {"2_early_odds", "4_final_data", "9_team_news"}
+    # clash kept the EXISTING row (anti-join drops the new one)
+    assert str(merged["2_early_odds"].scheduled_for) == "2024-03-01 11:00:00"
+
+
+def test_movement_alerts_matches_lag_query(spark, tmp_path):
+    """The stateful streaming operator must agree with the batch LAG
+    query (W2) on the same data. (applyInPandasWithState only exists
+    on streaming DataFrames, so only the stream path runs here.)"""
+    mode = "stream"
+    events = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    expected = (
+        events.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull() & (F.col("prev_value") != 0))
+        .filter(F.abs((F.col("value") - F.col("prev_value")) / F.col("prev_value")) > 0.10)
+        .count()
+    )
+
+    if mode == "batch":
+        got = movement_alerts(events).count()
+    else:
+        import time
+
+        src = str(tmp_path / "events_src")
+        # two chronological arrivals (distinct mtimes → deterministic
+        # file order) so cross-batch state carry-over is exercised
+        # under the operator's in-order-arrival contract
+        cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        events.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(src)
+        time.sleep(1.1)
+        events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        q = (
+            movement_alerts(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("alerts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT count(*) FROM alerts").first()[0]
+    assert got == expected
