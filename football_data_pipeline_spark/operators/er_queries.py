@@ -175,5 +175,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("api_name"),
         F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
     )
-    resolved = resolve_names(api, cand, block_key="nk", manual=manual)
+    resolved = resolve_names(
+        api, cand, block_key="nk", manual=manual, with_alternatives=False
+    )
     return resolved.select("api_name", "matched_name", "confidence", "strategy")

@@ -37,9 +37,10 @@ from ..functions.normalize import normalize_name
 from ..functions.stable import rnd
 from ..functions.similarity import (
     difflib_ratio,
-    jaccard_words,
+    jaccard_from_words,
     levenshtein_ratio,
     substring_confidence,
+    word_set,
 )
 from .upsert import upsert_replace
 
@@ -58,6 +59,11 @@ STRATEGIES = (
 )
 
 
+#: strategies 1-5 are O(1)-per-pair comparisons; 6 (array Jaccard)
+#: and 7/8 (edit-distance DP) dominate per-pair cost by ~20×
+CHEAP_STRATEGIES = STRATEGIES[:5]
+
+
 def score_pairs(
     pairs: DataFrame,
     api_col: str = "api_name",
@@ -65,18 +71,44 @@ def score_pairs(
     manual_col: str | None = None,
     learned_col: str | None = None,
     use_difflib: bool = False,
+    expensive: str = "compute",
 ) -> DataFrame:
     """Add normalized names + per-strategy confidence columns to an
     (api, candidate) pair DataFrame.
 
     ``manual_col``/``learned_col`` are optional columns carrying the
     manual/learned target name for the api side (joined in by the
-    caller from the mapping dims, F7)."""
+    caller from the mapping dims, F7).
+
+    Hot-path note: the normalization chain (~12 regexes + translate)
+    and the word-set split depend on ONE side each, so they belong on
+    the join INPUTS, not on the pair stream — Catalyst evaluates
+    projection expressions where they appear, i.e. after the join, so
+    hoisting is the caller's job (``resolve_names`` does it). When
+    ``__api_norm``/``__cand_norm``/``__api_words``/``__cand_words``
+    are already present they are reused; per-pair work is then only
+    equality/containment/levenshtein/array-intersect on short
+    strings — ~25× faster at 9M pairs than normalizing per pair.
+
+    ``expensive`` controls the Jaccard/edit-distance kernels (the
+    per-pair cost drivers): "compute" evaluates them, "skip" omits
+    the columns entirely (cheap-pass probing), "zero" emits literal
+    0.0 — exact for pairs whose api name is already known to resolve
+    via a cheap strategy, since strategy priority means confidences
+    of never-chosen strategies can't affect the outcome."""
     api, cand = F.col(api_col), F.col(cand_col)
-    out = pairs.withColumn("__api_norm", normalize_name(api)).withColumn(
-        "__cand_norm", normalize_name(cand)
-    )
+    out = pairs
+    if "__api_norm" not in out.columns:
+        out = out.withColumn("__api_norm", normalize_name(api))
+    if "__cand_norm" not in out.columns:
+        out = out.withColumn("__cand_norm", normalize_name(cand))
     an, cn = F.col("__api_norm"), F.col("__cand_norm")
+    aw = (
+        F.col("__api_words") if "__api_words" in out.columns else word_set(an)
+    )
+    cw = (
+        F.col("__cand_words") if "__cand_words" in out.columns else word_set(cn)
+    )
     fuzzy_sim = (
         difflib_ratio(an, cn) if use_difflib else levenshtein_ratio(an, cn)
     )
@@ -94,28 +126,44 @@ def score_pairs(
         ),
         4: F.when(an == cn, 0.85).otherwise(0.0),
         5: substring_confidence(an, cn),
-        6: jaccard_words(an, cn),
+    }
+    if expensive == "compute":
+        conf[6] = jaccard_from_words(aw, cw)
         # fuzzy: similarity must clear 0.4 before scaling ×0.6
         # (enhanced_mapping.py:580-583)
-        7: F.when(fuzzy_sim > 0.4, fuzzy_sim * 0.6).otherwise(0.0),
-    }
-    for idx, _, _ in STRATEGIES[:7]:
+        conf[7] = F.when(fuzzy_sim > 0.4, fuzzy_sim * 0.6).otherwise(0.0)
+    elif expensive == "zero":
+        conf[6] = conf[7] = F.lit(0.0)
+    for idx in sorted(conf):
         out = out.withColumn(f"__conf_{idx}", conf[idx].cast("double"))
-    return out.withColumn("__conf_8", F.col("__conf_7"))
+    if 7 in conf:
+        out = out.withColumn("__conf_8", F.col("__conf_7"))
+    return out
 
 
 def resolve(
     scored: DataFrame,
     api_col: str = "api_name",
     cand_col: str = "odds_name",
+    with_alternatives: bool = True,
 ) -> DataFrame:
     """Collapse scored pairs to one resolution row per api name.
 
     Output: api_col, matched_name (NULL if no match), confidence,
     strategy ('no_match' when unresolved), plus ``alternatives`` —
     the top-3 non-chosen candidates by chosen-strategy confidence
-    (F14, enhanced_mapping.py:584-590).
+    (F14, enhanced_mapping.py:584-590) — unless
+    ``with_alternatives=False``, which skips the per-partition
+    collect/sort entirely (the collapse is then two scalar window
+    passes over a slim projection).
     """
+    # slim the shuffle: the window partitions by api name and only
+    # needs (api, cand, confidences) — norms/word arrays must not
+    # ride along
+    keep = [api_col, cand_col] + [
+        c for c in scored.columns if c.startswith("__conf_")
+    ]
+    scored = scored.select(*keep)
     # per-pair: first strategy index this pair would satisfy
     pass_idx = F.least(
         *[
@@ -145,6 +193,15 @@ def resolve(
         F.desc("__conf_star"), F.asc(cand_col)
     )
     ranked = scored.withColumn("__rn", F.row_number().over(wo))
+    matched = F.col("__s_star").isNotNull()
+    cols = [
+        F.col(api_col),
+        F.when(matched, F.col(cand_col)).alias("matched_name"),
+        F.when(matched, rnd(F.col("__conf_star"), 4)).alias("confidence"),
+        F.when(matched, F.col("__strategy")).otherwise(F.lit("no_match")).alias("strategy"),
+    ]
+    if not with_alternatives:
+        return ranked.filter(F.col("__rn") == 1).select(*cols)
     # top-3 runners-up: collect (rank, name), sort by rank, drop the
     # winner, take 3 — sort BEFORE slice, collect_list order is not
     # deterministic across partitionings
@@ -161,13 +218,63 @@ def resolve(
         3,
     )
     best = ranked.withColumn("__alts", alts).filter(F.col("__rn") == 1)
-    matched = F.col("__s_star").isNotNull()
     return best.select(
-        F.col(api_col),
-        F.when(matched, F.col(cand_col)).alias("matched_name"),
-        F.when(matched, rnd(F.col("__conf_star"), 4)).alias("confidence"),
-        F.when(matched, F.col("__strategy")).otherwise(F.lit("no_match")).alias("strategy"),
+        *cols,
         F.transform(F.col("__alts"), lambda s: s["name"]).alias("alternatives"),
+    )
+
+
+def resolve_agg(
+    scored: DataFrame,
+    api_col: str = "api_name",
+    cand_col: str = "odds_name",
+    strategies: tuple = STRATEGIES,
+) -> DataFrame:
+    """Sort-free collapse of scored pairs: ONE hash aggregation.
+
+    Equivalent to the window version of ``resolve`` (minus
+    alternatives) by this invariant: the winning pair always has
+    ``pass_idx == s_star``. Proof: the winner maximizes
+    conf_{s_star}; any pair whose conf_{s_star} ≥ the group max ≥
+    threshold_{s_star} passes strategy s_star, so its pass_idx ≤
+    s_star — and no pair's pass_idx is < s_star by minimality. Hence
+    ``min_by`` over the total order (pass_idx asc, conf desc, name
+    asc) picks exactly the row_number()==1 pair, and the collapse is
+    a partial-aggregatable groupBy: map-side combine reduces the
+    pair stream before any exchange — nothing pair-sized ever sorts
+    or shuffles.
+    """
+    pass_idx = F.least(
+        *[
+            F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
+            for i, _, t in strategies
+        ]
+    )
+    conf_at = F.coalesce(
+        *[F.when(pass_idx == i, F.col(f"__conf_{i}")) for i, _, _ in strategies]
+    )
+    # null-free total order: non-passing pairs sort last via sentinel
+    ordering = F.struct(
+        F.coalesce(pass_idx, F.lit(99)).alias("p"),
+        F.coalesce(-conf_at, F.lit(1.0)).alias("nc"),
+        F.col(cand_col).alias("n"),
+    )
+    agg = scored.groupBy(api_col).agg(
+        F.min(pass_idx).alias("__s_star"),
+        F.min_by(
+            F.struct(F.col(cand_col).alias("name"), conf_at.alias("conf")),
+            ordering,
+        ).alias("__w"),
+    )
+    matched = F.col("__s_star").isNotNull()
+    strategy_star = F.coalesce(
+        *[F.when(F.col("__s_star") == i, F.lit(name)) for i, name, _ in strategies]
+    )
+    return agg.select(
+        F.col(api_col),
+        F.when(matched, F.col("__w.name")).alias("matched_name"),
+        F.when(matched, rnd(F.col("__w.conf"), 4)).alias("confidence"),
+        F.when(matched, strategy_star).otherwise(F.lit("no_match")).alias("strategy"),
     )
 
 
@@ -180,14 +287,46 @@ def resolve_names(
     use_difflib: bool = False,
     api_col: str = "api_name",
     cand_col: str = "odds_name",
+    with_alternatives: bool = True,
 ) -> DataFrame:
     """End-to-end cascade: pair generation (blocked, candidates
-    broadcast) → scoring → collapse.
+    broadcast) → two-pass scoring → collapse.
 
     ``manual``/``learned`` are mapping dims with columns
     (api_col, target name) — F7's dictionary strategies
     (/root/reference/enhanced_mapping.py:111-179,194-214).
+
+    Plan shape (the reference's early-exit cascade, set-oriented —
+    SURVEY.md §4.2):
+    1. normalization + word-split computed ONCE per input row,
+       before the pair join;
+    2. cheap pass: strategies 1-5 over all pairs, aggregated to a
+       per-name verdict (map-side-combinable ``min`` — the shuffle
+       carries one row per name, never the pair stream);
+    3. expensive Jaccard/edit-distance kernels run ONLY on pairs of
+       names the cheap pass could not resolve (broadcast anti-join);
+       resolved names take literal-0 expensive confidences, which is
+       exact because a never-chosen strategy's confidence can't
+       affect the outcome (strategy priority).
     """
+    # The repartition is load-bearing twice over: (a) whole-stage
+    # codegen evaluates ProjectExec output lazily at first USE site,
+    # which for these columns would be inside the pair-join's match
+    # loop — i.e. the 12-regex chain would still run per PAIR; the
+    # exchange forces materialization per input ROW (measured 12×
+    # on the probe pass at sf0.1). (b) hash-partitioning by api name
+    # pre-aligns the stream side with every downstream
+    # groupBy/window on api name, so the PAIR stream never shuffles
+    # — only the 1-row-per-name aggregates do. The candidate side
+    # needs no forcing: the broadcast exchange materializes it.
+    api_df = (
+        api_df.withColumn("__api_norm", normalize_name(F.col(api_col)))
+        .withColumn("__api_words", word_set(F.col("__api_norm")))
+        .repartition(F.col(api_col))
+    )
+    candidates_df = candidates_df.withColumn(
+        "__cand_norm", normalize_name(F.col(cand_col))
+    ).withColumn("__cand_words", word_set(F.col("__cand_norm")))
     if block_key:
         pairs = api_df.join(F.broadcast(candidates_df), on=block_key)
     else:
@@ -205,15 +344,72 @@ def resolve_names(
         )
         pairs = pairs.join(F.broadcast(learned), on=api_col, how="left")
         learned_col = "__learned_target"
-    scored = score_pairs(
-        pairs,
+
+    def score(df: DataFrame, expensive: str) -> DataFrame:
+        return score_pairs(
+            df,
+            api_col=api_col,
+            cand_col=cand_col,
+            manual_col=manual_col,
+            learned_col=learned_col,
+            use_difflib=use_difflib,
+            expensive=expensive,
+        )
+
+    if not with_alternatives:
+        # fast path: the cheap pass IS a full resolution for names it
+        # matches (one hash agg over all pairs); expensive kernels
+        # then run only on pairs of the unresolved remainder
+        # NB: the easy output and the hard-name broadcast each
+        # re-aggregate the cheap pass (~1/3 of query time). A
+        # localCheckpoint barrier was tried and measured SLOWER cold
+        # (76s vs 30s at sf0.1) — the RDD materialization defeats
+        # noop-sink column pruning — so the recompute stays.
+        res_cheap = resolve_agg(
+            score(pairs, expensive="skip"),
+            api_col=api_col,
+            cand_col=cand_col,
+            strategies=CHEAP_STRATEGIES,
+        )
+        easy_out = res_cheap.filter(F.col("strategy") != "no_match")
+        hard_names = res_cheap.filter(F.col("strategy") == "no_match").select(api_col)
+        hard_pairs = pairs.join(F.broadcast(hard_names), api_col, "inner")
+        hard_out = resolve_agg(
+            score(hard_pairs, expensive="compute"),
+            api_col=api_col,
+            cand_col=cand_col,
+        )
+        return easy_out.unionByName(hard_out)
+
+    # alternatives require a full ranking per name → window path;
+    # same two-pass split so the ranking sorts stay cheap-kernel
+    cheap_pass_idx = F.least(
+        *[
+            F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
+            for i, _, t in CHEAP_STRATEGIES
+        ]
+    )
+    easy_names = (
+        score(pairs, expensive="skip")
+        .select(F.col(api_col), cheap_pass_idx.alias("__p"))
+        .groupBy(api_col)
+        .agg(F.min("__p").alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(api_col)
+    )
+    easy = pairs.join(F.broadcast(easy_names), api_col, "inner")
+    hard = pairs.join(F.broadcast(easy_names), api_col, "left_anti")
+    out_easy = resolve(
+        score(easy, expensive="zero"),
         api_col=api_col,
         cand_col=cand_col,
-        manual_col=manual_col,
-        learned_col=learned_col,
-        use_difflib=use_difflib,
     )
-    return resolve(scored, api_col=api_col, cand_col=cand_col)
+    out_hard = resolve(
+        score(hard, expensive="compute"),
+        api_col=api_col,
+        cand_col=cand_col,
+    )
+    return out_easy.unionByName(out_hard)
 
 
 def learn_mappings(
