@@ -237,12 +237,29 @@ def resolve_agg(
     ``pass_idx == s_star``. Proof: the winner maximizes
     conf_{s_star}; any pair whose conf_{s_star} ≥ the group max ≥
     threshold_{s_star} passes strategy s_star, so its pass_idx ≤
-    s_star — and no pair's pass_idx is < s_star by minimality. Hence
-    ``min_by`` over the total order (pass_idx asc, conf desc, name
-    asc) picks exactly the row_number()==1 pair, and the collapse is
-    a partial-aggregatable groupBy: map-side combine reduces the
-    pair stream before any exchange — nothing pair-sized ever sorts
-    or shuffles.
+    s_star — and no pair's pass_idx is < s_star by minimality.
+
+    Physical-plan constraints that shape this code: neither
+    ``min_by`` over a struct ordering nor ``min`` over a string is
+    hash-aggregation-compatible (variable-length aggregation buffers)
+    — Spark silently falls back to SortAggregate, which SORTS its
+    whole input. The countermeasure is in the CALLER: feed this
+    function only pairs whose ``pass_idx`` is non-null. Only a
+    passing pair can win (the winner's conf_{s_star} clears
+    threshold_{s_star}), so pre-filtering never changes the result —
+    it shrinks the sorted stream from all pairs to the few passing
+    ones, and the pipelined filter never materializes the rest.
+    Names with no passing pair simply drop out of the output (the
+    caller reinstates them as no_match, or treats absence as "try
+    the next strategy tier").
+
+    The argmin ordering (pass_idx asc, conf desc, name asc) is
+    packed into ONE order-preserving string key — lpad(pass_idx) ‖
+    '%.12f' of (1 − conf) ‖ name — with confidences carried by
+    per-strategy max() doubles, never parsed back from the key. A
+    12-decimal key collision implies the same rational confidence
+    value, i.e. a true tie, which the name suffix then breaks
+    exactly like the window version.
     """
     pass_idx = F.least(
         *[
@@ -250,30 +267,36 @@ def resolve_agg(
             for i, _, t in strategies
         ]
     )
+    idxs = sorted({i for i, _, _ in strategies})
     conf_at = F.coalesce(
-        *[F.when(pass_idx == i, F.col(f"__conf_{i}")) for i, _, _ in strategies]
+        *[F.when(pass_idx == i, F.col(f"__conf_{i}")) for i in idxs]
     )
-    # null-free total order: non-passing pairs sort last via sentinel
-    ordering = F.struct(
-        F.coalesce(pass_idx, F.lit(99)).alias("p"),
-        F.coalesce(-conf_at, F.lit(1.0)).alias("nc"),
-        F.col(cand_col).alias("n"),
+    key = F.when(
+        pass_idx.isNotNull(),
+        F.concat(
+            F.lpad(pass_idx.cast("string"), 2, "0"),
+            F.format_string("%.12f", F.lit(1.0) - conf_at),
+            F.col(cand_col),
+        ),
     )
     agg = scored.groupBy(api_col).agg(
         F.min(pass_idx).alias("__s_star"),
-        F.min_by(
-            F.struct(F.col(cand_col).alias("name"), conf_at.alias("conf")),
-            ordering,
-        ).alias("__w"),
+        F.min(key).alias("__key"),
+        *[F.max(F.col(f"__conf_{i}")).alias(f"__mc_{i}") for i in idxs],
     )
     matched = F.col("__s_star").isNotNull()
+    # prefix = 2 (padded index) + 14 ("0.xxxxxxxxxxxx")
+    winner_name = F.col("__key").substr(F.lit(17), F.length("__key"))
+    conf_star = F.coalesce(
+        *[F.when(F.col("__s_star") == i, F.col(f"__mc_{i}")) for i in idxs]
+    )
     strategy_star = F.coalesce(
         *[F.when(F.col("__s_star") == i, F.lit(name)) for i, name, _ in strategies]
     )
     return agg.select(
         F.col(api_col),
-        F.when(matched, F.col("__w.name")).alias("matched_name"),
-        F.when(matched, rnd(F.col("__w.conf"), 4)).alias("confidence"),
+        F.when(matched, winner_name).alias("matched_name"),
+        F.when(matched, rnd(conf_star, 4)).alias("confidence"),
         F.when(matched, strategy_star).otherwise(F.lit("no_match")).alias("strategy"),
     )
 
@@ -319,10 +342,18 @@ def resolve_names(
     # groupBy/window on api name, so the PAIR stream never shuffles
     # — only the 1-row-per-name aggregates do. The candidate side
     # needs no forcing: the broadcast exchange materializes it.
+    # explicit partition count: api_df is small pre-join (names), so
+    # AQE would coalesce a bare repartition(col) to ONE partition —
+    # and the broadcast join downstream explodes each input row into
+    # |candidates| pairs, so the expensive kernels would then run
+    # single-threaded. Pinning to defaultParallelism keeps the pair
+    # explosion spread across every core (at cluster scale the same
+    # holds: partition count must be sized to the POST-join stream).
+    num_parts = api_df.sparkSession.sparkContext.defaultParallelism
     api_df = (
         api_df.withColumn("__api_norm", normalize_name(F.col(api_col)))
         .withColumn("__api_words", word_set(F.col("__api_norm")))
-        .repartition(F.col(api_col))
+        .repartition(num_parts, F.col(api_col))
     )
     candidates_df = candidates_df.withColumn(
         "__cand_norm", normalize_name(F.col(cand_col))
@@ -357,27 +388,53 @@ def resolve_names(
         )
 
     if not with_alternatives:
-        # fast path: the cheap pass IS a full resolution for names it
-        # matches (one hash agg over all pairs); expensive kernels
-        # then run only on pairs of the unresolved remainder
-        # NB: the easy output and the hard-name broadcast each
-        # re-aggregate the cheap pass (~1/3 of query time). A
-        # localCheckpoint barrier was tried and measured SLOWER cold
-        # (76s vs 30s at sf0.1) — the RDD materialization defeats
-        # noop-sink column pruning — so the recompute stays.
-        res_cheap = resolve_agg(
-            score(pairs, expensive="skip"),
+        # fast path. Pass 1: cheap strategies over all pairs,
+        # filtered to passing pairs BEFORE the argmin aggregation
+        # (see resolve_agg's docstring — the filter is what keeps
+        # the sort off the pair stream; cheap strategies pass for
+        # only a handful of pairs per name). Names present in the
+        # pass-1 output are exactly the cheaply-resolvable ones, so
+        # no separate probe aggregation is needed. Pass 2: expensive
+        # kernels only on pairs of the remainder; names its argmin
+        # also drops (nothing ≥ 0.3) come back as no_match rows.
+        cheap_pass = F.least(
+            *[
+                F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
+                for i, _, t in CHEAP_STRATEGIES
+            ]
+        )
+        # cache the pass-1 verdicts (one small row per resolved
+        # name): three consumers reference them (the union output,
+        # the anti-join, and through it the pair-stream broadcast) —
+        # without the cache each consumer subtree re-runs the full
+        # cheap pair scan (measured 4× at sf0.1)
+        easy_out = resolve_agg(
+            score(pairs, expensive="skip").filter(cheap_pass.isNotNull()),
             api_col=api_col,
             cand_col=cand_col,
             strategies=CHEAP_STRATEGIES,
+        ).cache()
+        all_names = api_df.select(api_col).distinct()
+        hard_names = all_names.join(
+            F.broadcast(easy_out.select(api_col)), api_col, "left_anti"
         )
-        easy_out = res_cheap.filter(F.col("strategy") != "no_match")
-        hard_names = res_cheap.filter(F.col("strategy") == "no_match").select(api_col)
         hard_pairs = pairs.join(F.broadcast(hard_names), api_col, "inner")
-        hard_out = resolve_agg(
-            score(hard_pairs, expensive="compute"),
+        full_pass = F.least(
+            *[
+                F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
+                for i, _, t in STRATEGIES
+            ]
+        )
+        hard_agg = resolve_agg(
+            score(hard_pairs, expensive="compute").filter(full_pass.isNotNull()),
             api_col=api_col,
             cand_col=cand_col,
+        )
+        hard_out = hard_names.join(hard_agg, api_col, "left").select(
+            F.col(api_col),
+            F.col("matched_name"),
+            F.col("confidence"),
+            F.coalesce(F.col("strategy"), F.lit("no_match")).alias("strategy"),
         )
         return easy_out.unionByName(hard_out)
 
