@@ -27,6 +27,13 @@ from ..registry import query
 TOP_K = 5
 N_QUERIES = 10  # queries = vec_id < N_QUERIES
 
+# --- random-hyperplane LSH (q_dedup_embed) ---
+N_PLANES = 32  # 4 bands × 8 sign-bits
+N_BANDS = 4
+BITS_PER_BAND = N_PLANES // N_BANDS
+COSINE_VERIFY = 0.3
+DIMS = 64
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i], double-cast, strict left-to-right fold."""
@@ -112,6 +119,113 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "rank", rnd(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
+def _hyperplane(k: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane k: component i is
+    md5("k:i") hex prefix scaled to [−0.5, 0.5). Reproducible in any
+    engine with md5 — the DuckDB oracle regenerates the identical
+    planes in SQL, so no plane data ever needs shipping."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{k}:{i}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+        for i in range(1, DIMS + 1)
+    ]
+
+
+_R_SQL = (
+    "(CAST('0x' || substr(md5('{k}:' || i), 1, 8) AS BIGINT)"
+    " / 4294967296.0 - 0.5)"
+)
+
+
+def _oracle_plane_dot(k: int) -> str:
+    r = _R_SQL.format(k=k)
+    return (
+        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {r}))"
+    )
+
+
+def _dedup_embed_oracle() -> str:
+    bit_cols = ", ".join(
+        f"CASE WHEN {_oracle_plane_dot(k)} >= 0 THEN '1' ELSE '0' END AS b{k}"
+        for k in range(N_PLANES)
+    )
+    band_exprs = ", ".join(
+        "'{}|' || {}".format(
+            band,
+            " || ".join(f"b{BITS_PER_BAND * band + r}" for r in range(BITS_PER_BAND)),
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_oracle_norm('embedding')} AS nrm, {bit_cols}
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, embedding, nrm, unnest([{band_exprs}]) AS sig FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_oracle_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM cand WHERE sim >= {COSINE_VERIFY}
+    """
+
+
+@query("q_dedup_embed", oracle=_dedup_embed_oracle())
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH.
+
+    The 100 TB shape: per vector, {N_PLANES} sign-bits of dot
+    products against fixed md5-derived hyperplanes (a narrow
+    no-shuffle projection), packed into {N_BANDS} band signatures;
+    candidate pairs come ONLY from band-bucket self-joins (shuffle on
+    the 8-bit signature — never an all-pairs product), then exact
+    cosine verification at ≥ {COSINE_VERIFY} prunes false positives.
+    Recall is tunable with bands × bits (4×8 here); the brute-force
+    q_knn_bruteforce is the recall yardstick.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    for k in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(k)])
+        e = e.withColumn(
+            f"b{k}",
+            F.when(dot(F.col("embedding"), plane) >= 0, "1").otherwise("0"),
+        )
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{band}|"),
+                *[F.col(f"b{BITS_PER_BAND * band + r}") for r in range(BITS_PER_BAND)],
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    sigs = e.select("vec_id", "embedding", "nrm", F.explode(bands).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .distinct()
+        .filter(F.col("sim") >= COSINE_VERIFY)
+        .select("vec_a", "vec_b", rnd(F.col("sim"), 6).alias("cosine_sim"))
     )
 
 
