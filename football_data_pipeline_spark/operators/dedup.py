@@ -170,6 +170,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
+    # cache: three consumers (signature path + both verify sides)
+    # would each re-run the scan + the SortAggregate that the
+    # array-typed min_by buffer forces (measured 3× at sf0.1). The
+    # cached set is one row per DISTINCT word set — already the
+    # collapsed small side at any scale.
     grp = (
         d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp"))
         .agg(
@@ -177,17 +182,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("sz"),
             F.min_by("ws", "doc_id").alias("ws"),
         )
+        .cache()
     )
     mh = grp
     for i, c in enumerate(minhash_signature(F.col("ws"))):
         mh = mh.withColumn(f"mh{i}", c)
     sigs = mh.select("rid", F.explode(_band_sigs()).alias("sig"))
-    a = sigs.alias("a")
+    # pair generation parallelism: this corpus has template mega-
+    # buckets (~1k reps sharing a band signature → ~500k pairs each).
+    # Under the default broadcast self-join the whole pair explosion
+    # runs in the probe task(s) — and AQE coalesces the tiny sig
+    # stream to ONE partition first. shuffle_hash + a pinned
+    # partition count spreads bucket pair-generation across cores
+    # (mega-buckets still bound a single task each — the price of
+    # bucket-local generation; banding width is the knob that caps
+    # them). The explicit repartition after distinct re-spreads the
+    # candidate stream so Jaccard verification never inherits the
+    # few coalesced post-shuffle partitions.
+    num_parts = spark.sparkContext.defaultParallelism
+    a = sigs.repartition(num_parts, "sig").alias("a")
     b = sigs.alias("b")
     cand = (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.rid") < F.col("b.rid")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.rid") < F.col("b.rid")),
+        )
         .select(F.col("a.rid").alias("rid_a"), F.col("b.rid").alias("rid_b"))
         .distinct()
+        .repartition(num_parts)
     )
     ga = grp.select(F.col("rid").alias("rid_a"), F.col("ws").alias("ws_a"), F.col("sz").alias("sz_a"))
     gb = grp.select(F.col("rid").alias("rid_b"), F.col("ws").alias("ws_b"), F.col("sz").alias("sz_b"))
