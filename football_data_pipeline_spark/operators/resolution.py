@@ -224,13 +224,37 @@ def resolve(
     )
 
 
+#: packed-key layout: pass_idx (high) | quantized 1−conf | name rank
+RANK_BITS = 30
+CONF_BITS = 20
+CONF_SCALE = (1 << CONF_BITS) - 1
+
+
+def rank_candidates(candidates_df: DataFrame, cand_col: str) -> DataFrame:
+    """Dense rank of the candidate universe by name ascending —
+    the tie-break order of the resolution argmin, precomputed ONCE
+    on the small (broadcast-by-design) candidate side so the
+    per-pair aggregation key can be a single BIGINT. The global
+    window is a deliberate single-partition sort of a dim-sized
+    input, never of the pair stream."""
+    return (
+        candidates_df.select(cand_col)
+        .distinct()
+        .withColumn(
+            "__cand_rank", F.dense_rank().over(Window.orderBy(cand_col))
+        )
+    )
+
+
 def resolve_agg(
     scored: DataFrame,
+    ranks: DataFrame,
     api_col: str = "api_name",
     cand_col: str = "odds_name",
     strategies: tuple = STRATEGIES,
 ) -> DataFrame:
-    """Sort-free collapse of scored pairs: ONE hash aggregation.
+    """Sort-free collapse of scored pairs: ONE numeric hash
+    aggregation.
 
     Equivalent to the window version of ``resolve`` (minus
     alternatives) by this invariant: the winning pair always has
@@ -239,27 +263,30 @@ def resolve_agg(
     threshold_{s_star} passes strategy s_star, so its pass_idx ≤
     s_star — and no pair's pass_idx is < s_star by minimality.
 
-    Physical-plan constraints that shape this code: neither
-    ``min_by`` over a struct ordering nor ``min`` over a string is
-    hash-aggregation-compatible (variable-length aggregation buffers)
-    — Spark silently falls back to SortAggregate, which SORTS its
-    whole input. The countermeasure is in the CALLER: feed this
-    function only pairs whose ``pass_idx`` is non-null. Only a
-    passing pair can win (the winner's conf_{s_star} clears
-    threshold_{s_star}), so pre-filtering never changes the result —
-    it shrinks the sorted stream from all pairs to the few passing
-    ones, and the pipelined filter never materializes the rest.
-    Names with no passing pair simply drop out of the output (the
-    caller reinstates them as no_match, or treats absence as "try
-    the next strategy tier").
+    Physical-plan constraints that shape this code: ``min_by`` over
+    a struct ordering, ``min`` over a string — any variable-width
+    aggregation buffer — silently falls back to SortAggregate, whose
+    partial phase SORTS the whole pair stream inside each task
+    (measured ~40% of the cascade at sf0.1). So the argmin ordering
+    (pass_idx asc, conf desc, name asc) is packed into one BIGINT:
+    pass_idx ≪ 50 | floor((1−conf)·(2²⁰−1)) ≪ 30 | name_rank —
+    ``min(long)`` is a fixed-width hash aggregate with map-side
+    combine; nothing pair-sized ever sorts or shuffles.
 
-    The argmin ordering (pass_idx asc, conf desc, name asc) is
-    packed into ONE order-preserving string key — lpad(pass_idx) ‖
-    '%.12f' of (1 − conf) ‖ name — with confidences carried by
-    per-strategy max() doubles, never parsed back from the key. A
-    12-decimal key collision implies the same rational confidence
-    value, i.e. a true tie, which the name suffix then breaks
-    exactly like the window version.
+    Quantization is exact for this cascade: distinct confidences are
+    ratios of small integers (lengths ≤ ~100, word counts ≤ ~50), so
+    distinct values differ by ≥ ~1/10⁴ ≫ 2⁻²⁰; equal doubles
+    quantize equal and the tie falls to name rank, exactly the
+    window version's ordering. Winner identity is decoded by joining
+    the rank back to ``ranks`` (broadcast dim); confidences are
+    carried by per-strategy max() doubles, never decoded from the
+    key. ``ranks`` comes from :func:`rank_candidates`; ``scored``
+    must already carry ``__cand_rank``.
+
+    Callers should pre-filter to pairs whose ``pass_idx`` is
+    non-null: only a passing pair can win, so the filter never
+    changes the result, and names with no passing pair drop out (the
+    caller reinstates them as no_match).
     """
     pass_idx = F.least(
         *[
@@ -271,13 +298,11 @@ def resolve_agg(
     conf_at = F.coalesce(
         *[F.when(pass_idx == i, F.col(f"__conf_{i}")) for i in idxs]
     )
-    key = F.when(
-        pass_idx.isNotNull(),
-        F.concat(
-            F.lpad(pass_idx.cast("string"), 2, "0"),
-            F.format_string("%.12f", F.lit(1.0) - conf_at),
-            F.col(cand_col),
-        ),
+    qconf = F.floor((F.lit(1.0) - conf_at) * CONF_SCALE).cast("long")
+    key = (
+        F.shiftleft(pass_idx.cast("long"), CONF_BITS + RANK_BITS)
+        + F.shiftleft(qconf, RANK_BITS)
+        + F.col("__cand_rank")
     )
     agg = scored.groupBy(api_col).agg(
         F.min(pass_idx).alias("__s_star"),
@@ -285,19 +310,24 @@ def resolve_agg(
         *[F.max(F.col(f"__conf_{i}")).alias(f"__mc_{i}") for i in idxs],
     )
     matched = F.col("__s_star").isNotNull()
-    # prefix = 2 (padded index) + 14 ("0.xxxxxxxxxxxx")
-    winner_name = F.col("__key").substr(F.lit(17), F.length("__key"))
     conf_star = F.coalesce(
         *[F.when(F.col("__s_star") == i, F.col(f"__mc_{i}")) for i in idxs]
     )
     strategy_star = F.coalesce(
         *[F.when(F.col("__s_star") == i, F.lit(name)) for i, name, _ in strategies]
     )
-    return agg.select(
-        F.col(api_col),
-        F.when(matched, winner_name).alias("matched_name"),
-        F.when(matched, rnd(conf_star, 4)).alias("confidence"),
-        F.when(matched, strategy_star).otherwise(F.lit("no_match")).alias("strategy"),
+    winner_rank = F.col("__key").bitwiseAND(F.lit((1 << RANK_BITS) - 1))
+    return (
+        agg.withColumn("__cand_rank", winner_rank)
+        .join(F.broadcast(ranks), "__cand_rank", "left")
+        .select(
+            F.col(api_col),
+            F.when(matched, F.col(cand_col)).alias("matched_name"),
+            F.when(matched, rnd(conf_star, 4)).alias("confidence"),
+            F.when(matched, strategy_star)
+            .otherwise(F.lit("no_match"))
+            .alias("strategy"),
+        )
     )
 
 
@@ -358,23 +388,27 @@ def resolve_names(
     candidates_df = candidates_df.withColumn(
         "__cand_norm", normalize_name(F.col(cand_col))
     ).withColumn("__cand_words", word_set(F.col("__cand_norm")))
-    if block_key:
-        pairs = api_df.join(F.broadcast(candidates_df), on=block_key)
-    else:
-        pairs = api_df.crossJoin(F.broadcast(candidates_df))
+    ranks = rank_candidates(candidates_df, cand_col)
+    candidates_df = candidates_df.join(F.broadcast(ranks), cand_col)
+    # mapping dims attach to the API side BEFORE the pair join — one
+    # hash probe per input row, not per pair
     manual_col = learned_col = None
     if manual is not None:
         manual = manual.withColumnRenamed(
             [c for c in manual.columns if c != api_col][0], "__manual_target"
         )
-        pairs = pairs.join(F.broadcast(manual), on=api_col, how="left")
+        api_df = api_df.join(F.broadcast(manual), on=api_col, how="left")
         manual_col = "__manual_target"
     if learned is not None:
         learned = learned.withColumnRenamed(
             [c for c in learned.columns if c != api_col][0], "__learned_target"
         )
-        pairs = pairs.join(F.broadcast(learned), on=api_col, how="left")
+        api_df = api_df.join(F.broadcast(learned), on=api_col, how="left")
         learned_col = "__learned_target"
+    if block_key:
+        pairs = api_df.join(F.broadcast(candidates_df), on=block_key)
+    else:
+        pairs = api_df.crossJoin(F.broadcast(candidates_df))
 
     def score(df: DataFrame, expensive: str) -> DataFrame:
         return score_pairs(
@@ -410,6 +444,7 @@ def resolve_names(
         # cheap pair scan (measured 4× at sf0.1)
         easy_out = resolve_agg(
             score(pairs, expensive="skip").filter(cheap_pass.isNotNull()),
+            ranks,
             api_col=api_col,
             cand_col=cand_col,
             strategies=CHEAP_STRATEGIES,
@@ -418,15 +453,16 @@ def resolve_names(
         hard_names = all_names.join(
             F.broadcast(easy_out.select(api_col)), api_col, "left_anti"
         )
+        # no pre-filter here, deliberately: the 0.3 fallback admits
+        # nearly every pair, so a pass_idx filter would drop nothing
+        # while inlining the Levenshtein/Jaccard kernels a second
+        # time into the Filter node (measured 2× kernel cost in the
+        # physical plan). resolve_agg yields null-key groups →
+        # 'no_match' rows for names nothing matches.
         hard_pairs = pairs.join(F.broadcast(hard_names), api_col, "inner")
-        full_pass = F.least(
-            *[
-                F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
-                for i, _, t in STRATEGIES
-            ]
-        )
         hard_agg = resolve_agg(
-            score(hard_pairs, expensive="compute").filter(full_pass.isNotNull()),
+            score(hard_pairs, expensive="compute"),
+            ranks,
             api_col=api_col,
             cand_col=cand_col,
         )
