@@ -79,3 +79,104 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("value")).alias("current_value"),
         F.col("ts").alias("updated_at"),
     )
+
+
+_FLAT_ODDS_ORACLE = """
+    WITH m(bookmaker, market_type) AS (
+      VALUES ('Alpha', 'h2h'), ('Alpha', 'h2h_lay'),
+             ('Beta', 'totals'), ('Beta', 'spreads')
+    )
+    SELECT o_orderkey AS fixture_id, bookmaker, market_type,
+           CASE WHEN market_type = 'h2h' THEN (o_orderkey % 250) / 100.0 + 1.1
+                WHEN market_type = 'spreads' THEN (o_orderkey % 130) / 100.0 + 1.8 END AS home_odds,
+           CASE WHEN market_type = 'h2h' THEN (o_orderkey % 170) / 100.0 + 2.5 END AS draw_odds,
+           CASE WHEN market_type = 'h2h' THEN (o_orderkey % 310) / 100.0 + 1.3
+                WHEN market_type = 'spreads' THEN (o_orderkey % 140) / 100.0 + 1.9 END AS away_odds,
+           CASE WHEN market_type = 'totals' THEN (o_orderkey % 90) / 100.0 + 1.6 END AS over_odds,
+           CASE WHEN market_type = 'totals' THEN (o_orderkey % 110) / 100.0 + 1.7 END AS under_odds,
+           CASE WHEN market_type = 'spreads' THEN -(0.5 + (o_orderkey % 2)) END AS handicap,
+           CASE WHEN market_type = 'totals' THEN 2.5 + (o_orderkey % 3) END AS total_points,
+           CAST(o_orderdate AS TIMESTAMP) AS collected_at,
+           'early_odds' AS collection_phase
+    FROM orders CROSS JOIN m
+    """
+
+
+@query("q_odds_flatten", oracle=_FLAT_ODDS_ORACLE)
+def q_odds_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+N2 as a driver-checkable query: synthesize one bronze-shaped
+    nested odds document per order (2 bookmakers × 2 markets each,
+    struct-typed like the real ingest schema), then run the REAL
+    ``flatten_odds`` over it.
+
+    The oracle states the expected relational output directly — the
+    construction is deterministic, so flattening correctness (incl.
+    the N2 quirk: the unknown ``h2h_lay`` market still yields a row
+    with all-NULL odds, /root/reference/database_integration.py:
+    219-226) is what the comparison actually checks. Plan shape:
+    struct build + two explodes, zero shuffles, fully codegen'd —
+    the 100 TB ETL core.
+    """
+    from .flatten import flatten_odds
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    home = F.concat(F.lit("Team-"), (F.col("o_custkey") % 100).cast("string"))
+    away = F.concat(F.lit("Team-"), ((F.col("o_custkey") + 37) % 100).cast("string"))
+
+    def outcome(name, price, point=None):
+        pt = F.lit(None).cast("double") if point is None else point.cast("double")
+        return F.struct(
+            name.alias("name") if hasattr(name, "alias") else F.lit(name).alias("name"),
+            price.cast("double").alias("price"),
+            pt.alias("point"),
+        )
+
+    def market(mkey, outcomes):
+        return F.struct(F.lit(mkey).alias("key"), outcomes.alias("outcomes"))
+
+    h2h = market(
+        "h2h",
+        F.array(
+            outcome(home, key % 250 / 100.0 + 1.1),
+            outcome("Draw", key % 170 / 100.0 + 2.5),
+            outcome(away, key % 310 / 100.0 + 1.3),
+        ),
+    )
+    # the N2 quirk: a market key the warehouse doesn't recognize
+    lay = market("h2h_lay", F.array().cast("array<struct<name:string,price:double,point:double>>"))
+    totals = market(
+        "totals",
+        F.array(
+            outcome("Over", key % 90 / 100.0 + 1.6, 2.5 + key % 3),
+            outcome("Under", key % 110 / 100.0 + 1.7, 2.5 + key % 3),
+        ),
+    )
+    spreads = market(
+        "spreads",
+        F.array(
+            outcome(home, key % 130 / 100.0 + 1.8, -(0.5 + key % 2)),
+            outcome(away, key % 140 / 100.0 + 1.9, 0.5 + key % 2),
+        ),
+    )
+    payload = F.struct(
+        home.alias("home_team"),
+        away.alias("away_team"),
+        F.array(
+            F.struct(F.lit("Alpha").alias("title"), F.array(h2h, lay).alias("markets")),
+            F.struct(F.lit("Beta").alias("title"), F.array(totals, spreads).alias("markets")),
+        ).alias("bookmakers"),
+    )
+    null_payload = F.when(F.lit(False), payload)
+    bronze = orders.select(
+        key.alias("fixture_id"),
+        F.lit("early_odds").alias("collection_type"),
+        F.col("o_orderdate").cast("timestamp").alias("collected_at_ts"),
+        F.struct(
+            payload.alias("odds_early"),
+            null_payload.alias("odds_pre_match"),
+            null_payload.alias("odds_team_news"),
+            null_payload.alias("odds_final_data"),
+        ).alias("data"),
+    )
+    return flatten_odds(bronze)
