@@ -180,3 +180,141 @@ def q_odds_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data"),
     )
     return flatten_odds(bronze)
+
+
+_LINEUPS_ORACLE = """
+    WITH s(side, slot) AS (
+      VALUES (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)
+    )
+    SELECT o_orderkey AS fixture_id,
+           o_custkey + side * 100000 AS team_id,
+           CASE WHEN side = 0 THEN '4-4-2' ELSE 'Unknown' END AS formation,
+           o_orderkey * 10 + side * 5 + slot AS player_id,
+           CASE WHEN slot = 1 THEN 'Unknown' ELSE 'M' END AS position,
+           slot < 2 AS is_starter,
+           CASE WHEN slot < 2 THEN (slot = 0 AND side = 0) END AS is_captain,
+           CAST(o_orderdate AS TIMESTAMP) AS collected_at,
+           'P-' || CAST(o_orderkey * 10 + side * 5 + slot AS VARCHAR) AS player_name
+    FROM orders CROSS JOIN s
+    """
+
+
+@query("q_lineups_flatten", oracle=_LINEUPS_ORACLE)
+def q_lineups_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 as a driver-checkable query: synthesize a lineups document
+    per order (2 teams × 2 starters + 1 substitute) and run the REAL
+    ``flatten_lineups``.
+
+    Checks the startXI/substitutes union with the is_starter flag,
+    captain only on starters (substitutes leave is_captain NULL —
+    the reference omits the column on the substitute INSERT,
+    /root/reference/database_integration.py:313-332), and the
+    'Unknown' defaults for missing formation/position.
+    """
+    from .flatten import flatten_lineups
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def player(side, slot, starter):
+        pid = key * 10 + side * 5 + slot
+        return F.struct(
+            F.struct(
+                pid.alias("id"),
+                F.concat(F.lit("P-"), pid.cast("string")).alias("name"),
+                (F.lit(None).cast("string") if slot == 1 else F.lit("M")).alias("pos"),
+                (F.lit(slot == 0 and side == 0) if starter else F.lit(None).cast("boolean")).alias("captain"),
+            ).alias("player")
+        )
+
+    def team(side):
+        return F.struct(
+            F.struct((F.col("o_custkey") + side * 100000).alias("id")).alias("team"),
+            (F.lit("4-4-2") if side == 0 else F.lit(None).cast("string")).alias("formation"),
+            F.array(player(side, 0, True), player(side, 1, True)).alias("startXI"),
+            F.array(player(side, 2, False)).alias("substitutes"),
+        )
+
+    bronze = orders.select(
+        key.alias("fixture_id"),
+        F.col("o_orderdate").cast("timestamp").alias("collected_at_ts"),
+        F.struct(
+            F.struct(F.array(team(0), team(1)).alias("response")).alias("lineups")
+        ).alias("data"),
+    )
+    return flatten_lineups(bronze)
+
+
+_STATS_ORACLE = """
+    WITH s(side) AS (VALUES (0), (1))
+    SELECT o_custkey + side * 100000 AS team_id,
+           (o_orderkey % 20) + 1 AS league_id,
+           CASE WHEN month(o_orderdate) >= 8 THEN year(o_orderdate)
+                ELSE year(o_orderdate) - 1 END AS season,
+           strftime(o_orderdate, '%Y-%m-%d') AS collection_date,
+           CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE (o_orderkey % 30) + 2 END AS matches_played,
+           CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_orderkey % 10 END AS wins,
+           o_orderkey % 5 AS draws,
+           o_orderkey % 4 AS losses,
+           o_orderkey % 40 AS goals_for,
+           o_orderkey % 35 AS goals_against,
+           floor(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                      ELSE (o_orderkey % 10) * 1.0 / greatest((o_orderkey % 30) + 2, 1) * 100
+                 END * 100 + 0.5) / 100 AS win_percentage,
+           CAST(o_orderdate AS TIMESTAMP) AS created_at
+    FROM orders CROSS JOIN s
+    """
+
+
+@query("q_team_stats_extract", oracle=_STATS_ORACLE)
+def q_team_stats_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 as a driver-checkable query: deep nested-struct extraction
+    with coalesce defaults and the A10 write-time KPI.
+
+    Every 7th order's fixtures branch is NULL end-to-end, checking
+    the ``.get(..., 0)`` default chain (/root/reference/
+    database_integration.py:247-253) and the max(played, 1) guard in
+    win_percentage. Season derives from the collection date (F3).
+    """
+    from .flatten import extract_team_statistics
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def total(expr):
+        return F.struct(expr.cast("int").alias("total"))
+
+    def goals_total(expr):
+        return F.struct(F.struct(expr.cast("int").alias("total")).alias("total"))
+
+    # every 7th order: played/wins branches NULL (default to 0 and
+    # the KPI guard kicks in); draws/loses carried always
+    stats_response = F.struct(
+        F.struct(
+            F.when(key % 7 != 0, total(key % 30 + 2)).alias("played"),
+            F.when(key % 7 != 0, total(key % 10)).alias("wins"),
+            total(key % 5).alias("draws"),
+            total(key % 4).alias("loses"),
+        ).alias("fixtures"),
+        F.struct(
+            goals_total(key % 40).alias("for"),
+            goals_total(key % 35).alias("against"),
+        ).alias("goals"),
+    )
+
+    def env(side):
+        return F.struct(stats_response.alias("response"))
+
+    bronze = orders.select(
+        F.col("o_orderdate").cast("timestamp").alias("collected_at_ts"),
+        F.struct(
+            F.col("o_custkey").alias("home_team_id"),
+            (F.col("o_custkey") + 100000).alias("away_team_id"),
+            (key % 20 + 1).alias("league_id"),
+        ).alias("game_info"),
+        F.struct(
+            env(0).alias("home_team_stats"),
+            env(1).alias("away_team_stats"),
+        ).alias("data"),
+    )
+    return extract_team_statistics(bronze)
