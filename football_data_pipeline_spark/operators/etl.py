@@ -318,3 +318,64 @@ def q_team_stats_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data"),
     )
     return extract_team_statistics(bronze)
+
+
+_H2H_ORACLE = """
+    WITH m(slot) AS (VALUES (0), (1), (2))
+    SELECT o_custkey AS home_team_id,
+           o_custkey + 100000 AS away_team_id,
+           o_orderkey * 10 + slot AS fixture_id,
+           CAST((o_orderkey + slot) % 6 AS INTEGER) AS home_score,
+           CAST((o_orderkey + slot) % 4 AS INTEGER) AS away_score,
+           strftime(o_orderdate - INTERVAL (30 * (slot + 1)) DAY, '%Y-%m-%d') AS match_date,
+           (o_orderkey % 20) + 1 AS league_id,
+           CAST(o_orderdate AS TIMESTAMP) AS created_at
+    FROM orders CROSS JOIN m
+    """
+
+
+@query("q_h2h_flatten", oracle=_H2H_ORACLE)
+def q_h2h_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 as a driver-checkable query: synthesize a head-to-head
+    document per order (3 historical meetings in ``response[]``,
+    ISO-Z kickoff strings) and run the REAL ``flatten_head_to_head``.
+
+    Checks the response[] explode, nested team/goals/fixture struct
+    selection, and the Z-suffix timestamp fixup → DATE conversion
+    (/root/reference/database_integration.py:261-280).
+    """
+    from .flatten import flatten_head_to_head
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def meeting(slot):
+        dt = F.date_sub(F.col("o_orderdate"), 30 * (slot + 1))
+        return F.struct(
+            F.struct(
+                F.struct(F.col("o_custkey").alias("id")).alias("home"),
+                F.struct((F.col("o_custkey") + 100000).alias("id")).alias("away"),
+            ).alias("teams"),
+            F.struct(
+                (key * 10 + slot).alias("id"),
+                F.concat(F.date_format(dt, "yyyy-MM-dd"), F.lit("T15:00:00Z")).alias("date"),
+            ).alias("fixture"),
+            F.struct(
+                ((key + slot) % 6).cast("int").alias("home"),
+                ((key + slot) % 4).cast("int").alias("away"),
+            ).alias("goals"),
+            F.struct((key % 20 + 1).alias("id")).alias("league"),
+        )
+
+    bronze = orders.select(
+        F.col("o_orderdate").cast("timestamp").alias("collected_at_ts"),
+        F.struct(
+            F.struct(F.array(meeting(0), meeting(1), meeting(2)).alias("response")).alias(
+                "head_to_head"
+            )
+        ).alias("data"),
+    )
+    flat = flatten_head_to_head(bronze)
+    # DATE → ISO string at the query edge (oracle-comparable form;
+    # the silver schema itself keeps DateType)
+    return flat.withColumn("match_date", F.date_format("match_date", "yyyy-MM-dd"))
