@@ -4,6 +4,7 @@
 fully-populated registry.
 """
 
+from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
     dedup,
     embedsearch,
@@ -16,4 +17,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [dedup, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]
+MODULES = [windowed, dedup, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]

@@ -1,0 +1,85 @@
+"""T5 companion: event-time windowed volatility aggregation with a
+late-data watermark.
+
+The reference's dashboard aggregates odds activity per day/phase
+(/root/reference/streamlit_dashboard.py:154-162) and its alert loop
+scans the last hour of snapshots every 15 minutes
+(/root/reference/discord_integration.py:469-498). The streaming-native
+form of that hourly scan is a tumbling event-time window over the
+snapshot stream: ``withWatermark`` bounds how late a snapshot may
+arrive (the job queue's 45-minute expiry rule, yml:420-424, reused as
+the lateness bound) so window state can be evicted; the aggregation
+itself is the same declarative groupBy in batch and streaming.
+
+The operator is written once and used both ways:
+- batch: the oracle-checked q_windowed_volatility below;
+- streaming: ``tests/test_streaming.py`` drives it through a file
+  source + memory sink and asserts it converges to the batch answer.
+
+Scale: tumbling windows hash-partition by (window, key) — state per
+open window per key, bounded by the watermark; no sort, no whole-
+stream state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import davg, oracle_davg, oracle_rnd, rnd
+from ..registry import query
+
+WATERMARK = "45 minutes"  # late-data bound, mirrors job expiry (T3)
+
+
+def hourly_volatility(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Per (1-hour event-time window, event_type): snapshot count and
+    value volatility (min/max/avg/span).
+
+    Works on batch and streaming inputs; the watermark only binds in
+    streaming mode (batch plans ignore it).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            rnd(F.min("value")).alias("min_value"),
+            rnd(F.max("value")).alias("max_value"),
+            davg(F.col("value")).alias("avg_value"),
+            rnd(F.max("value") - F.min("value")).alias("value_span"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_snapshots",
+            "min_value",
+            "max_value",
+            "avg_value",
+            "value_span",
+        )
+    )
+
+
+@query(
+    "q_windowed_volatility",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_snapshots,
+           {oracle_rnd('min(value)')} AS min_value,
+           {oracle_rnd('max(value)')} AS max_value,
+           {oracle_davg('value')} AS avg_value,
+           {oracle_rnd('max(value) - min(value)')} AS value_span
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_windowed_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window volatility aggregation, batch-checked.
+
+    ``F.window("1 hour").start`` is epoch-aligned, so the oracle's
+    ``date_trunc('hour', ts)`` states the identical bucket.
+    """
+    return hourly_volatility(load(spark, sf_dir, "events"))

@@ -136,3 +136,35 @@ def test_movement_alerts_matches_lag_query(spark, tmp_path):
         q.awaitTermination(120)
         got = spark.sql("SELECT count(*) FROM alerts").first()[0]
     assert got == expected
+
+
+def test_windowed_volatility_stream_matches_batch(spark, tmp_path):
+    """The watermarked tumbling-window aggregation must converge to
+    the batch answer once the stream is drained (availableNow drains
+    everything, and final windows flush on completion)."""
+    import time
+
+    from football_data_pipeline_spark.streaming.windowed import hourly_volatility
+
+    events = load(spark, SF_DIR, "events").select("event_id", "ts", "event_type", "value")
+    expected = sorted(
+        tuple(r) for r in hourly_volatility(events).collect()
+    )
+
+    src = str(tmp_path / "vol_src")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        hourly_volatility(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("volatility")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM volatility").collect())
+    assert got == expected
