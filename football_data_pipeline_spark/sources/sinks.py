@@ -1,0 +1,91 @@
+"""Sinks: snapshot/report JSON writers, partitioned silver tables,
+retention rewrite (SURVEY.md §2.1 S3/S5/S6/S7).
+
+The reference writes per-collection JSON snapshot files
+(yml:330-339), small JSON reports (weekly report, dashboard data,
+health, API usage, mapping stats — yml:777,928,568,996,1077), and
+runs a daily retention DELETE + VACUUM (yml:661-680). Here:
+
+- silver tables are Parquet partitioned by the snapshot DATE —
+  the Spark replacement for the reference's ``idx_odds_collected``
+  B-tree (SURVEY.md §4.1): time-range predicates become partition
+  pruning, and within-partition row groups carry (fixture_id,
+  market_type) min/max stats for skipping;
+- snapshot/report sinks are plain JSON writes (reports coalesce to
+  one file — they are dim-sized by construction; snapshots keep
+  their natural parallelism);
+- retention is a filter-and-overwrite of expired date partitions —
+  on plain Parquet the portable equivalent of ``DELETE WHERE ts <
+  cutoff`` + VACUUM. With dynamic partition overwrite only the
+  affected partitions rewrite; surviving data is never touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: partition column added to silver facts (string yyyy-MM-dd, the
+#: Hive-friendly form of to_date(collected_at))
+PARTITION_COL = "snapshot_date"
+
+
+def with_snapshot_date(df: DataFrame, ts_col: str = "collected_at") -> DataFrame:
+    return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+
+def write_silver(df: DataFrame, path: str, ts_col: str = "collected_at") -> None:
+    """S4/S7 write side: date-partitioned Parquet fact table."""
+    with_snapshot_date(df, ts_col).write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+
+
+def read_silver(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_snapshot_json(df: DataFrame, path: str) -> None:
+    """S3: collection-snapshot JSON files (one dir per snapshot)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_report_json(df: DataFrame, path: str) -> None:
+    """S5: small JSON report — reports are aggregate-sized, so a
+    single output file is deliberate (downstream is a dashboard, not
+    an engine)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def apply_retention(
+    spark: SparkSession, path: str, cutoff: Column, ts_col: str = "collected_at"
+) -> None:
+    """S7: drop rows older than ``cutoff`` from a date-partitioned
+    silver table by rewriting ONLY the partitions that still contain
+    surviving rows older than... — more precisely: with
+    ``partitionOverwriteMode=dynamic``, writing the surviving subset
+    in overwrite mode replaces exactly the partitions present in the
+    subset; fully-expired partitions keep their files but are
+    excluded by the partition predicate pushed from any time-bounded
+    read. For a hard file drop, compact with ``compact_partitions``.
+
+    The portable plain-Parquet analogue of Delta ``DELETE FROM t
+    WHERE ts < cutoff`` + ``VACUUM`` (yml:661-680).
+    """
+    df = spark.read.parquet(path)
+    survivors = df.filter(F.col(ts_col) >= cutoff)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(spark: SparkSession, path: str, keep_predicate: Column, tmp_path: str) -> None:
+    """Full compaction (VACUUM analogue): rewrite the table keeping
+    only rows matching ``keep_predicate``. Two-phase copy so a crash
+    never leaves a half-deleted table."""
+    spark.read.parquet(path).filter(keep_predicate).write.mode("overwrite").partitionBy(
+        PARTITION_COL
+    ).parquet(tmp_path)
+    final = spark.read.parquet(tmp_path)
+    final.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
