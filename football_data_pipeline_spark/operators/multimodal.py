@@ -126,3 +126,64 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + n % 512).cast("int").alias("fake_width"),
         (F.lit(64) + F.floor(n / 7) % 512).cast("int").alias("fake_height"),
     )
+
+
+RESIZED_SCHEMA = "asset_id long, payload binary, mime string, width int, height int"
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Binary-in/binary-out Arrow-batched transform — the
+    decode→resize→re-encode shape.
+
+    STUB kernel: deterministic byte truncation/padding to width×height
+    bytes stands in for a real resampler; the pipeline contract
+    (schema, batch shape, per-partition streaming, no shuffle) is the
+    production one. Swap the body for PIL when a decoder is present.
+    """
+    target = width * height
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = pdf["payload"].map(
+                lambda b: bytes(b)[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SIZE = 256  # stub "frame" = fixed byte chunk
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video-shaped payloads: one output row per
+    kept frame (frame index, frame bytes).
+
+    Implemented with built-ins only — no Python in the hot path: the
+    payload splits into fixed-size chunks via a sequence+transform
+    over substrings of the binary, explodes to rows, and keeps every
+    n-th frame. At scale this is a generator (explode) inside
+    whole-stage codegen; the decode of each kept frame is then the
+    mapInPandas stage (stubbed, as above).
+    """
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(FRAME_SIZE)).cast("int")
+    frame_idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    framed = assets.select(F.col("asset_id"), F.col("payload"), frame_idx)
+    return (
+        framed.filter(F.col("frame_idx") % every_n == 0)
+        .select(
+            "asset_id",
+            "frame_idx",
+            F.expr(f"substring(payload, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})").alias(
+                "frame_bytes"
+            ),
+        )
+    )

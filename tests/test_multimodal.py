@@ -57,3 +57,40 @@ def test_extract_features_partition_invariant(spark):
 def test_decode_stub_gated():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_resize_images_shapes_payloads(spark):
+    from football_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        to_media_assets,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    out = resize_images(to_media_assets(docs), width=16, height=8).collect()
+    assert len(out) == 50
+    assert all(len(r["payload"]) == 16 * 8 for r in out)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in out)
+
+
+def test_sample_frames_keeps_every_nth(spark):
+    from football_data_pipeline_spark.operators.multimodal import (
+        FRAME_SIZE,
+        sample_frames,
+        to_media_assets,
+    )
+    import math
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    assets = to_media_assets(docs)
+    out = sample_frames(assets, every_n=3).collect()
+    sizes = {r["asset_id"]: r for r in assets.collect()}
+    for r in out:
+        assert r["frame_idx"] % 3 == 0
+        assert 0 < len(r["frame_bytes"]) <= FRAME_SIZE
+    # per-asset expected frame count
+    import collections
+
+    got = collections.Counter(r["asset_id"] for r in out)
+    for aid, asset in sizes.items():
+        n_frames = math.ceil(len(asset["payload"]) / FRAME_SIZE)
+        assert got[aid] == len(range(0, n_frames, 3))
