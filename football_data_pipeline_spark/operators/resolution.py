@@ -63,6 +63,15 @@ STRATEGIES = (
 #: and 7/8 (edit-distance DP) dominate per-pair cost by ~20×
 CHEAP_STRATEGIES = STRATEGIES[:5]
 
+SUBSTRING_THRESHOLD = 0.75  # strategy 5's early-exit gate
+
+
+def reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
 
 def score_pairs(
     pairs: DataFrame,
@@ -422,36 +431,107 @@ def resolve_names(
         )
 
     if not with_alternatives:
-        # fast path. Pass 1: cheap strategies over all pairs,
-        # filtered to passing pairs BEFORE the argmin aggregation
-        # (see resolve_agg's docstring — the filter is what keeps
-        # the sort off the pair stream; cheap strategies pass for
-        # only a handful of pairs per name). Names present in the
-        # pass-1 output are exactly the cheaply-resolvable ones, so
-        # no separate probe aggregation is needed. Pass 2: expensive
-        # kernels only on pairs of the remainder; names its argmin
-        # also drops (nothing ≥ 0.3) come back as no_match rows.
-        cheap_pass = F.least(
-            *[
-                F.when(F.col(f"__conf_{i}") >= F.lit(t), F.lit(i))
-                for i, _, t in CHEAP_STRATEGIES
-            ]
+        # fast path — three tiers, each scanning only the remainder:
+        #
+        # Tier A: strategies 1-4 are pure EQUALITY conditions (exact
+        # name, manual target, learned target, normalized name), so
+        # they are broadcast equi-JOINS against the candidate dim —
+        # one hash probe per input row, and the pair stream for these
+        # strategies is never materialized at all. Confidence is a
+        # constant per strategy, so the argmin key needs no conf
+        # field: min(strategy_idx ≪ RANK_BITS | name_rank) IS the
+        # cascade order (priority, then name asc).
+        #
+        # Tier A': substring containment (strategy 5) is the one
+        # non-equi cheap kernel — it scans pairs, but only of names
+        # tier A left unresolved, pre-filtered to passing pairs (the
+        # ≥0.75 gate is selective, unlike the fuzzy 0.3 fallback).
+        #
+        # Tier B: Levenshtein/Jaccard kernels on the final remainder.
+        #
+        # At sf0.1 (600-candidate blocks) tiers A/A' measure even with
+        # a flat cheap-scan — the fuzzy remainder dominates. The tier
+        # structure is kept for its asymptotics: dictionary strategies
+        # cost one probe per input ROW, not |block| comparisons per
+        # row, which is the difference that matters when blocks are
+        # thousands wide.
+        a, c = api_df.alias("A"), candidates_df.alias("C")
+        blk = (
+            [F.col(f"A.{block_key}") == F.col(f"C.{block_key}")] if block_key else []
         )
-        # cache the pass-1 verdicts (one small row per resolved
-        # name): three consumers reference them (the union output,
-        # the anti-join, and through it the pair-stream broadcast) —
-        # without the cache each consumer subtree re-runs the full
-        # cheap pair scan (measured 4× at sf0.1)
-        easy_out = resolve_agg(
-            score(pairs, expensive="skip").filter(cheap_pass.isNotNull()),
+        equi_specs = [(1, F.col(f"A.{api_col}"), F.col(f"C.{cand_col}"))]
+        if manual_col:
+            equi_specs.append((2, F.col(f"A.{manual_col}"), F.col(f"C.{cand_col}")))
+        if learned_col:
+            equi_specs.append((3, F.col(f"A.{learned_col}"), F.col(f"C.{cand_col}")))
+        equi_specs.append((4, F.col("A.__api_norm"), F.col("C.__cand_norm")))
+        tiers = [
+            a.join(
+                F.broadcast(c),
+                reduce_and(blk + [left == right]),
+                "inner",
+            ).select(
+                F.col(f"A.{api_col}").alias(api_col),
+                (
+                    F.shiftleft(F.lit(i).cast("long"), RANK_BITS)
+                    + F.col("C.__cand_rank")
+                ).alias("__key"),
+            )
+            for i, left, right in equi_specs
+        ]
+        equi_all = tiers[0]
+        for t in tiers[1:]:
+            equi_all = equi_all.unionByName(t)
+        eq_agg = equi_all.groupBy(api_col).agg(F.min("__key").alias("__key"))
+        s_star = F.shiftright(F.col("__key"), RANK_BITS).cast("int")
+        conf_of = {i: conf for i, _, conf in STRATEGIES}
+        easy_a = (
+            eq_agg.withColumn(
+                "__cand_rank", F.col("__key").bitwiseAND(F.lit((1 << RANK_BITS) - 1))
+            )
+            .join(F.broadcast(ranks), "__cand_rank")
+            .select(
+                F.col(api_col),
+                F.col(cand_col).alias("matched_name"),
+                rnd(
+                    F.coalesce(
+                        *[
+                            F.when(s_star == i, F.lit(conf_of[i]))
+                            for i, _, _ in equi_specs
+                        ]
+                    ),
+                    4,
+                ).alias("confidence"),
+                F.coalesce(
+                    *[
+                        F.when(s_star == i, F.lit(name))
+                        for i, name, _ in STRATEGIES
+                        if i in {j for j, _, _ in equi_specs}
+                    ]
+                ).alias("strategy"),
+            )
+        )
+        # cache the per-name verdicts (dim-sized): multiple consumers
+        # (the union output, the anti-joins) would otherwise re-run
+        # their tier's whole subtree per reference
+        easy_a = easy_a.cache()
+        all_names = api_df.select(api_col).distinct()
+        rest_a = all_names.join(
+            F.broadcast(easy_a.select(api_col)), api_col, "left_anti"
+        )
+        sub_pairs = pairs.join(F.broadcast(rest_a), api_col, "inner")
+        easy_sub = resolve_agg(
+            score(sub_pairs, expensive="skip").filter(
+                F.col("__conf_5") >= F.lit(SUBSTRING_THRESHOLD)
+            ),
             ranks,
             api_col=api_col,
             cand_col=cand_col,
             strategies=CHEAP_STRATEGIES,
         ).cache()
-        all_names = api_df.select(api_col).distinct()
-        hard_names = all_names.join(
-            F.broadcast(easy_out.select(api_col)), api_col, "left_anti"
+        easy_out = easy_a.unionByName(easy_sub)
+        hard_names = rest_a.join(
+            F.broadcast(easy_sub.select(api_col)), api_col, "left_anti"
         )
         # no pre-filter here, deliberately: the 0.3 fallback admits
         # nearly every pair, so a pass_idx filter would drop nothing
