@@ -1,0 +1,112 @@
+"""Property-based invariants (hypothesis) for the engine kernels.
+
+Each property runs a small number of examples, batching generated
+inputs into ONE DataFrame per example so the Spark-job count stays
+bounded.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.functions.normalize import normalize_name
+from football_data_pipeline_spark.operators.dedup import word_set
+from football_data_pipeline_spark.operators.upsert import keep_latest, upsert_replace
+
+FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+names = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x2FF),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(st.lists(names, min_size=1, max_size=30))
+@FAST
+def test_normalize_idempotent(spark, xs):
+    """normalize(normalize(x)) == normalize(x): the rule chain is a
+    projection onto its own fixed points — required for tier-A
+    normalized-equality joins to be stable under re-normalization."""
+    df = spark.createDataFrame([(x,) for x in xs], "raw string")
+    out = df.select(
+        normalize_name(F.col("raw")).alias("once"),
+    ).select("once", normalize_name(F.col("once")).alias("twice"))
+    bad = out.filter(F.col("once") != F.col("twice")).collect()
+    assert bad == [], bad
+
+
+@given(st.lists(names, min_size=1, max_size=30))
+@FAST
+def test_word_set_is_set(spark, xs):
+    """word_set emits distinct, empty-free tokens (set semantics)."""
+    df = spark.createDataFrame([(x,) for x in xs], "t string")
+    rows = df.select(word_set(F.col("t")).alias("ws")).collect()
+    for r in rows:
+        assert len(r["ws"]) == len(set(r["ws"]))
+        assert "" not in r["ws"]
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events)
+@FAST
+def test_keep_latest_idempotent_and_maximal(spark, rows):
+    """keep_latest is idempotent, emits one row per key, and that row
+    carries the key's maximal (ts, value) order key — INSERT OR
+    REPLACE replay semantics."""
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], "k long, ts long, v double"
+    )
+    once = keep_latest(df, ["k"], ["ts", "v"])
+    got = {r["k"]: (r["ts"], r["v"]) for r in once.collect()}
+    assert len(got) == len({k for k, _, _ in rows})
+    for k in got:
+        assert got[k] == max((t, v) for kk, t, v in rows if kk == k)
+    twice = keep_latest(once, ["k"], ["ts", "v"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+@given(events, events)
+@FAST
+def test_upsert_replace_delta_wins_and_idempotent(spark, base_rows, delta_rows):
+    """After upsert_replace, every delta key carries the delta's
+    maximal row (replace), base-only keys are untouched, and applying
+    the same delta again changes nothing."""
+    base = keep_latest(
+        spark.createDataFrame([(k, t, v) for k, t, v in base_rows], "k long, ts long, v double"),
+        ["k"],
+        ["ts", "v"],
+    )
+    delta = keep_latest(
+        spark.createDataFrame([(k, t, v) for k, t, v in delta_rows], "k long, ts long, v double"),
+        ["k"],
+        ["ts", "v"],
+    )
+    merged = upsert_replace(base, delta, keys=["k"], order_cols=["ts", "v"])
+    got = {r["k"]: (r["ts"], r["v"]) for r in merged.collect()}
+    delta_map = {r["k"]: (r["ts"], r["v"]) for r in delta.collect()}
+    base_map = {r["k"]: (r["ts"], r["v"]) for r in base.collect()}
+    for k, tv in delta_map.items():
+        assert got[k] == tv  # replace, even when base had a later ts
+    for k, tv in base_map.items():
+        if k not in delta_map:
+            assert got[k] == tv
+    again = upsert_replace(merged, delta, keys=["k"], order_cols=["ts", "v"])
+    assert {r["k"]: (r["ts"], r["v"]) for r in again.collect()} == got
