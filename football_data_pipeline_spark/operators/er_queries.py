@@ -179,3 +179,146 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         api, cand, block_key="nk", manual=manual, with_alternatives=False
     )
     return resolved.select("api_name", "matched_name", "confidence", "strategy")
+
+
+def _cascade_ctes(p: str, learned_cte: str | None = None) -> str:
+    """CTE chain for one cascade batch with prefix ``p`` — mirrors
+    resolve_names exactly; with ``learned_cte`` the dictionary
+    strategy 3 (conf 0.9) participates."""
+    an, cn = "an", "cn"
+    lev = oracle_levenshtein_ratio(an, cn)
+    learned_join = (
+        f"LEFT JOIN {learned_cte} l ON a.api_name = l.api_name" if learned_cte else ""
+    )
+    learned_sel = ", l.learned_target" if learned_cte else ""
+    c3 = (
+        "CASE WHEN odds_name = learned_target THEN 0.9 ELSE 0.0 END"
+        if learned_cte
+        else "0.0"
+    )
+    c3_pass = "CASE WHEN c3 >= 0.9 THEN 3 END," if learned_cte else ""
+    strat_case = (
+        "CASE s_star WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 WHEN 4 THEN c4 "
+        "WHEN 5 THEN c5 WHEN 6 THEN c6 WHEN 7 THEN c7 WHEN 8 THEN c7 END"
+    )
+    return f"""
+    {p}pairs AS (
+      SELECT a.api_name, c.odds_name, m.manual_target{learned_sel},
+             {oracle_normalize('a.api_name')} AS an,
+             {oracle_normalize('c.odds_name')} AS cn
+      FROM api a
+      JOIN cand c ON a.nk = c.nk
+      LEFT JOIN manual m ON a.api_name = m.api_name
+      {learned_join}
+    ),
+    {p}scored AS (
+      SELECT api_name, odds_name,
+             CASE WHEN api_name = odds_name THEN 1.0 ELSE 0.0 END AS c1,
+             CASE WHEN odds_name = manual_target THEN 0.95 ELSE 0.0 END AS c2,
+             {c3} AS c3,
+             CASE WHEN an = cn THEN 0.85 ELSE 0.0 END AS c4,
+             {oracle_substring_confidence(an, cn)} AS c5,
+             {oracle_jaccard_words(an, cn)} AS c6,
+             CASE WHEN {lev} > 0.4 THEN {lev} * 0.6 ELSE 0.0 END AS c7
+      FROM {p}pairs
+    ),
+    {p}passed AS (
+      SELECT *,
+             least(CASE WHEN c1 >= 1.0 THEN 1 END,
+                   CASE WHEN c2 >= 0.95 THEN 2 END,
+                   {c3_pass}
+                   CASE WHEN c4 >= 0.85 THEN 4 END,
+                   CASE WHEN c5 >= 0.75 THEN 5 END,
+                   CASE WHEN c6 >= 0.7 THEN 6 END,
+                   CASE WHEN c7 >= 0.6 THEN 7 END,
+                   CASE WHEN c7 >= 0.3 THEN 8 END) AS pass_idx
+      FROM {p}scored
+    ),
+    {p}starred AS (
+      SELECT *, min(pass_idx) OVER (PARTITION BY api_name) AS s_star
+      FROM {p}passed
+    ),
+    {p}chosen AS (
+      SELECT *, {strat_case} AS conf_star,
+             row_number() OVER (PARTITION BY api_name
+                                ORDER BY {strat_case} DESC, odds_name ASC) AS rn
+      FROM {p}starred
+    ),
+    {p}result AS (
+      SELECT api_name,
+             CASE WHEN s_star IS NOT NULL THEN odds_name END AS matched_name,
+             CASE WHEN s_star IS NOT NULL
+                  THEN floor(conf_star * 10000 + 0.5) / 10000 END AS confidence,
+             CASE s_star WHEN 1 THEN 'exact_match' WHEN 2 THEN 'manual_mapping'
+                  WHEN 3 THEN 'learned_mapping'
+                  WHEN 4 THEN 'normalized_matching' WHEN 5 THEN 'substring_matching'
+                  WHEN 6 THEN 'word_based_matching' WHEN 7 THEN 'fuzzy_matching'
+                  WHEN 8 THEN 'fuzzy_matching' ELSE 'no_match' END AS strategy
+      FROM {p}chosen WHERE rn = 1
+    )"""
+
+
+def _learned_oracle() -> str:
+    return f"""
+    WITH api AS (
+      SELECT c_name AS api_name, c_nationkey AS nk FROM customer
+    ),
+    cand AS (
+      SELECT {_CAND_SQL} AS odds_name, c_nationkey AS nk FROM customer
+    ),
+    manual AS (
+      SELECT c_name AS api_name,
+             replace(c_name, 'Customer#', 'Cust#') AS manual_target
+      FROM customer WHERE c_custkey % 12 = 3
+    ),
+    {_cascade_ctes('b1_')},
+    learned AS (
+      SELECT api_name, matched_name AS learned_target
+      FROM b1_result
+      WHERE matched_name IS NOT NULL AND confidence >= 0.8
+    ),
+    {_cascade_ctes('b2_', learned_cte='learned')}
+    SELECT api_name, matched_name, confidence, strategy FROM b2_result
+    """
+
+
+@query("q_learned_mapping", oracle=_learned_oracle())
+def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 end-to-end: batch-1 resolutions with confidence ≥ 0.8 are
+    MERGEd into the learned dictionary, and batch 2 re-resolves with
+    strategy 3 active — the reference's within-run learning
+    (/root/reference/enhanced_mapping.py:632-649), converged after
+    one extra batch (SURVEY.md §7 risk register).
+
+    Observable effect: names batch 1 resolved via normalized_matching
+    (0.85 ≥ 0.8) return from batch 2 as learned_mapping at 0.9;
+    exact/manual winners are unchanged (higher priority than
+    learned).
+    """
+    from .resolution import learn_mappings
+
+    customer = load(spark, sf_dir, "customer")
+    api = customer.select(F.col("c_name").alias("api_name"), F.col("c_nationkey").alias("nk"))
+    k = F.col("c_custkey") % 4
+    cand = customer.select(
+        F.when(k == 0, F.col("c_name"))
+        .when(k == 1, F.concat(F.col("c_name"), F.lit(" FC")))
+        .when(k == 2, F.upper(F.col("c_name")))
+        .otherwise(F.regexp_replace(F.col("c_name"), "Customer#", "Cust#"))
+        .alias("odds_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    manual = customer.filter(F.col("c_custkey") % 12 == 3).select(
+        F.col("c_name").alias("api_name"),
+        F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
+    )
+    batch1 = resolve_names(api, cand, block_key="nk", manual=manual, with_alternatives=False)
+    empty_learned = spark.createDataFrame(
+        [], "api_name string, learned_name string, confidence double, strategy string, verified boolean"
+    )
+    learned_tbl = learn_mappings(batch1, empty_learned, min_confidence=0.8)
+    learned_dim = learned_tbl.select("api_name", "learned_name")
+    batch2 = resolve_names(
+        api, cand, block_key="nk", manual=manual, learned=learned_dim, with_alternatives=False
+    )
+    return batch2.select("api_name", "matched_name", "confidence", "strategy")
