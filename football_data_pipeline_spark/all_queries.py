@@ -7,6 +7,7 @@ fully-populated registry.
 from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
     dedup,
+    dims,
     embedsearch,
     er_queries,
     etl,
@@ -17,4 +18,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, dedup, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]

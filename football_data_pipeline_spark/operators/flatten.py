@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.stable import rnd
 from ..sources.ingest import ODDS_PHASES
 
 
@@ -140,7 +141,7 @@ def _stats_side(bronze: DataFrame, side: str) -> DataFrame:
             F.coalesce(fixtures["loses"]["total"], F.lit(0)).alias("losses"),
             F.coalesce(goals["for"]["total"]["total"], F.lit(0)).alias("goals_for"),
             F.coalesce(goals["against"]["total"]["total"], F.lit(0)).alias("goals_against"),
-            F.round(wins / F.greatest(played, F.lit(1)) * 100, 2).alias("win_percentage"),
+            rnd(wins / F.greatest(played, F.lit(1)) * 100).alias("win_percentage"),
             F.col("collected_at_ts").alias("created_at"),
         )
     )
@@ -222,6 +223,89 @@ def flatten_lineups(bronze: DataFrame) -> DataFrame:
         )
 
     return side("startXI", True).unionByName(side("substitutes", False))
+
+
+def extract_teams(bronze: DataFrame) -> DataFrame:
+    """Teams dim from ``game_info`` — the FIRST table of the 8-table
+    fan-out (/root/reference/database_integration.py:121-132:
+    ``INSERT OR REPLACE INTO teams (id, name, country, updated_at)``
+    for the home side then the away side of every document).
+
+    U1 replace semantics in batch = latest-document-wins per team id.
+    ``updated_at`` is the document's collection time rather than the
+    reference's wall-clock ``datetime.now()`` so replays are
+    deterministic; the tie-break on the originating fixture_id makes
+    the winner total-ordered even when two documents share a
+    collection instant.
+    """
+    from .upsert import keep_latest
+
+    def side(s: str) -> DataFrame:
+        return bronze.select(
+            F.col(f"game_info.{s}_team_id").alias("id"),
+            F.col(f"game_info.{s}_team").alias("name"),
+            F.coalesce(F.col("game_info.country"), F.lit("Unknown")).alias("country"),
+            F.col("collected_at_ts").alias("updated_at"),
+            F.col("fixture_id").alias("__doc"),
+        ).filter(F.col("id").isNotNull())
+
+    both = side("home").unionByName(side("away"))
+    return keep_latest(both, ["id"], ["updated_at", "__doc"]).drop("__doc")
+
+
+def extract_leagues(bronze: DataFrame) -> DataFrame:
+    """Leagues dim from ``game_info`` — U3 check-then-insert keyed by
+    (id, season) (/root/reference/database_integration.py:134-152):
+    the first document to mention a league in a season wins; later
+    documents never overwrite.
+
+    Season derives from the document's collection time (F3), not wall
+    clock. The dim is keyed (id, season) as the reference's
+    ``UNIQUE(id, season)`` declares — its SQLite PK on ``id`` alone
+    can physically hold only one season per league, a small-scale
+    artifact not worth replicating.
+    """
+    from .upsert import keep_first
+
+    rows = bronze.select(
+        F.col("game_info.league_id").alias("id"),
+        F.col("game_info.league").alias("name"),
+        F.coalesce(F.col("game_info.country"), F.lit("Unknown")).alias("country"),
+        derive_season(F.col("collected_at_ts")).alias("season"),
+        F.col("collected_at_ts").alias("created_at"),
+        F.col("fixture_id").alias("__doc"),
+    ).filter(F.col("id").isNotNull())
+    return keep_first(rows, ["id", "season"], ["created_at", "__doc"]).drop("__doc")
+
+
+def extract_fixtures(bronze: DataFrame) -> DataFrame:
+    """Fixtures dim from ``game_info`` — U3 check-then-insert keyed by
+    fixture id (/root/reference/database_integration.py:154-174): the
+    first collection document for a fixture creates it; later phases
+    (team_news, final_data) leave the row untouched.
+
+    kickoff_utc gets the same ISO-``Z`` fixup as the reference's
+    ``fromisoformat(... .replace('Z', '+00:00'))``; venue defaults to
+    'Unknown' and status to the DDL default 'scheduled'
+    (/root/reference/database_schema.sql:27-43).
+    """
+    from .upsert import keep_first
+
+    rows = bronze.select(
+        F.col("fixture_id").alias("id"),
+        F.col("game_info.league_id").alias("league_id"),
+        derive_season(F.col("collected_at_ts")).alias("season"),
+        F.col("game_info.home_team_id").alias("home_team_id"),
+        F.col("game_info.away_team_id").alias("away_team_id"),
+        F.to_timestamp(F.regexp_replace("game_info.kickoff_utc", "Z$", "+00:00")).alias(
+            "kickoff_utc"
+        ),
+        F.coalesce(F.col("game_info.venue"), F.lit("Unknown")).alias("venue_name"),
+        F.lit("scheduled").alias("status"),
+        F.col("collected_at_ts").alias("created_at"),
+        F.col("collection_type").alias("__ct"),
+    ).filter(F.col("id").isNotNull())
+    return keep_first(rows, ["id"], ["created_at", "__ct"]).drop("__ct")
 
 
 def derive_players(lineups: DataFrame) -> DataFrame:
