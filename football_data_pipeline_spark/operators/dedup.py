@@ -49,16 +49,18 @@ def _salted_min(words: Column, salt: str) -> Column:
     return F.array_min(F.transform(words, lambda t: F.md5(F.concat(F.lit(salt), t))))
 
 
-def minhash_signature(words: Column) -> list[Column]:
-    """H independent min-hashes: min over tokens of md5(i ':' token).
+def minhash_signature(
+    words: Column, n_hashes: int = N_HASHES, salt_fmt: str = "{i}:"
+) -> list[Column]:
+    """H independent min-hashes: min over tokens of md5(salt token).
     Hex-string minima are lexicographic in both engines."""
-    return [_salted_min(words, f"{i}:") for i in range(N_HASHES)]
+    return [_salted_min(words, salt_fmt.format(i=i)) for i in range(n_hashes)]
 
 
-def _band_sigs() -> Column:
+def _band_sigs(n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> Column:
     cols = []
-    for b in range(N_BANDS):
-        parts = [F.col(f"mh{ROWS_PER_BAND * b + r}") for r in range(ROWS_PER_BAND)]
+    for b in range(n_bands):
+        parts = [F.col(f"mh{rows_per_band * b + r}") for r in range(rows_per_band)]
         cols.append(F.concat_ws("|", F.lit(str(b)), *parts))
     return F.array(*cols)
 
@@ -284,37 +286,89 @@ _SHINGLES_SQL = (
     "i -> array_to_string(words[i:i+2], ' ')))"
 )
 
+# n-gram LSH parameters: 16 minima over SHINGLES, 4 bands × 4 rows.
+# At the 0.8 verify threshold P[pair shares ≥1 band] =
+# 1 − (1 − 0.8⁴)⁴ ≈ 0.88; at 0.5 it is ≈ 0.23 — shingle-level
+# similarity is far more discriminative than word-level, so 4-row
+# bands keep the template-generated mid-similarity mass out.
+NGRAM_HASHES = 16
+NGRAM_BANDS = 4
+NGRAM_ROWS = NGRAM_HASHES // NGRAM_BANDS
+NGRAM_VERIFY = 0.8
 
-@query(
-    "q_ngram_jaccard",
-    oracle=f"""
+
+def _ngram_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, t -> md5('g{i}:' || t))) AS mh{i}"
+        for i in range(NGRAM_HASHES)
+    )
+    band_exprs = ", ".join(
+        "'{}' || '|' || {}".format(
+            b,
+            " || '|' || ".join(f"mh{NGRAM_ROWS * b + r}" for r in range(NGRAM_ROWS)),
+        )
+        for b in range(NGRAM_BANDS)
+    )
+    jac = (
+        "len(list_intersect(ga.shingles, gb.shingles)) * 1.0"
+        " / len(list_distinct(list_concat(ga.shingles, gb.shingles)))"
+    )
+    return f"""
     WITH w AS (
       SELECT doc_id, lang, source,
              list_filter(string_split(text, ' '), x -> x <> '') AS words
       FROM documents
     ),
     sh AS (
-      SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM w
+      SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles,
+             md5(array_to_string(list_sort({_SHINGLES_SQL}), ' ')) AS fp
+      FROM w
+    ),
+    grp AS (
+      SELECT lang, source, fp,
+             min(doc_id) AS rid, count(*) AS sz,
+             arg_min(shingles, doc_id) AS shingles
+      FROM sh GROUP BY lang, source, fp
+    ),
+    exact_pairs AS (
+      SELECT m.lang, m.source, g.rid AS doc_a, m.doc_id AS doc_b,
+             CAST(1.0 AS DOUBLE) AS jaccard, 'exact' AS kind
+      FROM sh m
+      JOIN grp g ON m.lang = g.lang AND m.source = g.source AND m.fp = g.fp
+      WHERE m.doc_id <> g.rid
+    ),
+    mh AS (
+      SELECT lang, source, rid, {mh_cols} FROM grp
+    ),
+    sigs AS (
+      SELECT lang, source, rid, unnest([{band_exprs}]) AS sig FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.lang, a.source, a.rid AS rid_a, b.rid AS rid_b
+      FROM sigs a
+      JOIN sigs b ON a.lang = b.lang AND a.source = b.source
+                 AND a.sig = b.sig AND a.rid < b.rid
+    ),
+    near_pairs AS (
+      SELECT c.lang, c.source, c.rid_a AS doc_a, c.rid_b AS doc_b,
+             floor(({jac}) * 10000 + 0.5) / 10000 AS jaccard, 'near' AS kind
+      FROM cand c
+      JOIN grp ga ON ga.rid = c.rid_a
+      JOIN grp gb ON gb.rid = c.rid_b
+      WHERE {jac} >= {NGRAM_VERIFY}
     )
-    SELECT a.lang, a.source,
-           a.doc_id AS doc_a, b.doc_id AS doc_b,
-           floor((len(list_intersect(a.shingles, b.shingles)) * 1.0
-                 / len(list_distinct(list_concat(a.shingles, b.shingles)))) * 10000 + 0.5) / 10000 AS jaccard
-    FROM sh a
-    JOIN sh b ON a.lang = b.lang AND a.source = b.source
-             AND a.doc_id < b.doc_id
-    WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-    """,
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard for every pair inside a (lang, source)
-    block — bounded-block pairwise similarity.
-
-    Blocking turns the quadratic pair space into per-block squares
-    (the same trick the resolver uses with league context); at scale
-    the block key comes from LSH buckets instead (q_dedup_minhash).
+    SELECT * FROM exact_pairs UNION ALL SELECT * FROM near_pairs
     """
-    docs = load(spark, sf_dir, "documents")
+
+
+def ngram_dedup_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Word-3-gram duplicate detection over any (doc_id, lang, source,
+    text) DataFrame — the kernel behind q_ngram_jaccard, kept separate
+    so tests can drive it with a corpus that actually contains
+    shingle-level duplicates (the synthetic documents table's
+    duplicates are word-order-shuffled, so they collide at word-set
+    level but rarely at shingle level).
+    """
     words = F.array_remove(F.split(F.col("text"), " "), "")
     shingles = F.array_distinct(
         F.expr(
@@ -322,26 +376,112 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat_ws(' ', slice(words, i, 3)))"
         )
     )
-    sh = docs.select(
-        "doc_id", "lang", "source", words.alias("words")
-    ).select("doc_id", "lang", "source", shingles.alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    return (
+    sh = (
+        docs.select("doc_id", "lang", "source", words.alias("words"))
+        .select("doc_id", "lang", "source", shingles.alias("shingles"))
+        .withColumn("fp", F.md5(F.concat_ws(" ", F.array_sort("shingles"))))
+    )
+    # collapse identical shingle sets (one rep per distinct set per
+    # (lang, source)); cached — consumed by the signature path, the
+    # star-pair join-back, and both verify sides
+    grp = (
+        sh.groupBy("lang", "source", "fp")
+        .agg(
+            F.min("doc_id").alias("rid"),
+            F.count("*").alias("sz"),
+            F.min_by("shingles", "doc_id").alias("shingles"),
+        )
+        .cache()
+    )
+    exact_pairs = (
+        sh.join(grp.select("lang", "source", "fp", "rid"), ["lang", "source", "fp"])
+        .filter(F.col("doc_id") != F.col("rid"))
+        .select(
+            "lang",
+            "source",
+            F.col("rid").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+    mh = grp
+    for i, c in enumerate(
+        minhash_signature(F.col("shingles"), n_hashes=NGRAM_HASHES, salt_fmt="g{i}:")
+    ):
+        mh = mh.withColumn(f"mh{i}", c)
+    sigs = mh.select(
+        "lang", "source", "rid", F.explode(_band_sigs(NGRAM_BANDS, NGRAM_ROWS)).alias("sig")
+    )
+    # same pair-generation shape as q_dedup_minhash: pin the shuffle
+    # partitioning so AQE cannot coalesce the tiny sig stream into one
+    # task, and keep the join bucket-local (shuffle_hash, never a
+    # broadcast nested loop)
+    num_parts = spark.sparkContext.defaultParallelism
+    a = sigs.repartition(num_parts, "sig").alias("a")
+    b = sigs.alias("b")
+    cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.rid") < F.col("b.rid")),
         )
-        .filter(union > 0)
         .select(
             F.col("a.lang").alias("lang"),
             F.col("a.source").alias("source"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            rnd(inter / union, 4).alias("jaccard"),
+            F.col("a.rid").alias("rid_a"),
+            F.col("b.rid").alias("rid_b"),
+        )
+        .distinct()
+        .repartition(num_parts)
+    )
+    ga = grp.select(F.col("rid").alias("rid_a"), F.col("shingles").alias("sh_a"))
+    gb = grp.select(F.col("rid").alias("rid_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    near_pairs = (
+        cand.join(ga, "rid_a")
+        .join(gb, "rid_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_VERIFY)
+        .select(
+            "lang",
+            "source",
+            F.col("rid_a").alias("doc_a"),
+            F.col("rid_b").alias("doc_b"),
+            rnd(F.col("jaccard"), 4).alias("jaccard"),
+            F.lit("near").alias("kind"),
         )
     )
+    return exact_pairs.unionByName(near_pairs)
+
+
+@query("q_ngram_jaccard", oracle=_ngram_oracle())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram duplicate detection, output in the standard dedup
+    shape: star-shaped 'exact' pairs (canonical rep ← each identical-
+    shingle-set member) plus 'near' pairs between distinct sets at
+    Jaccard ≥ 0.8, candidate-blocked by MinHash-LSH over the shingle
+    sets and refined by (lang, source).
+
+    Round-1 version blocked on (lang, source) alone — a
+    fixed-cardinality key, so blocks grow O(n) and pair generation
+    O(n²/blocks): dead at 100 TB. Now NOTHING is quadratic in corpus
+    size:
+    - identical clusters emit K−1 star pairs (rep, member), never
+      K²/2 — the canonical keep/drop list a dedup pipeline actually
+      consumes;
+    - cross-set candidates come from (lang, source, band-signature)
+      buckets, so block width is set by DATA similarity, not corpus
+      size: a bucket holds only distinct shingle sets agreeing on 4
+      of 16 min-hashes (expected admission s⁴ — ~41% at s = 0.8,
+      ~0.4% at s = 0.25); worst-case bucket width = the number of
+      distinct near-identical template variants.
+    Same structure the whole way down as q_dedup_minhash: collapse →
+    sign → band-bucket join → exact verify; only the token unit
+    (3-gram shingles vs words), the (lang, source) refinement, and
+    the star output differ. ``tests/test_ngram_dedup.py`` drives the
+    kernel with a crafted corpus where both pair kinds are non-empty.
+    """
+    return ngram_dedup_pairs(spark, load(spark, sf_dir, "documents"))

@@ -426,3 +426,45 @@ def q_union_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["nation_name", "role", "n_accounts", "total_balance"]
     return cust.select(cols).unionByName(supp.select(cols))
+
+
+@query(
+    "q_team_search",
+    oracle="""
+    SELECT c.c_custkey AS user_id, c.c_name AS user_name,
+           o.o_orderkey AS order_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_name LIKE '%042%' AND o.o_orderdate > DATE '1995-06-01'
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_team_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: LIKE '%name%' substring lookup, then next-events top-k.
+
+    Mirrors the bot's team search — ``ht.name LIKE '%x%' OR at.name
+    LIKE '%x%'`` over upcoming fixtures, ORDER BY kickoff LIMIT 1
+    (/root/reference/discord_integration.py:141-151). customer ≈
+    teams, orders ≈ fixtures. The contains() filter runs on the
+    broadcast dim BEFORE the join (a handful of matching keys probe
+    the fact side), the date predicate pushes to the orders scan, and
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — no global
+    sort at any scale. Tie-break on o_orderkey makes the top-k
+    deterministic (the reference's LIMIT 1 pick is engine-dependent
+    on kickoff ties).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_name").contains("042"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderdate") > F.lit("1995-06-01").cast("date"))
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(10)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )

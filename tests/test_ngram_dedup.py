@@ -1,0 +1,51 @@
+"""ngram_dedup_pairs kernel on a crafted corpus where both output
+kinds are non-empty — the synthetic documents table's duplicates are
+word-order-shuffled, so the sf-level oracle run exercises the banding
+machinery but yields few shingle-level pairs.
+"""
+
+from __future__ import annotations
+
+from football_data_pipeline_spark.operators.dedup import NGRAM_VERIFY, ngram_dedup_pairs
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles stand on the wall near the old stone bridge "
+    "under a pale winter sky waiting for the morning train"
+)
+# one trailing word changed: shingle overlap stays high (only the
+# last 3 shingles differ) → a 'near' pair above the 0.8 verify
+NEAR = BASE.rsplit(" ", 1)[0] + " bus"
+OTHER = "completely different content about spark catalyst optimizer plans " * 3
+
+
+def test_star_and_near_pairs(spark):
+    rows = [
+        # identical cluster of 3 → two star pairs anchored at doc 1
+        (1, "en", "web", BASE),
+        (2, "en", "web", BASE),
+        (3, "en", "web", BASE),
+        # near variant of the cluster rep → one 'near' pair (1, 4)
+        (4, "en", "web", NEAR),
+        # same text, different block → must NOT pair with docs 1-4
+        (5, "en", "books", BASE),
+        (6, "de", "web", BASE),
+        # unrelated text, same block → no pair
+        (7, "en", "web", OTHER),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    out = ngram_dedup_pairs(spark, docs).collect()
+    exact = sorted((r.doc_a, r.doc_b) for r in out if r.kind == "exact")
+    near = [(r.doc_a, r.doc_b, r.jaccard) for r in out if r.kind == "near"]
+    assert exact == [(1, 2), (1, 3)]
+    assert [(a, b) for a, b, _ in near] == [(1, 4)]
+    assert all(j >= NGRAM_VERIFY for *_, j in near)
+    # star pairs are linear in cluster size: 3 identical docs → 2 rows
+    assert len(exact) == 2
+
+
+def test_blocking_respects_lang_source(spark):
+    # two identical docs in different (lang, source) blocks → nothing
+    rows = [(1, "en", "web", BASE), (2, "en", "books", BASE), (3, "fr", "web", BASE)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    assert ngram_dedup_pairs(spark, docs).count() == 0
