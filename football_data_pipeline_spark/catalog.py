@@ -42,11 +42,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos
-        # as long and rebuild the timestamp at µs precision — integer
+        # parquet reader rejects (PARQUET_TYPE_ILLEGAL). The session
+        # is configured (session.py — both get_spark and
+        # configure_for_oracle) with nanosAsLong=true so nanos arrive
+        # as long; rebuild the timestamp at µs precision — integer
         # DIV, since ns-since-epoch exceeds double precision, and
-        # truncation matches DuckDB's ns→µs handling.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # truncation matches DuckDB's ns→µs handling. The conf is NOT
+        # set here: mutating session state per read could flip how
+        # unrelated concurrent reads in the same session interpret
+        # nanos timestamps.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

@@ -59,14 +59,19 @@ def _try_import_decoder():
 def decode_image(payload: bytes):
     """Real decode path — requires an imaging library.
 
-    STUB: raises in this environment; the mapInPandas pipeline around
-    it is production-shaped.
+    STUB in this environment (no PIL/opencv); when a decoder is
+    importable the payload is decoded for real, so the function is
+    honest either way.
     """
     if not _try_import_decoder():
         raise NotImplementedError(
             "image decode requires PIL/opencv; not available in this build"
         )
-    raise NotImplementedError("decoder wiring TODO when a library is present")
+    import io
+
+    import PIL.Image
+
+    return PIL.Image.open(io.BytesIO(payload))
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -174,9 +179,14 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
     whole-stage codegen; the decode of each kept frame is then the
     mapInPandas stage (stubbed, as above).
     """
+    # empty payloads are dropped up front: sequence(0, n_frames − 1)
+    # with n_frames = 0 would be sequence(0, -1) = [0, -1] (Spark
+    # sequences step downward), yielding one spurious empty frame row
     n_frames = F.ceil(F.octet_length("payload") / F.lit(FRAME_SIZE)).cast("int")
     frame_idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
-    framed = assets.select(F.col("asset_id"), F.col("payload"), frame_idx)
+    framed = assets.filter(F.octet_length("payload") > 0).select(
+        F.col("asset_id"), F.col("payload"), frame_idx
+    )
     return (
         framed.filter(F.col("frame_idx") % every_n == 0)
         .select(

@@ -582,7 +582,22 @@ def resolve_names(
         api_col=api_col,
         cand_col=cand_col,
     )
-    return out_easy.unionByName(out_hard)
+    out = out_easy.unionByName(out_hard)
+    # contract: one MappingResult per input name, matching the
+    # reference (enhanced_mapping.py:325-392 always returns) and the
+    # with_alternatives=False path. A name whose block yields ZERO
+    # candidate pairs never enters the window path, so reinstate it
+    # as an explicit no_match row with an empty alternatives list.
+    all_names = api_df.select(api_col).distinct()
+    return all_names.join(out, api_col, "left").select(
+        F.col(api_col),
+        F.col("matched_name"),
+        F.col("confidence"),
+        F.coalesce(F.col("strategy"), F.lit("no_match")).alias("strategy"),
+        F.coalesce(F.col("alternatives"), F.array().cast("array<string>")).alias(
+            "alternatives"
+        ),
+    )
 
 
 def learn_mappings(

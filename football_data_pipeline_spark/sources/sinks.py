@@ -82,8 +82,14 @@ def apply_retention(
 
 def compact_partitions(spark: SparkSession, path: str, keep_predicate: Column, tmp_path: str) -> None:
     """Full compaction (VACUUM analogue): rewrite the table keeping
-    only rows matching ``keep_predicate``. Two-phase copy so a crash
-    never leaves a half-deleted table."""
+    only rows matching ``keep_predicate``. Two-phase copy: the
+    filtered copy lands in ``tmp_path`` first, then overwrites the
+    live path. NOT atomic — a crash during the second write leaves
+    the live path partial, but the full surviving dataset remains in
+    ``tmp_path`` for recovery (re-run the final write). A
+    transactional table format (Delta/Iceberg) is the real fix at
+    scale; on plain Parquet an atomic swap needs a filesystem rename,
+    which object stores don't provide."""
     spark.read.parquet(path).filter(keep_predicate).write.mode("overwrite").partitionBy(
         PARTITION_COL
     ).parquet(tmp_path)

@@ -94,3 +94,13 @@ def test_sample_frames_keeps_every_nth(spark):
     for aid, asset in sizes.items():
         n_frames = math.ceil(len(asset["payload"]) / FRAME_SIZE)
         assert got[aid] == len(range(0, n_frames, 3))
+
+
+def test_sample_frames_empty_payload_yields_no_rows(spark):
+    from football_data_pipeline_spark.operators.multimodal import sample_frames
+
+    assets = spark.createDataFrame(
+        [(1, b""), (2, b"x" * 10)], "asset_id long, payload binary"
+    )
+    out = sample_frames(assets, every_n=1).collect()
+    assert [r.asset_id for r in out] == [2]  # empty video → zero frames

@@ -152,4 +152,10 @@ def test_blocking_key_restricts_candidates(spark):
         [("Bayern Munich", "EN")], "odds_name string, league string"
     )
     out = resolve_names(api, cand, block_key="league").collect()
-    assert out == []  # no pair in block → api row absent (caller left-joins if needed)
+    # no pair in block → still one row per input name (the reference
+    # always returns a MappingResult), as an explicit no_match
+    assert len(out) == 1
+    assert out[0].api_name == "Bayern Munich"
+    assert out[0].matched_name is None
+    assert out[0].strategy == "no_match"
+    assert out[0].alternatives == []
