@@ -1,0 +1,403 @@
+"""Gold report builders — the reference's JSON report documents
+assembled from the engine's silver tables.
+
+Three document shapes, matching the samples shipped with the
+reference (/root/reference/data/weekly_report.json,
+health_status.json, dashboard_data.json) and the builders in
+.github/workflows/football-data-pipeline.yml (weekly report
+:702-778, health check :482-612, dashboard data :829-929):
+
+- ``weekly_report``: 7-day odds/games counts + top-leagues /
+  bookmakers / collection-phase breakdowns, one nested document;
+- ``health_status``: rule-derived status + issues/recommendations
+  from the job queue and warehouse freshness;
+- ``dashboard_data``: upcoming games (the gold view), 24 h odds
+  movements, league stats, team performance, totals.
+
+Shape notes for scale: every component first collapses to an
+aggregate- or top-k-sized DataFrame (hash aggs, TakeOrderedAndProject
+limits — the same plans as the standalone queries), and only those
+dim-sized results are packed into arrays-of-structs. ``collect_list``
+never sees a fact table, and array ordering is made deterministic by
+``array_sort`` on an explicit (rank, tiebreak) key, never by
+collection order. The single-row documents join via crossJoin of
+1-row inputs (a no-op plan-wise). Documents land via
+``write_report_json`` (sinks.py).
+
+The reference computes everything relative to wall clock; here
+``now`` is an explicit Column so replays are deterministic
+(same convention as streaming/jobs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stable import rnd
+from .gold import upcoming_games_with_odds
+from .windows import pct_change
+
+
+def _packed_top(
+    df: DataFrame,
+    order_desc: Column,
+    tiebreak: Column,
+    payload: Column,
+    k: int | None,
+    alias: str,
+) -> DataFrame:
+    """Collapse an aggregate-sized DataFrame to ONE row holding the
+    top-k payload structs in (order_desc DESC, tiebreak ASC) order.
+
+    array_sort on a (negated rank, tiebreak, payload) struct makes the
+    order engine-deterministic regardless of collect_list's partition
+    order; the slice caps the array at k.
+    """
+    packed = df.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-order_desc).alias("__o"), tiebreak.alias("__t"), payload.alias("p")))
+        ).alias("__arr")
+    )
+    arr = F.transform("__arr", lambda s: s["p"])
+    if k is not None:
+        arr = F.slice(arr, 1, k)
+    return packed.select(arr.alias(alias))
+
+
+def weekly_report(
+    odds_history: DataFrame,
+    fixtures: DataFrame,
+    leagues: DataFrame,
+    now: Column,
+) -> DataFrame:
+    """The weekly report document (yml:702-778; sample
+    /root/reference/data/weekly_report.json): one row =
+    {report_date, period, summary{odds_collected, games_tracked,
+    top_leagues[], bookmakers[], collection_phases[]}}.
+    """
+    week_ago = now - F.expr("INTERVAL 7 DAYS")
+    recent = odds_history.filter(F.col("collected_at") >= week_ago)
+
+    counts = recent.agg(
+        F.count("*").alias("odds_collected"),
+        F.countDistinct("fixture_id").alias("games_tracked"),
+    )
+    lg = leagues.select(F.col("id").alias("__lg_id"), F.col("season").alias("__lg_season"), F.col("name"))
+    per_league = (
+        recent.join(
+            fixtures.select(F.col("id").alias("fixture_id"), "league_id", "season"),
+            "fixture_id",
+        )
+        .join(
+            F.broadcast(lg),
+            (F.col("league_id") == F.col("__lg_id")) & (F.col("season") == F.col("__lg_season")),
+        )
+        .groupBy("name")
+        .agg(F.countDistinct("fixture_id").alias("games"))
+    )
+    top_leagues = _packed_top(
+        per_league,
+        F.col("games"),
+        F.col("name"),
+        F.struct("name", "games"),
+        5,
+        "top_leagues",
+    )
+    per_bookmaker = recent.groupBy(F.col("bookmaker").alias("name")).agg(
+        F.count("*").alias("records")
+    )
+    bookmakers = _packed_top(
+        per_bookmaker,
+        F.col("records"),
+        F.col("name"),
+        F.struct("name", "records"),
+        10,
+        "bookmakers",
+    )
+    per_phase = recent.groupBy(F.col("collection_phase").alias("phase")).agg(
+        F.count("*").alias("records")
+    )
+    phases = _packed_top(
+        per_phase,
+        F.col("records"),
+        F.col("phase"),
+        F.struct("phase", "records"),
+        None,
+        "collection_phases",
+    )
+    return (
+        counts.crossJoin(top_leagues)
+        .crossJoin(bookmakers)
+        .crossJoin(phases)
+        .select(
+            F.date_format(now, "yyyy-MM-dd'T'HH:mm:ss").alias("report_date"),
+            F.lit("last_7_days").alias("period"),
+            F.struct(
+                "odds_collected",
+                "games_tracked",
+                "top_leagues",
+                "bookmakers",
+                "collection_phases",
+            ).alias("summary"),
+        )
+    )
+
+
+#: (issue text, recommendation text or None) per health rule, in the
+#: reference's evaluation order (yml:499-553)
+_HEALTH_RULES = (
+    ("High job failure rate", None),
+    ("Many expired jobs - possible scheduling issues", "Check API rate limits and processing capacity"),
+    ("Large job backlog", "Consider increasing processing frequency"),
+    ("No recent job activity", None),
+    ("No recent odds data collected", None),
+    ("No upcoming fixtures found", None),
+)
+
+
+def health_status(
+    jobs: DataFrame,
+    odds_history: DataFrame,
+    fixtures: DataFrame,
+    now: Column,
+) -> DataFrame:
+    """The health document (yml:482-612; sample
+    /root/reference/data/health_status.json): one row =
+    {timestamp, pipeline_status, issues[], recommendations[]}.
+
+    Status rule replicated as the reference actually behaves: the
+    final classification (``unhealthy`` if >3 issues, ``degraded`` if
+    any, else ``healthy``) overrides the earlier per-rule status
+    assignments — the shipped sample (3 issues incl. 'No recent job
+    activity' → 'degraded') confirms the override. ``processed_at``
+    is optional on the queue, as in jobs.json; absent ⇒ no job counts
+    as recent (the reference defaults it to epoch).
+    """
+    day_ago = now - F.expr("INTERVAL 24 HOURS")
+    processed = (
+        F.col("processed_at") if "processed_at" in jobs.columns else F.lit(None).cast("timestamp")
+    )
+    job_counts = jobs.agg(
+        F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("status") == "expired", 1).otherwise(0)).alias("n_expired"),
+        F.sum(F.when(F.col("status") == "completed", 1).otherwise(0)).alias("n_completed"),
+        F.sum(F.when(processed >= day_ago, 1).otherwise(0)).alias("n_recent"),
+    )
+    odds_counts = odds_history.agg(
+        F.sum(F.when(F.col("collected_at") >= day_ago, 1).otherwise(0)).alias("n_recent_odds")
+    )
+    fixture_counts = fixtures.agg(
+        F.sum(F.when(F.col("kickoff_utc") > now, 1).otherwise(0)).alias("n_future")
+    )
+    doc = job_counts.crossJoin(odds_counts).crossJoin(fixture_counts)
+    conds = [
+        F.col("n_failed") > F.col("n_completed") * 0.2,
+        F.col("n_expired") > 10,
+        F.col("n_pending") > 50,
+        F.col("n_recent") == 0,
+        F.col("n_recent_odds") == 0,
+        F.col("n_future") == 0,
+    ]
+    flagged = F.array(
+        *[
+            F.struct(
+                cond.alias("hit"),
+                F.lit(issue).alias("issue"),
+                F.lit(rec).cast("string").alias("rec"),
+            )
+            for cond, (issue, rec) in zip(conds, _HEALTH_RULES)
+        ]
+    )
+    hits = F.filter(flagged, lambda s: s["hit"])
+    issues = F.transform(hits, lambda s: s["issue"])
+    recommendations = F.filter(
+        F.transform(hits, lambda s: s["rec"]), lambda r: r.isNotNull()
+    )
+    status = (
+        F.when(F.size(issues) > 3, "unhealthy")
+        .when(F.size(issues) > 0, "degraded")
+        .otherwise("healthy")
+    )
+    return doc.select(
+        F.date_format(now, "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+        status.alias("pipeline_status"),
+        issues.alias("issues"),
+        recommendations.alias("recommendations"),
+    )
+
+
+def dashboard_data(
+    fixtures: DataFrame,
+    teams: DataFrame,
+    leagues: DataFrame,
+    odds_history: DataFrame,
+    team_statistics: DataFrame,
+    now: Column,
+) -> DataFrame:
+    """The dashboard document (yml:829-929; sample
+    /root/reference/data/dashboard_data.json): one row =
+    {upcoming_games[], odds_movements[], league_stats[], top_teams[],
+    last_updated, stats{total_fixtures, total_odds_records,
+    active_leagues}}.
+    """
+    from pyspark.sql import Window
+
+    # upcoming games: the gold view, next 48 h, top 20 by kickoff
+    upcoming = (
+        upcoming_games_with_odds(fixtures, teams, leagues, odds_history, now)
+        .filter(F.col("kickoff_utc") < now + F.expr("INTERVAL 48 HOURS"))
+        .orderBy("kickoff_utc", "fixture_id")
+        .limit(20)
+    )
+    upcoming_packed = _packed_top(
+        upcoming,
+        -F.unix_timestamp("kickoff_utc"),  # ascending kickoff
+        F.col("fixture_id"),
+        F.struct(
+            F.col("fixture_id").alias("id"),
+            "kickoff_utc",
+            "home_team",
+            "away_team",
+            "league",
+            "country",
+            "home_odds",
+            "draw_odds",
+            "away_odds",
+            "bookmaker",
+            F.col("odds_updated").alias("collected_at"),
+        ),
+        20,
+        "upcoming_games",
+    )
+    # odds movements: LAG per (fixture, bookmaker) over the last 24 h
+    # of h2h snapshots, >10% home or away move (W2 machinery)
+    day_ago = now - F.expr("INTERVAL 24 HOURS")
+    w = Window.partitionBy("fixture_id", "bookmaker").orderBy("collected_at")
+    recent = (
+        odds_history.filter((F.col("collected_at") >= day_ago) & (F.col("market_type") == "h2h"))
+        .withColumn("prev_home", F.lag("home_odds").over(w))
+        .withColumn("prev_away", F.lag("away_odds").over(w))
+        .filter(
+            F.col("prev_home").isNotNull()
+            & (
+                (F.abs(F.col("home_odds") - F.col("prev_home")) / F.col("prev_home") > 0.1)
+                | (F.abs(F.col("away_odds") - F.col("prev_away")) / F.col("prev_away") > 0.1)
+            )
+        )
+    )
+    ht = teams.select(F.col("id").alias("__ht_id"), F.col("name").alias("home_team"))
+    at = teams.select(F.col("id").alias("__at_id"), F.col("name").alias("away_team"))
+    fx = fixtures.select(
+        F.col("id").alias("fixture_id"), "home_team_id", "away_team_id", "kickoff_utc"
+    )
+    movements = (
+        recent.join(fx, "fixture_id")
+        .join(F.broadcast(ht), F.col("home_team_id") == F.col("__ht_id"))
+        .join(F.broadcast(at), F.col("away_team_id") == F.col("__at_id"))
+        .orderBy(F.desc("collected_at"), "fixture_id", "bookmaker")
+        .limit(10)
+    )
+    movements_packed = _packed_top(
+        movements,
+        F.unix_timestamp("collected_at"),
+        F.struct(F.col("fixture_id"), F.col("bookmaker")),
+        F.struct(
+            "fixture_id",
+            "bookmaker",
+            "home_odds",
+            "away_odds",
+            "prev_home",
+            "prev_away",
+            rnd(pct_change(F.col("home_odds"), F.col("prev_home"))).alias("home_change_pct"),
+            "collected_at",
+            "kickoff_utc",
+            "home_team",
+            "away_team",
+        ),
+        10,
+        "odds_movements",
+    )
+    # league stats over fixtures of the last 30 days
+    month_ago = now - F.expr("INTERVAL 30 DAYS")
+    lg = leagues.select(
+        F.col("id").alias("__lg_id"), F.col("season").alias("__lg_season"), "name", "country"
+    )
+    fx30 = fixtures.filter(F.col("kickoff_utc") >= month_ago).select(
+        F.col("id").alias("fixture_id"), "league_id", "season"
+    )
+    league_stats_df = (
+        fx30.join(
+            F.broadcast(lg),
+            (F.col("league_id") == F.col("__lg_id")) & (F.col("season") == F.col("__lg_season")),
+        )
+        .join(odds_history.select("fixture_id"), "fixture_id", "left")
+        .groupBy("name", "country")
+        .agg(
+            F.countDistinct("fixture_id").alias("total_games"),
+            F.count("fixture_id").alias("odds_records"),
+        )
+    )
+    league_stats_packed = _packed_top(
+        league_stats_df,
+        F.col("total_games"),
+        F.col("name"),
+        F.struct("name", "country", "total_games", "odds_records"),
+        None,
+        "league_stats",
+    )
+    # team performance: latest week of stats snapshots, ≥5 matches
+    week_ago_d = F.to_date(now - F.expr("INTERVAL 7 DAYS"))
+    tnm = teams.select(F.col("id").alias("__t_id"), F.col("name").alias("team_name"))
+    lgn = leagues.select(
+        F.col("id").alias("__l_id"), F.col("season").alias("__l_season"), F.col("name").alias("league")
+    )
+    top_teams_df = (
+        team_statistics.filter(
+            (F.to_date("collection_date") >= week_ago_d) & (F.col("matches_played") >= 5)
+        )
+        .join(F.broadcast(tnm), F.col("team_id") == F.col("__t_id"))
+        .join(
+            F.broadcast(lgn),
+            (F.col("league_id") == F.col("__l_id")) & (F.col("season") == F.col("__l_season")),
+        )
+        .orderBy(F.desc("win_percentage"), "team_id", F.desc("collection_date"))
+        .limit(20)
+    )
+    top_teams_packed = _packed_top(
+        top_teams_df,
+        F.col("win_percentage"),
+        F.struct(F.col("team_id"), F.col("collection_date")),
+        F.struct(
+            F.col("team_name").alias("name"),
+            "win_percentage",
+            "goals_for",
+            "goals_against",
+            "matches_played",
+            "league",
+        ),
+        20,
+        "top_teams",
+    )
+    totals = fixtures.agg(F.count("*").alias("total_fixtures")).crossJoin(
+        odds_history.agg(F.count("*").alias("total_odds_records"))
+    )
+    return (
+        upcoming_packed.crossJoin(movements_packed)
+        .crossJoin(league_stats_packed)
+        .crossJoin(top_teams_packed)
+        .crossJoin(totals)
+        .select(
+            "upcoming_games",
+            "odds_movements",
+            "league_stats",
+            "top_teams",
+            F.date_format(now, "yyyy-MM-dd'T'HH:mm:ss").alias("last_updated"),
+            F.struct(
+                "total_fixtures",
+                "total_odds_records",
+                F.size("league_stats").alias("active_leagues"),
+            ).alias("stats"),
+        )
+    )

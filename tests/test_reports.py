@@ -1,0 +1,136 @@
+"""Gold report builders vs the reference's shipped report documents.
+
+The assertion target is the DOCUMENT SHAPE: every top-level and
+nested key of the samples in /root/reference/data/ must appear in our
+output (values differ — the samples come from live 2025 data, ours
+from the synthesized test corpus).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.catalog import load
+from football_data_pipeline_spark.operators.dims import _game_bronze
+from football_data_pipeline_spark.operators.flatten import (
+    extract_fixtures,
+    extract_leagues,
+    extract_teams,
+    flatten_odds,
+)
+from football_data_pipeline_spark.operators.reports import (
+    dashboard_data,
+    health_status,
+    weekly_report,
+)
+from football_data_pipeline_spark.sources.sinks import write_report_json
+from football_data_pipeline_spark.streaming.jobs import synthesize_jobs
+
+from .conftest import SF_DIR
+
+NOW = "1995-06-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def silver(spark):
+    bronze = _game_bronze(load(spark, SF_DIR, "orders"))
+    return {
+        "fixtures": extract_fixtures(bronze).cache(),
+        "teams": extract_teams(bronze).cache(),
+        "leagues": extract_leagues(bronze).cache(),
+        "odds": flatten_odds(bronze).cache(),
+        "now": F.lit(NOW).cast("timestamp"),
+    }
+
+
+def _reference_doc(name: str) -> dict:
+    with open(f"/root/reference/data/{name}") as f:
+        return json.load(f)
+
+
+def _roundtrip(df, tmp_path) -> dict:
+    """Write through the real report sink and read the document back."""
+    out = str(tmp_path / "report")
+    write_report_json(df, out)
+    [part] = glob.glob(f"{out}/part-*.json")
+    with open(part) as f:
+        return json.loads(f.readline())
+
+
+def test_weekly_report_shape(spark, silver, tmp_path):
+    doc = _roundtrip(
+        weekly_report(silver["odds"], silver["fixtures"], silver["leagues"], silver["now"]),
+        tmp_path,
+    )
+    sample = _reference_doc("weekly_report.json")
+    assert set(doc) == set(sample)
+    assert set(doc["summary"]) == set(sample["summary"])
+    assert doc["period"] == "last_7_days"
+    assert doc["summary"]["odds_collected"] > 0
+    assert 0 < len(doc["summary"]["top_leagues"]) <= 5
+    assert {b["name"] for b in doc["summary"]["bookmakers"]} == {"Alpha", "Beta"}
+    assert set(doc["summary"]["top_leagues"][0]) == {"name", "games"}
+    assert set(doc["summary"]["collection_phases"][0]) == {"phase", "records"}
+    # breakdown ordering: records descending
+    recs = [b["records"] for b in doc["summary"]["bookmakers"]]
+    assert recs == sorted(recs, reverse=True)
+
+
+def test_health_status_shape_and_rules(spark, silver, tmp_path):
+    fixtures_for_jobs = silver["fixtures"].select(
+        F.col("id").alias("fixture_id"), "kickoff_utc", F.lit("high").alias("priority")
+    )
+    jobs = synthesize_jobs(fixtures_for_jobs, silver["now"])
+    doc = _roundtrip(
+        health_status(jobs, silver["odds"], silver["fixtures"], silver["now"]), tmp_path
+    )
+    sample = _reference_doc("health_status.json")
+    assert set(doc) == set(sample)
+    # no processed_at column → 'No recent job activity' must fire
+    assert "No recent job activity" in doc["issues"]
+    n = len(doc["issues"])
+    expected = "unhealthy" if n > 3 else "degraded" if n > 0 else "healthy"
+    assert doc["pipeline_status"] == expected
+
+    # with fresh processed_at stamps the activity rule clears
+    stamped = jobs.withColumn("processed_at", silver["now"])
+    doc2 = _roundtrip(
+        health_status(stamped, silver["odds"], silver["fixtures"], silver["now"]), tmp_path
+    )
+    assert "No recent job activity" not in doc2["issues"]
+
+
+def test_dashboard_data_shape(spark, silver, tmp_path):
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    team_stats = QUERIES["q_team_stats_extract"].fn(spark, SF_DIR)
+    doc = _roundtrip(
+        dashboard_data(
+            silver["fixtures"],
+            silver["teams"],
+            silver["leagues"],
+            silver["odds"],
+            team_stats,
+            silver["now"],
+        ),
+        tmp_path,
+    )
+    sample = _reference_doc("dashboard_data.json")
+    assert set(doc) == set(sample)
+    assert set(doc["stats"]) == set(sample["stats"])
+    assert doc["stats"]["active_leagues"] == len(doc["league_stats"])
+    assert doc["stats"]["total_fixtures"] == silver["fixtures"].count()
+    assert len(doc["league_stats"]) > 0
+    assert set(doc["league_stats"][0]) == {"name", "country", "total_games", "odds_records"}
+    # league_stats ordering: total_games descending
+    games = [r["total_games"] for r in doc["league_stats"]]
+    assert games == sorted(games, reverse=True)
+    if doc["upcoming_games"]:
+        assert {"id", "kickoff_utc", "home_team", "away_team", "league", "country"} <= set(
+            doc["upcoming_games"][0]
+        )
