@@ -322,3 +322,54 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         api, cand, block_key="nk", manual=manual, learned=learned_dim, with_alternatives=False
     )
     return batch2.select("api_name", "matched_name", "confidence", "strategy")
+
+
+#: reference-canonical mapping cases (enhanced_mapping.py:912-957 plus
+#: edge cases) with difflib.SequenceMatcher.ratio precomputed by
+#: CPython's difflib — the parity target F11a
+_DIFFLIB_CASES = (
+    ("Manchester United", "Manchester Utd", 0.9032),
+    ("FC Barcelona", "Barcelona", 0.8571),
+    ("Paris Saint Germain", "PSG", 0.2727),
+    ("Borussia Dortmund", "Dortmund", 0.64),
+    ("Bayern Munich", "Bayern Munchen", 0.8889),
+    ("Real Madrid", "Real Madrid CF", 0.88),
+    ("Inter", "Internazionale", 0.5263),
+    ("Spurs", "Tottenham Hotspur", 0.2727),
+    ("AC Milan", "Milan", 0.7692),
+    ("Unknown Team FC", "Arsenal", 0.1818),
+    ("", "x", 0.0),
+    ("same", "same", 1.0),
+)
+
+
+@query(
+    "q_difflib_ratio",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{a}', '{b}', CAST({r} AS DOUBLE))" for a, b, r in _DIFFLIB_CASES
+    )
+    + ") t(api_name, odds_name, ratio)",
+)
+def q_difflib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11a parity gate: the difflib Pandas UDF (the engine's ONLY
+    UDF, SURVEY.md §2.11) computed in-engine over the reference's
+    canonical mapping cases, checked against ratios precomputed with
+    CPython difflib. DuckDB has no Ratcliff-Obershelp, so the oracle
+    is the precomputed expected table — what the hash proves is that
+    the Arrow-vectorized UDF path (serialization, batching, NULL/empty
+    handling) reproduces the reference kernel bit-for-bit
+    (/root/reference/enhanced_mapping.py:569-610). sf-independent by
+    construction; the sf-scaled fuzzy path is covered by q_fuzzy_join.
+    """
+    from ..functions.similarity import difflib_ratio
+    from ..functions.stable import rnd
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b, _ in _DIFFLIB_CASES], "api_name string, odds_name string"
+    )
+    return pairs.select(
+        "api_name",
+        "odds_name",
+        rnd(difflib_ratio(F.col("api_name"), F.col("odds_name")), 4).alias("ratio"),
+    )
