@@ -1,0 +1,181 @@
+"""T1: the drivable streaming ingest pipeline — ProcessingTime
+trigger + ``foreachBatch`` into the silver writers.
+
+The reference's "stream" is a GitHub Actions cron: collect every 30
+minutes, fan each document out to 8 tables
+(.github/workflows/football-data-pipeline.yml:5-10 triggers,
+database_integration.py:75-119 fan-out). Structured-Streaming-native
+form:
+
+    bronze file source (readStream + declared schema)
+      → foreachBatch: run the REAL batch flatteners on the micro-batch
+      → dims merged (replace / insert-if-absent), facts appended
+         date-partitioned
+
+The trigger IS the cron cadence: ``ProcessingTime("30 minutes")`` in
+production, ``availableNow`` for drain-and-stop runs (tests, backfill).
+Because each micro-batch calls the same pure batch transforms the
+oracle gate already checks, stream and batch cannot drift.
+
+Delivery semantics, stated honestly: the file source + checkpoint
+give exactly-once *batch replay*, but the fact appends inside
+foreachBatch are not transactional — a crash between a partial append
+and the checkpoint commit can duplicate rows on restart. The
+idempotent fix at scale is a transactional table format (Delta MERGE
+on (fixture_id, bookmaker, market_type, collected_at)) or
+batchId-keyed staging; on plain Parquet we document the at-least-once
+window instead of pretending it away. Dim merges are naturally
+idempotent (replaying a batch re-derives the same keyed state).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.flatten import (
+    derive_players,
+    extract_fixtures,
+    extract_leagues,
+    extract_team_statistics,
+    extract_teams,
+    flatten_head_to_head,
+    flatten_lineups,
+    flatten_odds,
+)
+from ..operators.upsert import insert_if_absent, upsert_replace
+from ..sources.ingest import COLLECTION_SCHEMA
+from ..sources.sinks import write_silver
+
+DEFAULT_TRIGGER = "30 minutes"  # yml:8 — the reference's cron cadence
+
+
+def stream_collections(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2 as a stream: the bronze file source with the declared
+    schema (new JSON documents appear under ``path``; schema-on-read
+    never infers)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.readStream.schema(COLLECTION_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 1000)
+        .json(path)
+    )
+    return df.withColumn(
+        "collected_at_ts",
+        F.to_timestamp(F.regexp_replace(F.col("collected_at"), "Z$", "+00:00")),
+    )
+
+
+def _merge_dim(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    keys: list[str],
+    order_cols: list[str],
+    replace: bool,
+) -> None:
+    """Merge a dim delta into its Parquet table: U1 replace or U3
+    insert-if-absent. The merged state is materialized (dims are
+    KB-to-MB-sized by construction) before the overwrite so the write
+    never scans the files it replaces."""
+    merge = upsert_replace if replace else insert_if_absent
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        base = spark.read.parquet(path)
+        merged = merge(base, delta, keys=keys, order_cols=order_cols)
+    else:
+        merged = delta
+    merged = merged.cache()
+    merged.count()  # materialize before overwriting the source files
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+
+
+def silver_batch_writer(silver_root: str) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body: one micro-batch of bronze documents →
+    the 8-table fan-out, reusing the oracle-checked batch flatteners.
+
+    Write order mirrors the reference's dims-before-facts sequence
+    (database_integration.py:85-113) so a reader joining facts to
+    dims mid-batch sees at worst a missing fact, never a dangling FK.
+    """
+
+    def write_batch(bronze: DataFrame, batch_id: int) -> None:
+        spark = bronze.sparkSession
+        bronze = bronze.cache()  # consumed by 8 flatteners
+        try:
+            _merge_dim(
+                spark,
+                extract_teams(bronze),
+                f"{silver_root}/teams",
+                keys=["id"],
+                order_cols=["updated_at"],
+                replace=True,
+            )
+            _merge_dim(
+                spark,
+                extract_leagues(bronze),
+                f"{silver_root}/leagues",
+                keys=["id", "season"],
+                order_cols=["created_at"],
+                replace=False,
+            )
+            _merge_dim(
+                spark,
+                extract_fixtures(bronze),
+                f"{silver_root}/fixtures",
+                keys=["id"],
+                order_cols=["created_at"],
+                replace=False,
+            )
+            lineups = flatten_lineups(bronze)
+            _merge_dim(
+                spark,
+                derive_players(lineups),
+                f"{silver_root}/players",
+                keys=["id"],
+                order_cols=["created_at"],
+                replace=False,
+            )
+            write_silver(flatten_odds(bronze), f"{silver_root}/odds_history")
+            write_silver(
+                extract_team_statistics(bronze),
+                f"{silver_root}/team_statistics",
+                ts_col="created_at",
+            )
+            write_silver(
+                flatten_head_to_head(bronze),
+                f"{silver_root}/head_to_head",
+                ts_col="created_at",
+            )
+            write_silver(lineups, f"{silver_root}/lineups", ts_col="collected_at")
+        finally:
+            bronze.unpersist()
+
+    return write_batch
+
+
+def start_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    silver_root: str,
+    checkpoint: str,
+    trigger: str | None = DEFAULT_TRIGGER,
+):
+    """Wire and start the T1 stream. ``trigger=None`` → availableNow
+    (drain everything, then stop — tests and backfills); a duration
+    string → ProcessingTime micro-batches at that cadence (the
+    reference's 30-minute cron)."""
+    writer = (
+        stream_collections(spark, source_path)
+        .writeStream.foreachBatch(silver_batch_writer(silver_root))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
