@@ -26,8 +26,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["q_latest_per_key"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q_upcoming_games is the full bronze→silver→gold lineage: document
+    flattening, all three dim upserts, the odds fan-out, and the
+    reference's one view composed on top (latest-h2h window + triple
+    broadcast dim join)."""
+    return registry.QUERIES["q_upcoming_games"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

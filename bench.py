@@ -29,6 +29,7 @@ from football_data_pipeline_spark.session import get_spark
 HEADLINE = [
     "q_star_join",
     "q_latest_per_key",
+    "q_upcoming_games",
     "q_lag_movement",
     "q_group_multi",
     "q_topk_group",
@@ -36,6 +37,7 @@ HEADLINE = [
     "q_upsert_latest",
     "q_fuzzy_join",
     "q_dedup_minhash",
+    "q_ngram_jaccard",
     "q_knn_bruteforce",
     "q_text_stats",
 ]

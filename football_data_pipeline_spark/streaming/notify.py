@@ -1,0 +1,104 @@
+"""T6: the notification sink — Discord-webhook-shaped embed
+formatting at the pipeline edge.
+
+The reference posts webhook embeds for new-job batches
+(.github/workflows/football-data-pipeline.yml:263-284), odds-movement
+alerts (discord_integration.py:469-530) and generic notifications
+(discord_integration.py:385-402). Formatting is pure data-to-dict
+work; the HTTP POST is an edge effect. Split accordingly:
+
+- embed row construction runs IN-ENGINE (``to_json(struct(...))``
+  over the alert DataFrame — codegen'd, distributed, no UDF);
+- ``notification_sink`` adapts it to ``foreachBatch`` and hands the
+  finished payloads to an injected ``send`` callable (the webhook
+  POST in production, a recorder in tests). No network code lives in
+  the engine, and alert volume is top-k-bounded upstream, so the
+  driver-side handoff is a few rows per batch by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FOOTER = "Football Data Pipeline"
+COLOR_INFO = 0x0099FF  # discord_integration.py:388
+COLOR_OK = 0x00FF00  # yml:269
+COLOR_ALERT = 0xFF6600
+
+
+def movement_alert_embeds(movements: DataFrame, now_iso: str) -> DataFrame:
+    """One webhook embed JSON per >10% movement alert row (input =
+    the W2 movement query's output: fixture/bookmaker/odds/prev/
+    pct_change + team names). Mirrors the reference's alert embed
+    fields (discord_integration.py:506-530)."""
+    title = F.concat(
+        F.lit("\U0001f4c8 Odds Movement: "), F.col("home_team"), F.lit(" vs "), F.col("away_team")
+    )
+    description = F.concat(
+        F.col("bookmaker"),
+        F.lit(" home "),
+        F.col("prev_home").cast("string"),
+        F.lit(" → "),
+        F.col("home_odds").cast("string"),
+        F.lit(" ("),
+        F.col("home_change_pct").cast("string"),
+        F.lit("%)"),
+    )
+    embed = F.struct(
+        title.alias("title"),
+        description.alias("description"),
+        F.lit(COLOR_ALERT).alias("color"),
+        F.lit(now_iso).alias("timestamp"),
+        F.struct(F.lit(FOOTER).alias("text")).alias("footer"),
+    )
+    return movements.select(F.to_json(embed).alias("embed_json"))
+
+
+def new_jobs_embed(n_games: int, n_jobs: int, matchups: list[str], now_iso: str) -> dict:
+    """The job-creation notification embed (yml:263-284): top-5
+    matchups as one field."""
+    return {
+        "title": "\U0001f3af New Games Scheduled",
+        "description": f"Found {n_games} upcoming games\nCreated {n_jobs} collection jobs",
+        "color": COLOR_OK,
+        "fields": [
+            {
+                "name": "Next Collections",
+                "value": "\n".join(f"⚽ {m}" for m in matchups[:5]),
+                "inline": False,
+            }
+        ],
+        "timestamp": now_iso,
+    }
+
+
+def simple_embed(title: str, description: str, now_iso: str, color: int = COLOR_INFO) -> dict:
+    """send_webhook_notification's embed shape
+    (discord_integration.py:385-395)."""
+    return {
+        "title": title,
+        "description": description,
+        "color": color,
+        "timestamp": now_iso,
+        "footer": {"text": FOOTER},
+    }
+
+
+def notification_sink(
+    send: Callable[[dict], None], now_iso: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch adapter: format each micro-batch of alert rows
+    in-engine, then hand the (top-k-bounded) embed payloads to
+    ``send``. Inject the webhook POST in production; tests inject a
+    recorder."""
+    import json
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        embeds = [json.loads(r.embed_json) for r in movement_alert_embeds(batch, now_iso).collect()]
+        if embeds:
+            send({"embeds": embeds})
+
+    return sink
