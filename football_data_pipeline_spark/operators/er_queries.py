@@ -373,3 +373,68 @@ def q_difflib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "odds_name",
         rnd(difflib_ratio(F.col("api_name"), F.col("odds_name")), 4).alias("ratio"),
     )
+
+
+def _alternatives_oracle() -> str:
+    return f"""
+    WITH api AS (
+      SELECT c_name AS api_name, c_nationkey AS nk FROM customer
+    ),
+    cand AS (
+      SELECT {_CAND_SQL} AS odds_name, c_nationkey AS nk FROM customer
+    ),
+    manual AS (
+      SELECT c_name AS api_name,
+             replace(c_name, 'Customer#', 'Cust#') AS manual_target
+      FROM customer WHERE c_custkey % 12 = 3
+    ),
+    {_cascade_ctes('a_')},
+    alts AS (
+      SELECT api_name,
+             CAST(to_json(list(odds_name ORDER BY rn)) AS VARCHAR) AS alternatives
+      FROM a_chosen WHERE rn BETWEEN 2 AND 4
+      GROUP BY api_name
+    )
+    SELECT r.api_name, r.matched_name, r.confidence, r.strategy,
+           coalesce(a.alternatives, '[]') AS alternatives
+    FROM a_result r LEFT JOIN alts a ON r.api_name = a.api_name
+    """
+
+
+@query("q_resolve_alternatives", oracle=_alternatives_oracle())
+def q_resolve_alternatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/F14: the full window-path resolution — top-1 match PLUS the
+    3 ranked runner-up alternatives per name, JSON-serialized (N6)
+    exactly as the attempt log stores them
+    (/root/reference/enhanced_mapping.py:584-590,628).
+
+    Same inputs as q_fuzzy_join; what this adds to the gate is the
+    with_alternatives=True code path: the per-name ranking window
+    (conf_star DESC, candidate ASC), the sort-before-slice alternative
+    packing, and the no-pair reinstatement contract.
+    """
+    customer = load(spark, sf_dir, "customer")
+    api = customer.select(F.col("c_name").alias("api_name"), F.col("c_nationkey").alias("nk"))
+    k = F.col("c_custkey") % 4
+    cand = customer.select(
+        F.when(k == 0, F.col("c_name"))
+        .when(k == 1, F.concat(F.col("c_name"), F.lit(" FC")))
+        .when(k == 2, F.upper(F.col("c_name")))
+        .otherwise(F.regexp_replace(F.col("c_name"), "Customer#", "Cust#"))
+        .alias("odds_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    manual = customer.filter(F.col("c_custkey") % 12 == 3).select(
+        F.col("c_name").alias("api_name"),
+        F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
+    )
+    resolved = resolve_names(
+        api, cand, block_key="nk", manual=manual, with_alternatives=True
+    )
+    return resolved.select(
+        "api_name",
+        "matched_name",
+        "confidence",
+        "strategy",
+        F.to_json("alternatives").alias("alternatives"),
+    )
