@@ -22,7 +22,7 @@ are exact small-int divisions — no float-summation drift anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -508,3 +508,99 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel with a crafted corpus where both pair kinds are non-empty.
     """
     return ngram_dedup_pairs(spark, load(spark, sf_dir, "documents"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected pair graph →
+    (node, component) where component = the minimum doc_id reachable.
+
+    This turns dedup PAIRS into the artifact a pipeline actually
+    ships: a keep/drop list (keep each component's minimum id). The
+    iteration is Spark-idiomatic small-graph propagation: the edge
+    set is the post-verify near-dup pairs — orders of magnitude
+    smaller than the corpus at any scale — and each round is one
+    broadcast-or-shuffle join + min-aggregate. Convergence needs
+    ``diameter`` rounds (duplicate clusters are near-cliques, so
+    diameter is tiny); each round localCheckpoints the label table to
+    keep the plan flat instead of exponentially nested, and the loop
+    exits when a round changes no label (one scalar count per round —
+    an aggregate, not a data collect).
+    """
+    sym = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new_labels = (
+            neighbor.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w_sz = F.count("*").over(Window.partitionBy("component"))
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("component_size", w_sz.cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE mh_pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size,
+           node = component AS is_canonical
+    FROM comp
+    """
+
+
+@query("q_dedup_components", oracle=_components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components over
+    the MinHash-verified pair graph, yielding the keep/drop list
+    (component = min doc_id; is_canonical marks the keeper).
+
+    The oracle computes the same fixpoint with a recursive CTE —
+    min-label propagation and transitive-closure-minimum agree by
+    definition of connectedness, so the hash checks the whole
+    iterative loop including its convergence.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
