@@ -206,3 +206,127 @@ def q_job_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("scheduled"),
     )
     return statused.groupBy("event_type", "status").agg(F.count("*").alias("n_jobs"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """AS-OF join: for every left row, the single latest right row
+    with ``right.ts <= left.ts`` within the same ``on`` key — the
+    canonical time-series alignment operator (latest odds snapshot
+    at each evaluation instant) that Spark has no built-in for.
+
+    Spark-first shape — NOT a range join: tag both inputs, union, and
+    run ONE window pass per key ordered by (ts, side) with a running
+    ``last(right-row-struct, ignorenulls)``. Right rows sort before
+    left rows at equal ts, giving inclusive <= semantics. Cost is a
+    single shuffle on the key and a streaming frame — no pair
+    explosion, no per-row probe, so it scales like latest_per_key
+    rather than like J5's join+filter (whose matched-pair stream is
+    |left| × |right-in-range| before filtering).
+
+    The whole right ROW travels as one struct so a NULL payload field
+    is carried faithfully (a last(value, ignorenulls) would skip
+    genuinely-NULL right values — wrong under AS-OF semantics).
+    Right should be unique per (key, ts) — dedupe first — or the
+    winner among equal timestamps is unspecified, exactly as in
+    DuckDB's ASOF JOIN.
+
+    Returns the left columns plus ``asof_ts`` and ``asof_<c>`` for
+    each payload column (NULL when no right row precedes).
+    """
+    from pyspark.sql import Window
+
+    payload_cols = payload_cols or [c for c in right.columns if c not in (on, ts_col)]
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    r_row = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts_col).alias("asof_ts"),
+            *[F.col(f"asof_{c}") for c in payload_cols],
+        ),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__r", F.last(r_row, ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            F.col("__r.asof_ts").alias("asof_ts"),
+            *[F.col(f"__r.asof_{c}").alias(f"asof_{c}") for c in payload_cols],
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           floor(c.value * 100 + 0.5) / 100 AS click_value,
+           p.ts AS asof_ts,
+           floor(p.value * 100 + 0.5) / 100 AS asof_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of operator against DuckDB's native ASOF LEFT JOIN: for
+    each click event, the latest at-or-before purchase value of the
+    same user. Purchases are deduped to one row per (user, instant)
+    first so tie-breaking is well-defined in both engines; clicks
+    with no preceding purchase keep NULL asof columns (left
+    semantics).
+    """
+    from .upsert import keep_latest
+
+    events = load(spark, sf_dir, "events")
+    purchases = keep_latest(
+        events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value", "event_id"),
+        ["user_id", "ts"],
+        ["event_id"],
+    ).drop("event_id")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        rnd(F.col("value")).alias("click_value"),
+    )
+    joined = asof_join(
+        clicks.withColumnRenamed("click_ts", "ts"),
+        purchases,
+        on="user_id",
+        payload_cols=["value"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        "asof_ts",
+        rnd(F.col("asof_value")).alias("asof_value"),
+    )
