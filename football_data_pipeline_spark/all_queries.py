@@ -12,10 +12,11 @@ from .operators import (  # noqa: F401
     er_queries,
     etl,
     multimodal,
+    profiling,
     relational,
     textstats,
     timeseries,
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, relational, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, profiling, relational, textstats, timeseries, windows]

@@ -1,0 +1,109 @@
+"""Data profiling — the pre-ingestion QA pass a training-data
+pipeline runs before anything else: per-column completeness and
+cardinality, plus distribution quantiles of document length.
+
+No reference counterpart (the reference's validate_data.py row-count
+ranges are the small-data cousin, /root/reference/validate_data.py:
+20-73); this generalizes that idea to column-level stats computed
+in ONE pass.
+
+Scale notes: the profile is a single aggregate over the table — all
+per-column counters ride one scan; the only physically heavy part is
+the exact COUNT(DISTINCT) set, which Catalyst plans via Expand (one
+shuffle per distinct column family). At 100 TB you would swap
+``countDistinct`` for ``approx_count_distinct`` (documented knob, not
+default — the oracle checks the exact form). Quantiles use Spark's
+exact ``percentile`` to match DuckDB's ``quantile_cont``
+(both linear-interpolated) — the approx_percentile sketch is the
+scale variant, with the same signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import oracle_rnd, rnd
+from ..registry import query
+
+PROFILE_COLS = ("doc_id", "lang", "source", "text")
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per profiled column: non-null count, exact distinct
+    count, lexicographic min/max (string-cast so heterogeneous
+    column types stack into one long-format result)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return row.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count({c}) AS n_non_null,
+               count(DISTINCT {c}) AS n_distinct,
+               min(CAST({c} AS VARCHAR)) AS min_value,
+               max(CAST({c} AS VARCHAR)) AS max_value
+        FROM documents
+        """
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_profile_documents", oracle=_profile_oracle())
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table — completeness,
+    cardinality, and value range per column, one scan."""
+    return profile_table(load(spark, sf_dir, "documents"), list(PROFILE_COLS))
+
+
+@query(
+    "q_length_quantiles",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(min(length(text)) AS BIGINT) AS min_len,
+           {oracle_rnd('quantile_cont(length(text), 0.5)')} AS p50_len,
+           {oracle_rnd('quantile_cont(length(text), 0.9)')} AS p90_len,
+           {oracle_rnd('quantile_cont(length(text), 0.99)')} AS p99_len,
+           CAST(max(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language: exact interpolated
+    percentiles (p50/p90/p99) — the filter-threshold-picking query of
+    every corpus-cleaning pipeline. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, so
+    the hash checks the quantile algorithm itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min(ln).cast("long").alias("min_len"),
+        rnd(F.percentile(ln, F.lit(0.5))).alias("p50_len"),
+        rnd(F.percentile(ln, F.lit(0.9))).alias("p90_len"),
+        rnd(F.percentile(ln, F.lit(0.99))).alias("p99_len"),
+        F.max(ln).cast("long").alias("max_len"),
+    )
