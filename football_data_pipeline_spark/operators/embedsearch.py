@@ -286,3 +286,49 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", rnd(F.col("sim"), 6).alias("cosine_sim"))
     )
+
+
+def _knn_recall_oracle() -> str:
+    return f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM ({_knn_bruteforce_oracle()})
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM ({_knn_ivf_oracle()})
+    )
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_overlap,
+           count(i.neighbor_id) * 1.0 / {TOP_K} AS recall_at_k
+    FROM bf b
+    LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("q_knn_recall", oracle=_knn_recall_oracle())
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality: recall@k of the IVF-pruned plan against
+    the brute-force ground truth, per query — the metric that decides
+    whether a pruning strategy is shippable ("measure, don't guess").
+
+    Composes the two existing top-k plans and reduces to one tiny
+    (n_queries-row) aggregate; both sides and the comparison are the
+    same in the oracle, so the hash pins the whole measurement
+    pipeline, not just the number.
+    """
+    bf = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        q_knn_ivf(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") * 1.0 / TOP_K).alias("recall_at_k"),
+        )
+    )
