@@ -1,19 +1,24 @@
 """Large-scale deduplication operators (build-plan step 6 — the
 LLM-training-data extensions beyond the reference surface).
 
-Four dedup families over ``documents``:
+Dedup families over ``documents``, plus the cluster assignment that
+turns pairs into a keep/drop list:
 - exact (canonical-form): hash of the sorted distinct word set —
   catches reordered/repeated-word duplicates that byte-exact hashing
   misses (testdata has 0 byte-exact but thousands of set-equal pairs);
-- MinHash + LSH banding: H=8 signatures, 4 bands × 2 rows; candidate
-  pairs come from band-bucket joins, then true Jaccard verification.
-  This is THE 100 TB dedup path: cost is O(docs × H) for signatures
-  plus bucket-local pair generation — never an all-pairs product;
+- MinHash + LSH banding: 18 signatures, 3 bands × 6 rows, salted
+  bucket-local pair generation (PAIR_SALT) and true Jaccard
+  verification. This is THE 100 TB dedup path: cost is O(docs × H)
+  for signatures plus bucket-local pair generation — never an
+  all-pairs product;
 - SimHash: 16-bit sign-sum fingerprint; identical word sets collide
   exactly, near sets land at small Hamming distance;
-- n-gram Jaccard: word-3-gram set similarity for pairs inside small
-  (lang, source) blocks — the bounded-block pattern for pairwise
-  verification.
+- n-gram Jaccard: word-3-gram near-dups — identical shingle sets
+  collapse to star pairs, cross-set candidates come from
+  (lang, source, minhash-band) buckets (16 hashes, 4 bands × 4 rows)
+  with an exact-Jaccard verify;
+- connected components: min-label propagation over the verified pair
+  graph → (doc_id, component, is_canonical).
 
 Engine/oracle parity: all hashing goes through md5 (stable in both
 engines); minima over hex strings are lexicographic; Jaccard ratios

@@ -110,3 +110,96 @@ def test_upsert_replace_delta_wins_and_idempotent(spark, base_rows, delta_rows):
             assert got[k] == tv
     again = upsert_replace(merged, delta, keys=["k"], order_cols=["ts", "v"])
     assert {r["k"]: (r["ts"], r["v"]) for r in again.collect()} == got
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=40),  # ts (seconds offset)
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(asof_rows, asof_rows)
+@FAST
+def test_asof_join_matches_pointwise_model(spark, ls, rs):
+    """asof_join == the per-row model: for each left row, the right
+    row with max ts ≤ left.ts in the same key (rights pre-deduped per
+    (key, ts)). Left row count is always preserved."""
+    from football_data_pipeline_spark.operators.timeseries import asof_join
+
+    base = "2024-01-01 00:00:"
+    l_df = spark.createDataFrame(
+        [(k, f"{base}{t:02d}" if t < 60 else None, i) for i, (k, t, _) in enumerate(ls)],
+        "k long, ts_s string, row_id long",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "row_id")
+    # dedupe rights per (k, ts): keep max value as the model's pick
+    r_best = {}
+    for k, t, v in rs:
+        r_best[(k, t)] = max(v, r_best.get((k, t), float("-inf")))
+    r_df = spark.createDataFrame(
+        [(k, f"{base}{t:02d}", v) for (k, t), v in r_best.items()],
+        "k long, ts_s string, value double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {r.row_id: r for r in asof_join(l_df, r_df, on="k").collect()}
+    assert len(out) == len(ls)
+    for i, (k, t, _) in enumerate(ls):
+        prior = [(pt, v) for (pk, pt), v in r_best.items() if pk == k and pt <= t]
+        got = out[i]
+        if prior:
+            exp_t, exp_v = max(prior)
+            assert got.asof_value == exp_v
+            assert got.asof_ts.second + got.asof_ts.minute * 60 == exp_t
+        else:
+            assert got.asof_value is None and got.asof_ts is None
+
+
+pair_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(pair_lists)
+@FAST
+def test_connected_components_matches_union_find(spark, raw_pairs):
+    """connected_components == a driver-side union-find on the same
+    edges: same node→component assignment, canonical = component min."""
+    from football_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    for a, b in pairs:
+        union(a, b)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expected = {}
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            expected[n] = (m, len(members))
+    assert set(got) == set(expected)
+    for n, (comp, size) in expected.items():
+        assert got[n].component == comp
+        assert got[n].component_size == size
+        assert got[n].is_canonical == (n == comp)
