@@ -14,9 +14,10 @@ from .operators import (  # noqa: F401
     multimodal,
     profiling,
     relational,
+    sampling,
     textstats,
     timeseries,
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, profiling, relational, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, profiling, relational, sampling, textstats, timeseries, windows]
