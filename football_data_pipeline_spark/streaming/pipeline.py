@@ -179,3 +179,22 @@ def start_pipeline(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def dedup_stream(events: DataFrame, id_cols: list[str], ts_col: str = "ts",
+                 watermark: str = "45 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per id, with
+    state bounded by the watermark — the streaming form of the batch
+    dedup family (operators/dedup.py) and of the job queue's
+    anti-join merge (jobs.py merge_jobs).
+
+    ``dropDuplicatesWithinWatermark`` evicts seen-id state once the
+    watermark passes, so memory is bounded by the late-data window
+    (the same 45-minute rule as job expiry, yml:420-424) instead of
+    the whole stream history — mandatory at 100 TB/day. Batch inputs
+    fall back to plain dropDuplicates (same result set for in-window
+    duplicates; batch has no state to bound).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+    return events.dropDuplicates(id_cols)

@@ -9,6 +9,8 @@ from __future__ import annotations
 import copy
 import json
 
+from pyspark.sql import functions as F
+
 from football_data_pipeline_spark.streaming.pipeline import start_pipeline
 
 from .test_flatten import DEMO_DOC
@@ -64,3 +66,64 @@ def test_pipeline_fans_out_and_upserts(spark, tmp_path):
     # checkpoint: draining again with no new files writes nothing
     _run_drain(spark, src, silver, ckpt)
     assert len(spark.read.parquet(f"{silver}/odds_history").collect()) == 2
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    """Duplicate ids arriving across micro-batches inside the
+    watermark are dropped; the first arrival's payload survives."""
+    import json as _json
+
+    from football_data_pipeline_spark.streaming.pipeline import dedup_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-03-01 12:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-03-01 12:01:00", "value": 2.0},
+        {"event_id": 1, "ts": "2024-03-01 12:02:00", "value": 99.0},  # dup in-batch
+    ]
+    rows2 = [
+        {"event_id": 2, "ts": "2024-03-01 12:10:00", "value": 88.0},  # dup cross-batch
+        {"event_id": 3, "ts": "2024-03-01 12:11:00", "value": 3.0},
+    ]
+    import os
+    import time
+
+    # two files, forced into TWO micro-batches of one availableNow run
+    # via maxFilesPerTrigger=1 (file order pinned by mtime), so the
+    # cross-batch duplicate must be caught by dedup STATE
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    now = time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = (
+        spark.readStream.schema("event_id long, ts string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = dedup_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is None or not q.isActive
+    out = {r.event_id: r.value for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # in-batch dup of id 1 dropped (first arrival 1.0 kept);
+    # cross-batch dup of id 2 suppressed by watermark state
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_dedup_stream_batch_fallback(spark):
+    from football_data_pipeline_spark.streaming.pipeline import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 12:00:00", 1.0), (1, "2024-03-01 12:05:00", 9.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert dedup_stream(df, ["event_id"]).count() == 1
