@@ -35,6 +35,7 @@ HEADLINE = [
     "q_topk_group",
     "q_range_join",
     "q_upsert_latest",
+    "q_asof_join",
     "q_fuzzy_join",
     "q_dedup_minhash",
     "q_ngram_jaccard",

@@ -28,19 +28,39 @@ names = st.text(
     max_size=40,
 )
 
+ascii_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=40,
+)
 
-@given(st.lists(names, min_size=1, max_size=30))
+
+@given(st.lists(ascii_names, min_size=1, max_size=30))
 @FAST
-def test_normalize_idempotent(spark, xs):
-    """normalize(normalize(x)) == normalize(x): the rule chain is a
-    projection onto its own fixed points — required for tier-A
-    normalized-equality joins to be stable under re-normalization."""
+def test_normalize_idempotent_ascii(spark, xs):
+    """normalize(normalize(x)) == normalize(x) on accent-free input.
+
+    Full idempotence is deliberately NOT claimed: the reference folds
+    accents AFTER the token rules (enhanced_mapping.py:309-323), so a
+    fold can mint a rule token on the second pass ('SÇ' → 'sc' → '' —
+    hypothesis found this; pinned below). The engine normalizes each
+    side exactly once, so join stability only needs determinism plus
+    ASCII idempotence."""
     df = spark.createDataFrame([(x,) for x in xs], "raw string")
     out = df.select(
         normalize_name(F.col("raw")).alias("once"),
     ).select("once", normalize_name(F.col("once")).alias("twice"))
     bad = out.filter(F.col("once") != F.col("twice")).collect()
     assert bad == [], bad
+
+
+def test_normalize_accent_fold_order_quirk(spark):
+    """Reference-parity pin: token rules run before accent folding,
+    so 'SÇ' one-pass-normalizes to 'sc' (NOT stripped — the rule saw
+    'sç'), while a literal 'SC' is stripped to ''."""
+    df = spark.createDataFrame([("SÇ",), ("SC",)], "raw string")
+    got = {r.raw: r.norm for r in df.select("raw", normalize_name(F.col("raw")).alias("norm")).collect()}
+    assert got == {"SÇ": "sc", "SC": ""}
 
 
 @given(st.lists(names, min_size=1, max_size=30))
