@@ -34,9 +34,14 @@ def with_snapshot_date(df: DataFrame, ts_col: str = "collected_at") -> DataFrame
     return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
 
 
-def write_silver(df: DataFrame, path: str, ts_col: str = "collected_at") -> None:
-    """S4/S7 write side: date-partitioned Parquet fact table."""
-    with_snapshot_date(df, ts_col).write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+def write_silver(
+    df: DataFrame, path: str, ts_col: str = "collected_at", mode: str = "append"
+) -> None:
+    """S4/S7 write side: date-partitioned Parquet fact table.
+    ``mode="overwrite"`` supports idempotent batchId-keyed writes
+    (streaming/pipeline.py) — the caller scopes ``path`` to the unit
+    being replaced."""
+    with_snapshot_date(df, ts_col).write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
 def read_silver(spark: SparkSession, path: str) -> DataFrame:

@@ -17,15 +17,17 @@ production, ``availableNow`` for drain-and-stop runs (tests, backfill).
 Because each micro-batch calls the same pure batch transforms the
 oracle gate already checks, stream and batch cannot drift.
 
-Delivery semantics, stated honestly: the file source + checkpoint
-give exactly-once *batch replay*, but the fact appends inside
-foreachBatch are not transactional — a crash between a partial append
-and the checkpoint commit can duplicate rows on restart. The
-idempotent fix at scale is a transactional table format (Delta MERGE
-on (fixture_id, bookmaker, market_type, collected_at)) or
-batchId-keyed staging; on plain Parquet we document the at-least-once
-window instead of pretending it away. Dim merges are naturally
-idempotent (replaying a batch re-derives the same keyed state).
+Delivery semantics: exactly-once end-to-end on plain Parquet.
+- Dim merges are naturally idempotent (replaying a batch re-derives
+  the same keyed state).
+- Fact writes are batchId-keyed: each micro-batch OVERWRITES its own
+  ``batch_id=<n>`` partition directory, so a crash-restart that
+  re-runs the batch replaces its own partial output instead of
+  appending a duplicate. Readers scan the table root; ``batch_id``
+  surfaces as an ordinary partition column (and date partitioning
+  nests inside it, so time-range pruning still works). A
+  transactional format (Delta/Iceberg) makes this implicit; this is
+  the portable equivalent.
 """
 
 from __future__ import annotations
@@ -103,6 +105,13 @@ def silver_batch_writer(silver_root: str) -> Callable[[DataFrame, int], None]:
     dims mid-batch sees at worst a missing fact, never a dangling FK.
     """
 
+    def write_fact(df: DataFrame, path: str, batch_id: int, ts_col: str) -> None:
+        # idempotent fact write: this batch's rows live under their
+        # own batch_id partition and a re-run overwrites exactly it
+        write_silver(
+            df, f"{path}/batch_id={batch_id}", ts_col=ts_col, mode="overwrite"
+        )
+
     def write_batch(bronze: DataFrame, batch_id: int) -> None:
         spark = bronze.sparkSession
         bronze = bronze.cache()  # consumed by 8 flatteners
@@ -140,18 +149,20 @@ def silver_batch_writer(silver_root: str) -> Callable[[DataFrame, int], None]:
                 order_cols=["created_at"],
                 replace=False,
             )
-            write_silver(flatten_odds(bronze), f"{silver_root}/odds_history")
-            write_silver(
+            write_fact(flatten_odds(bronze), f"{silver_root}/odds_history", batch_id, "collected_at")
+            write_fact(
                 extract_team_statistics(bronze),
                 f"{silver_root}/team_statistics",
-                ts_col="created_at",
+                batch_id,
+                "created_at",
             )
-            write_silver(
+            write_fact(
                 flatten_head_to_head(bronze),
                 f"{silver_root}/head_to_head",
-                ts_col="created_at",
+                batch_id,
+                "created_at",
             )
-            write_silver(lineups, f"{silver_root}/lineups", ts_col="collected_at")
+            write_fact(lineups, f"{silver_root}/lineups", batch_id, "collected_at")
         finally:
             bronze.unpersist()
 

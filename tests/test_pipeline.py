@@ -127,3 +127,20 @@ def test_dedup_stream_batch_fallback(spark):
         "event_id long, ts string, value double",
     ).withColumn("ts", F.to_timestamp("ts"))
     assert dedup_stream(df, ["event_id"]).count() == 1
+
+
+def test_fact_writes_idempotent_per_batch(spark, tmp_path):
+    """Re-running a micro-batch (crash-restart replay) overwrites its
+    own batch_id partition instead of appending duplicates."""
+    from football_data_pipeline_spark.sources.ingest import read_collections
+    from football_data_pipeline_spark.streaming.pipeline import silver_batch_writer
+
+    src = tmp_path / "bronze"
+    _write_doc(src, "doc1.json", DEMO_DOC)
+    bronze = read_collections(spark, str(src))
+    writer = silver_batch_writer(str(tmp_path / "silver"))
+    writer(bronze, batch_id=7)
+    writer(bronze, batch_id=7)  # replay of the same batch
+    odds = spark.read.parquet(str(tmp_path / "silver" / "odds_history")).collect()
+    assert len(odds) == 1  # not duplicated
+    assert odds[0].batch_id == 7
