@@ -134,3 +134,49 @@ def test_dashboard_data_shape(spark, silver, tmp_path):
         assert {"id", "kickoff_utc", "home_team", "away_team", "league", "country"} <= set(
             doc["upcoming_games"][0]
         )
+
+
+def test_dashboard_movements_packing(spark, tmp_path):
+    """odds_movements packing exercised with rows: crafted odds where
+    one bookmaker's h2h odds jump >10% inside the last 24 h."""
+    now = F.lit(NOW).cast("timestamp")
+    fixtures = spark.createDataFrame(
+        [(1, 10, 110, 7, 1995, "1995-06-02 15:00:00", "scheduled")],
+        "id long, home_team_id long, away_team_id long, league_id long, "
+        "season int, k string, status string",
+    ).select("id", "home_team_id", "away_team_id", "league_id", "season",
+             F.to_timestamp("k").alias("kickoff_utc"), "status")
+    teams = spark.createDataFrame(
+        [(10, "Home FC"), (110, "Away FC")], "id long, name string"
+    )
+    leagues = spark.createDataFrame(
+        [(7, 1995, "League-7", "C")], "id long, season int, name string, country string"
+    )
+    odds = spark.createDataFrame(
+        [
+            (1, "Alpha", "h2h", 2.0, 3.0, 4.0, "1995-05-31 10:00:00"),
+            (1, "Alpha", "h2h", 2.6, 3.0, 4.0, "1995-05-31 12:00:00"),  # +30%
+            (1, "Beta", "h2h", 2.0, 3.0, 4.0, "1995-05-31 10:00:00"),
+            (1, "Beta", "h2h", 2.05, 3.0, 4.1, "1995-05-31 12:00:00"),  # <10%
+        ],
+        "fixture_id long, bookmaker string, market_type string, "
+        "home_odds double, draw_odds double, away_odds double, c string",
+    ).select("*", F.to_timestamp("c").alias("collected_at")).drop("c")
+    stats = spark.createDataFrame(
+        [], "team_id long, league_id long, season int, collection_date string, "
+        "matches_played int, wins int, win_percentage double, goals_for int, "
+        "goals_against int, created_at timestamp",
+    )
+    doc = _roundtrip(
+        dashboard_data(fixtures, teams, leagues, odds, stats, now), tmp_path
+    )
+    assert len(doc["odds_movements"]) == 1
+    m = doc["odds_movements"][0]
+    assert m["bookmaker"] == "Alpha" and m["home_team"] == "Home FC"
+    assert m["home_change_pct"] == 30.0
+    # the same crafted silver also feeds upcoming_games (kickoff +1d);
+    # Alpha and Beta tie on the latest instant → bookmaker-DESC
+    # tiebreak picks Beta (gold.py's documented determinism rule)
+    assert len(doc["upcoming_games"]) == 1
+    assert doc["upcoming_games"][0]["bookmaker"] == "Beta"
+    assert doc["upcoming_games"][0]["home_odds"] == 2.05
