@@ -12,6 +12,7 @@ from .operators import (  # noqa: F401
     er_queries,
     etl,
     multimodal,
+    prep,
     profiling,
     relational,
     sampling,
@@ -20,4 +21,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, profiling, relational, sampling, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, prep, profiling, relational, sampling, textstats, timeseries, windows]
