@@ -401,3 +401,148 @@ def dashboard_data(
             ).alias("stats"),
         )
     )
+
+
+#: estimated API calls per completed job type (yml:962-987)
+API_COST = {"early_odds": 2, "pre_match": 4, "team_news": 1, "final_data": 2}
+API_FOOTBALL_DAILY_LIMIT = 100
+
+
+def api_usage_report(jobs: DataFrame, now: Column) -> DataFrame:
+    """The API-usage document (yml:949-1027; sample
+    /root/reference/data/api_usage.json): completed-job counts from
+    the last 24 h weighted by the per-type call-cost model (A11),
+    plus the traffic-light budget status."""
+    day_ago = now - F.expr("INTERVAL 1 DAY")
+    processed = (
+        F.col("processed_at") if "processed_at" in jobs.columns else F.lit(None).cast("timestamp")
+    )
+    done = jobs.filter((F.col("status") == "completed") & (processed >= day_ago))
+    cost = F.lit(1)
+    for t, c in API_COST.items():
+        cost = F.when(F.col("type") == t, c).otherwise(cost)
+    af_cost = F.when(F.col("type").isin("pre_match", "final_data"), 3).otherwise(1)
+    agg = done.agg(
+        F.count("*").alias("completed_jobs"),
+        F.coalesce(F.sum(cost), F.lit(0)).alias("estimated_total_calls"),
+        F.coalesce(F.sum(af_cost), F.lit(0)).alias("api_football_calls"),
+        F.count("*").alias("odds_api_calls"),  # 1 call per job
+    )
+    remaining = F.greatest(
+        F.lit(0), F.lit(API_FOOTBALL_DAILY_LIMIT) - F.col("api_football_calls")
+    )
+    status = (
+        F.when(F.col("api_football_calls") < 80, "green")
+        .when(F.col("api_football_calls") < 95, "yellow")
+        .otherwise("red")
+    )
+    return agg.select(
+        F.date_format(now, "yyyy-MM-dd").alias("date"),
+        "completed_jobs",
+        "estimated_total_calls",
+        "api_football_calls",
+        "odds_api_calls",
+        remaining.alias("api_football_remaining"),
+        status.alias("usage_status"),
+    )
+
+
+def mapping_stats_report(
+    attempts: DataFrame,
+    learned_count: DataFrame,
+    manual_count: DataFrame,
+    now: Column,
+) -> DataFrame:
+    """The daily mapping-stats document (sample
+    /root/reference/data/daily_mapping_stats.json): in-memory run
+    stats (enhanced_mapping.py:267-288) plus the periodic report
+    (:661-708). ``attempts`` is attempt_log's output; the two count
+    inputs are the mapping dims."""
+    succ_conf = F.when(F.col("success"), F.col("confidence"))
+    overall = attempts.agg(
+        F.count("*").alias("total_attempts"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("successful_mappings"),
+        F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("failed_mappings"),
+        F.avg(succ_conf).alias("avg_confidence"),
+    ).withColumn(
+        "success_rate",
+        F.when(
+            F.col("total_attempts") > 0,
+            F.col("successful_mappings") / F.col("total_attempts"),
+        ).otherwise(F.lit(0.0)),
+    )
+    usage = (
+        attempts.groupBy("strategy")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("strategy", "n")))
+            ).alias("strategy_usage")
+        )
+    )
+    per_strategy = (
+        attempts.filter(F.col("success"))
+        .groupBy("strategy")
+        .agg(F.count("*").alias("successes"), rnd(F.avg("confidence"), 4).alias("avg_confidence"))
+    )
+    strategy_perf = _packed_top(
+        per_strategy,
+        F.col("successes"),
+        F.col("strategy"),
+        F.struct("strategy", "successes", "avg_confidence"),
+        None,
+        "strategy_performance",
+    )
+    failed = _packed_top(
+        attempts.filter(~F.col("success")).select("api_name"),
+        F.lit(0),
+        F.col("api_name"),
+        F.struct("api_name"),
+        20,
+        "failed_list",  # renamed into the report struct below —
+        # 'failed_mappings' also names the stats-level count
+    )
+    successes = _packed_top(
+        attempts.filter(F.col("success")).select("api_name", "matched_name", "confidence"),
+        F.col("confidence"),
+        F.col("api_name"),
+        F.struct("api_name", "matched_name", "confidence"),
+        10,
+        "recent_successes",
+    )
+    counts = learned_count.agg(F.count("*").alias("learned_mappings_count")).crossJoin(
+        manual_count.agg(F.count("*").alias("manual_mappings_count"))
+    )
+    return (
+        overall.crossJoin(usage)
+        .crossJoin(strategy_perf)
+        .crossJoin(failed)
+        .crossJoin(successes)
+        .crossJoin(counts)
+        .select(
+            F.date_format(now, "yyyy-MM-dd").alias("date"),
+            F.struct(
+                "total_attempts",
+                "successful_mappings",
+                "failed_mappings",
+                "success_rate",
+                "avg_confidence",
+                "strategy_usage",
+            ).alias("stats"),
+            F.struct(
+                F.date_format(now, "yyyy-MM-dd'T'HH:mm:ss").alias("report_date"),
+                F.lit(1).alias("period_days"),
+                F.struct(
+                    "total_attempts",
+                    "successful_mappings",
+                    "success_rate",
+                    "avg_confidence",
+                ).alias("overall_stats"),
+                F.col("strategy_performance"),
+                F.col("failed_list").alias("failed_mappings"),
+                F.col("recent_successes"),
+                F.col("learned_mappings_count"),
+                F.col("manual_mappings_count"),
+            ).alias("report"),
+        )
+    )

@@ -180,3 +180,61 @@ def test_dashboard_movements_packing(spark, tmp_path):
     assert len(doc["upcoming_games"]) == 1
     assert doc["upcoming_games"][0]["bookmaker"] == "Beta"
     assert doc["upcoming_games"][0]["home_odds"] == 2.05
+
+
+def test_api_usage_report_shape(spark, tmp_path):
+    from football_data_pipeline_spark.operators.reports import api_usage_report
+
+    now = F.lit(NOW).cast("timestamp")
+    jobs = spark.createDataFrame(
+        [
+            ("1_early_odds", "completed", "early_odds", "1995-05-31 22:00:00"),
+            ("1_pre_match", "completed", "pre_match", "1995-05-31 23:00:00"),
+            ("2_final_data", "completed", "final_data", "1995-05-20 10:00:00"),  # old
+            ("3_team_news", "pending", "team_news", None),
+        ],
+        "id string, status string, type string, p string",
+    ).select("id", "status", "type", F.to_timestamp("p").alias("processed_at"))
+    doc = _roundtrip(api_usage_report(jobs, now), tmp_path)
+    sample = _reference_doc("api_usage.json")
+    assert set(doc) == set(sample)
+    assert doc["completed_jobs"] == 2
+    assert doc["estimated_total_calls"] == 2 + 4
+    assert doc["api_football_calls"] == 1 + 3
+    assert doc["api_football_remaining"] == 96
+    assert doc["usage_status"] == "green"
+
+
+def test_mapping_stats_report_shape(spark, silver, tmp_path):
+    from football_data_pipeline_spark.operators.reports import mapping_stats_report
+    from football_data_pipeline_spark.operators.resolution import attempt_log
+
+    resolved = spark.createDataFrame(
+        [
+            ("A", "A", 1.0, "exact_match", ["B"]),
+            ("B", "B2", 0.85, "normalized_matching", []),
+            ("C", None, None, "no_match", []),
+        ],
+        "api_name string, matched_name string, confidence double, "
+        "strategy string, alternatives array<string>",
+    )
+    attempts = attempt_log(resolved)
+    learned = spark.createDataFrame([("A", "A")], "api_name string, learned_name string")
+    manual = spark.createDataFrame([("X", "Y"), ("Z", "W")], "api_name string, manual_target string")
+    doc = _roundtrip(
+        mapping_stats_report(attempts, learned, manual, F.lit(NOW).cast("timestamp")),
+        tmp_path,
+    )
+    sample = _reference_doc("daily_mapping_stats.json")
+    assert set(doc) == set(sample)
+    assert set(doc["stats"]) == set(sample["stats"])
+    assert set(doc["report"]) - {"avg_processing_time"} == set(sample["report"]) - {"avg_processing_time"}
+    assert doc["stats"]["total_attempts"] == 3
+    assert doc["stats"]["successful_mappings"] == 2
+    assert doc["stats"]["failed_mappings"] == 1
+    assert doc["stats"]["strategy_usage"] == {
+        "exact_match": 1, "normalized_matching": 1, "no_match": 1
+    }
+    assert doc["report"]["learned_mappings_count"] == 1
+    assert doc["report"]["manual_mappings_count"] == 2
+    assert doc["report"]["failed_mappings"] == [{"api_name": "C"}]
