@@ -562,6 +562,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fail loudly: an unconverged exit would silently SPLIT real
+        # clusters (multiple is_canonical keepers per true component),
+        # corrupting the keep/drop list. Propagation advances one hop
+        # per round, so this means graph diameter > max_iter — raise
+        # max_iter (or switch to pointer-doubling) for that data.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)"
+        )
     w_sz = F.count("*").over(Window.partitionBy("component"))
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -77,7 +77,13 @@ def weekly_report(
     top_leagues[], bookmakers[], collection_phases[]}}.
     """
     week_ago = now - F.expr("INTERVAL 7 DAYS")
-    recent = odds_history.filter(F.col("collected_at") >= week_ago)
+    # bounded on BOTH ends: with an explicit replay `now`, rows
+    # collected after it exist in the warehouse and must not leak
+    # into 'last_7_days' (the reference's wall-clock now makes the
+    # upper bound implicit)
+    recent = odds_history.filter(
+        (F.col("collected_at") >= week_ago) & (F.col("collected_at") <= now)
+    )
 
     counts = recent.agg(
         F.count("*").alias("odds_collected"),
@@ -178,18 +184,26 @@ def health_status(
     processed = (
         F.col("processed_at") if "processed_at" in jobs.columns else F.lit(None).cast("timestamp")
     )
+    # every counter is coalesced to 0: SUM over an EMPTY table is
+    # NULL, which would make every rule condition NULL → no issues →
+    # 'healthy' — a health check must fail CLOSED on a dead pipeline
+    def czsum(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
     job_counts = jobs.agg(
-        F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
-        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
-        F.sum(F.when(F.col("status") == "expired", 1).otherwise(0)).alias("n_expired"),
-        F.sum(F.when(F.col("status") == "completed", 1).otherwise(0)).alias("n_completed"),
-        F.sum(F.when(processed >= day_ago, 1).otherwise(0)).alias("n_recent"),
+        czsum(F.col("status") == "pending").alias("n_pending"),
+        czsum(F.col("status") == "failed").alias("n_failed"),
+        czsum(F.col("status") == "expired").alias("n_expired"),
+        czsum(F.col("status") == "completed").alias("n_completed"),
+        czsum((processed >= day_ago) & (processed <= now)).alias("n_recent"),
     )
     odds_counts = odds_history.agg(
-        F.sum(F.when(F.col("collected_at") >= day_ago, 1).otherwise(0)).alias("n_recent_odds")
+        czsum(
+            (F.col("collected_at") >= day_ago) & (F.col("collected_at") <= now)
+        ).alias("n_recent_odds")
     )
     fixture_counts = fixtures.agg(
-        F.sum(F.when(F.col("kickoff_utc") > now, 1).otherwise(0)).alias("n_future")
+        czsum(F.col("kickoff_utc") > now).alias("n_future")
     )
     doc = job_counts.crossJoin(odds_counts).crossJoin(fixture_counts)
     conds = [
@@ -276,7 +290,11 @@ def dashboard_data(
     day_ago = now - F.expr("INTERVAL 24 HOURS")
     w = Window.partitionBy("fixture_id", "bookmaker").orderBy("collected_at")
     recent = (
-        odds_history.filter((F.col("collected_at") >= day_ago) & (F.col("market_type") == "h2h"))
+        odds_history.filter(
+            (F.col("collected_at") >= day_ago)
+            & (F.col("collected_at") <= now)
+            & (F.col("market_type") == "h2h")
+        )
         .withColumn("prev_home", F.lag("home_odds").over(w))
         .withColumn("prev_away", F.lag("away_odds").over(w))
         .filter(
@@ -332,11 +350,19 @@ def dashboard_data(
             F.broadcast(lg),
             (F.col("league_id") == F.col("__lg_id")) & (F.col("season") == F.col("__lg_season")),
         )
-        .join(odds_history.select("fixture_id"), "fixture_id", "left")
+        .join(
+            odds_history.select("fixture_id").withColumn("__odds_row", F.lit(1)),
+            "fixture_id",
+            "left",
+        )
         .groupBy("name", "country")
         .agg(
             F.countDistinct("fixture_id").alias("total_games"),
-            F.count("fixture_id").alias("odds_records"),
+            # count a RIGHT-side marker, not the join key: the using-
+            # key column comes from the left side and is never NULL,
+            # so count(fixture_id) would count odds-less fixtures as
+            # phantom odds records
+            F.count("__odds_row").alias("odds_records"),
         )
     )
     league_stats_packed = _packed_top(
@@ -355,7 +381,9 @@ def dashboard_data(
     )
     top_teams_df = (
         team_statistics.filter(
-            (F.to_date("collection_date") >= week_ago_d) & (F.col("matches_played") >= 5)
+            (F.to_date("collection_date") >= week_ago_d)
+            & (F.to_date("collection_date") <= F.to_date(now))
+            & (F.col("matches_played") >= 5)
         )
         .join(F.broadcast(tnm), F.col("team_id") == F.col("__t_id"))
         .join(
@@ -417,7 +445,9 @@ def api_usage_report(jobs: DataFrame, now: Column) -> DataFrame:
     processed = (
         F.col("processed_at") if "processed_at" in jobs.columns else F.lit(None).cast("timestamp")
     )
-    done = jobs.filter((F.col("status") == "completed") & (processed >= day_ago))
+    done = jobs.filter(
+        (F.col("status") == "completed") & (processed >= day_ago) & (processed <= now)
+    )
     cost = F.lit(1)
     for t, c in API_COST.items():
         cost = F.when(F.col("type") == t, c).otherwise(cost)

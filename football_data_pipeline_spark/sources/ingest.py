@@ -220,20 +220,25 @@ COLLECTION_SCHEMA = T.StructType(
 )
 
 
-def read_collections(spark: SparkSession, path: str) -> DataFrame:
-    """S1/S2: bronze scan of collection documents (one JSON per file,
-    or JSON-lines), with the declared schema — no inference.
-
-    ``collected_at`` is normalized to a real TimestampType here (the
-    reference stores ISO strings and fixes ``Z`` → ``+00:00`` by hand,
-    /root/reference/database_integration.py:157); bronze→silver is
-    where string timestamps die.
-    """
-    df = spark.read.schema(COLLECTION_SCHEMA).option("multiLine", "true").json(path)
+def with_collected_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``collected_at`` to a real TimestampType (the
+    reference stores ISO strings and fixes ``Z`` → ``+00:00`` by
+    hand, /root/reference/database_integration.py:157). Shared by the
+    batch and streaming bronze readers so the two paths cannot
+    drift."""
     return df.withColumn(
         "collected_at_ts",
         F.to_timestamp(F.regexp_replace(F.col("collected_at"), "Z$", "+00:00")),
     )
+
+
+def read_collections(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: bronze scan of collection documents (one JSON per file,
+    or JSON-lines), with the declared schema — no inference.
+    bronze→silver is where string timestamps die.
+    """
+    df = spark.read.schema(COLLECTION_SCHEMA).option("multiLine", "true").json(path)
+    return with_collected_ts(df)
 
 
 def write_bronze(df: DataFrame, path: str) -> None:

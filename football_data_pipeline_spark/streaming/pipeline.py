@@ -48,7 +48,7 @@ from ..operators.flatten import (
     flatten_odds,
 )
 from ..operators.upsert import insert_if_absent, upsert_replace
-from ..sources.ingest import COLLECTION_SCHEMA
+from ..sources.ingest import COLLECTION_SCHEMA, with_collected_ts
 from ..sources.sinks import write_silver
 
 DEFAULT_TRIGGER = "30 minutes"  # yml:8 — the reference's cron cadence
@@ -57,19 +57,15 @@ DEFAULT_TRIGGER = "30 minutes"  # yml:8 — the reference's cron cadence
 def stream_collections(spark: SparkSession, path: str) -> DataFrame:
     """S1/S2 as a stream: the bronze file source with the declared
     schema (new JSON documents appear under ``path``; schema-on-read
-    never infers)."""
-    from pyspark.sql import functions as F
-
+    never infers). Timestamp normalization is shared with the batch
+    reader (ingest.with_collected_ts) so the paths cannot drift."""
     df = (
         spark.readStream.schema(COLLECTION_SCHEMA)
         .option("multiLine", "true")
         .option("maxFilesPerTrigger", 1000)
         .json(path)
     )
-    return df.withColumn(
-        "collected_at_ts",
-        F.to_timestamp(F.regexp_replace(F.col("collected_at"), "Z$", "+00:00")),
-    )
+    return with_collected_ts(df)
 
 
 def _merge_dim(
@@ -90,10 +86,16 @@ def _merge_dim(
         merged = merge(base, delta, keys=keys, order_cols=order_cols)
     else:
         merged = delta
-    merged = merged.cache()
-    merged.count()  # materialize before overwriting the source files
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    # two-phase write: land the merged state in a side path FIRST,
+    # then rewrite the live path from it. A cache()+count() barrier
+    # is NOT durable on a real cluster — losing a cached block after
+    # the live files are deleted would recompute the plan from the
+    # now-missing source and silently rebuild the dim from the delta
+    # alone. With the tmp copy on disk, a crash at any point leaves a
+    # recoverable full state (same contract as compact_partitions).
+    tmp = f"{path}__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
 
 
 def silver_batch_writer(silver_root: str) -> Callable[[DataFrame, int], None]:

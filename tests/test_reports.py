@@ -238,3 +238,52 @@ def test_mapping_stats_report_shape(spark, silver, tmp_path):
     assert doc["report"]["learned_mappings_count"] == 1
     assert doc["report"]["manual_mappings_count"] == 2
     assert doc["report"]["failed_mappings"] == [{"api_name": "C"}]
+
+
+def test_health_fails_closed_on_empty_warehouse(spark, tmp_path):
+    """A dead pipeline (all tables empty) must NOT report healthy —
+    empty-aggregate NULLs were silently dropping every rule."""
+    now = F.lit(NOW).cast("timestamp")
+    jobs = spark.createDataFrame([], "id string, status string, processed_at timestamp")
+    odds = spark.createDataFrame([], "fixture_id long, collected_at timestamp")
+    fixtures = spark.createDataFrame([], "id long, kickoff_utc timestamp")
+    doc = _roundtrip(health_status(jobs, odds, fixtures, now), tmp_path)
+    assert set(doc["issues"]) == {
+        "No recent job activity",
+        "No recent odds data collected",
+        "No upcoming fixtures found",
+    }
+    assert doc["pipeline_status"] == "degraded"  # 3 issues → final rule
+
+
+def test_dashboard_odds_records_not_inflated(spark, tmp_path):
+    """A fixture with zero odds must contribute zero odds_records
+    (the left-join USING key is never NULL — count a right marker)."""
+    now = F.lit(NOW).cast("timestamp")
+    fixtures = spark.createDataFrame(
+        [(1, 10, 110, 7, 1995, "1995-06-02 15:00:00", "scheduled"),
+         (2, 10, 110, 7, 1995, "1995-06-03 15:00:00", "scheduled")],
+        "id long, home_team_id long, away_team_id long, league_id long, "
+        "season int, k string, status string",
+    ).select("id", "home_team_id", "away_team_id", "league_id", "season",
+             F.to_timestamp("k").alias("kickoff_utc"), "status")
+    teams = spark.createDataFrame([(10, "H"), (110, "A")], "id long, name string")
+    leagues = spark.createDataFrame(
+        [(7, 1995, "L7", "C")], "id long, season int, name string, country string"
+    )
+    odds = spark.createDataFrame(
+        [(1, "Alpha", "h2h", 2.0, 3.0, 4.0, "1995-05-31 10:00:00"),
+         (1, "Alpha", "h2h", 2.1, 3.0, 4.0, "1995-05-31 11:00:00"),
+         (1, "Alpha", "h2h", 2.2, 3.0, 4.0, "1995-05-31 12:00:00")],
+        "fixture_id long, bookmaker string, market_type string, "
+        "home_odds double, draw_odds double, away_odds double, c string",
+    ).select("*", F.to_timestamp("c").alias("collected_at")).drop("c")
+    stats = spark.createDataFrame(
+        [], "team_id long, league_id long, season int, collection_date string, "
+        "matches_played int, wins int, win_percentage double, goals_for int, "
+        "goals_against int, created_at timestamp",
+    )
+    doc = _roundtrip(dashboard_data(fixtures, teams, leagues, odds, stats, now), tmp_path)
+    [ls] = doc["league_stats"]
+    assert ls["total_games"] == 2
+    assert ls["odds_records"] == 3  # fixture 2 adds ZERO, not one
