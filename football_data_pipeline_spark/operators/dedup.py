@@ -543,6 +543,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1  # max_iter < 1 must hit the RuntimeError below, not a NameError
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.s == labels.node).select(
             F.col("d").alias("node"), F.col("label")

@@ -319,7 +319,10 @@ def dashboard_data(
     )
     movements_packed = _packed_top(
         movements,
-        F.unix_timestamp("collected_at"),
+        # cast("double") keeps sub-second precision so the packed order
+        # matches the full-precision selection cut above (unix_timestamp
+        # truncates to seconds and could reorder close snapshots)
+        F.col("collected_at").cast("double"),
         F.struct(F.col("fixture_id"), F.col("bookmaker")),
         F.struct(
             "fixture_id",

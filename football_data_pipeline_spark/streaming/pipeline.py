@@ -32,9 +32,9 @@ Delivery semantics: exactly-once end-to-end on plain Parquet.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.flatten import (
@@ -81,10 +81,16 @@ def _merge_dim(
     KB-to-MB-sized by construction) before the overwrite so the write
     never scans the files it replaces."""
     merge = upsert_replace if replace else insert_if_absent
-    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+    # Probe for existing state with a read attempt, not os.path — the
+    # silver root may be s3://, hdfs://, or any Hadoop-FS URI, where a
+    # driver-local listdir would silently report "absent" and the
+    # merge would destroy prior dim state by replacing it with the
+    # delta alone. AnalysisException covers both path-not-found and
+    # empty-dir (schema-inference) probes.
+    try:
         base = spark.read.parquet(path)
         merged = merge(base, delta, keys=keys, order_cols=order_cols)
-    else:
+    except AnalysisException:
         merged = delta
     # two-phase write: land the merged state in a side path FIRST,
     # then rewrite the live path from it. A cache()+count() barrier

@@ -1,5 +1,10 @@
 """The main correctness gate: every registered query vs its DuckDB
-oracle at sf0.001 — the same comparison the driver runs at sf0.01.
+oracle — the same comparison the driver runs at sf0.01.
+
+The scale factor is whatever ``SPARK_GRAFT_TEST_SF_DIR`` points at
+(see conftest.SF_DIR; defaults to /root/testdata/sf0.001). CI habit:
+run with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to match the
+driver exactly.
 """
 
 from __future__ import annotations
