@@ -26,6 +26,7 @@ from ..catalog import load
 from ..registry import query
 from .flatten import extract_fixtures, extract_leagues, extract_teams, flatten_odds
 from .gold import upcoming_games_with_odds
+from .reports import validate_counts
 
 #: (phase index, collection_type, data.odds_<key> slot) per document
 _PHASES = ((0, "early_odds", "early"), (1, "final_data", "final_data"))
@@ -282,5 +283,60 @@ def q_upcoming_games(spark: SparkSession, sf_dir: str) -> DataFrame:
         teams=extract_teams(bronze),
         leagues=extract_leagues(bronze),
         odds_history=flatten_odds(bronze),
+        now=now,
+    )
+
+
+@query(
+    "q_validate_counts",
+    oracle=_DOC_CTES
+    + """,
+    odds AS (
+      SELECT fid, cat FROM docs
+      CROSS JOIN (VALUES ('Alpha'), ('Beta')) b(bookmaker)
+      WHERE fid % 2 = 0
+    ),
+    counts AS (
+      SELECT 'fixtures' AS table_name, COUNT(*) AS row_count,
+             MAX(created_at) AS latest_ts FROM fixtures_dim
+      UNION ALL
+      SELECT 'odds', COUNT(*), MAX(cat) FROM odds
+      UNION ALL
+      SELECT 'teams', COUNT(*), MAX(updated_at) FROM teams_dim
+      UNION ALL
+      SELECT 'leagues', COUNT(*), MAX(created_at) FROM leagues_dim
+    )
+    SELECT c.table_name, c.row_count,
+           CAST(r.lo AS BIGINT) AS expected_min,
+           CAST(r.hi AS BIGINT) AS expected_max,
+           c.row_count BETWEEN r.lo AND r.hi AS in_range,
+           c.latest_ts,
+           COALESCE(c.latest_ts >= TIMESTAMP '2001-07-31 00:30:00'
+                    AND c.latest_ts <= TIMESTAMP '2001-08-01 00:30:00',
+                    false) AS is_fresh
+    FROM counts c
+    JOIN (VALUES ('fixtures', 10, 30), ('odds', 30, 100),
+                 ('teams', 20, 60), ('leagues', 5, 10))
+         r(table_name, lo, hi)
+      USING (table_name)
+    """,
+)
+def q_validate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validate_data.py report (/root/reference/validate_data.py:
+    20-73) over the engine's own silver tables: per-table row counts
+    vs the reference's expected ranges, plus per-table freshness
+    against a replay ``now`` of 2001-08-01 00:30 — between the last
+    early_odds document (orderdates end 2001-08-01, collected at
+    00:00) and the last final_data document (+1 h) — so the verdict
+    exercises both branches: fixtures/leagues fresh, odds/teams
+    not (their newest snapshot lies beyond the bounded window).
+    """
+    bronze = _game_bronze(load(spark, sf_dir, "orders"))
+    now = F.lit("2001-08-01 00:30:00").cast("timestamp")
+    return validate_counts(
+        fixtures=extract_fixtures(bronze),
+        odds_history=flatten_odds(bronze),
+        teams=extract_teams(bronze),
+        leagues=extract_leagues(bronze),
         now=now,
     )

@@ -434,6 +434,77 @@ def dashboard_data(
     )
 
 
+#: expected per-table row-count ranges after 24 h of collection
+#: (/root/reference/validate_data.py:69-73)
+EXPECTED_RANGES = {
+    "fixtures": (10, 30),
+    "odds": (30, 100),
+    "teams": (20, 60),
+    "leagues": (5, 10),
+}
+
+
+def validate_counts(
+    fixtures: DataFrame,
+    odds_history: DataFrame,
+    teams: DataFrame,
+    leagues: DataFrame,
+    now: Column,
+    ranges: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """The data-validation report (/root/reference/validate_data.py:
+    20-73): one row per warehouse table with its row count, the
+    expected range, an in-range verdict, the latest relevant
+    timestamp, and a 24 h freshness verdict.
+
+    The reference prints counts and checks them by eye against the
+    "Expected Values nach 24h" table; here the range check is a
+    first-class boolean so a scheduler can alert on it. Freshness
+    generalizes the reference's MAX(collected_at) print (:37-45) to
+    every table via its natural timestamp, and fails CLOSED: an empty
+    table has NULL latest_ts ⇒ is_fresh=false (the reference prints
+    'Tabelle leer').
+
+    Scale shape: each table collapses to a single-row hash agg
+    (count + max — both map-side partial, no shuffle of row data),
+    then a 4-row union. Nothing here grows with table size.
+    """
+    ranges = ranges or EXPECTED_RANGES
+    day_ago = now - F.expr("INTERVAL 24 HOURS")
+    specs = [
+        ("fixtures", fixtures, "created_at"),
+        ("odds", odds_history, "collected_at"),
+        ("teams", teams, "updated_at"),
+        ("leagues", leagues, "created_at"),
+    ]
+    parts = []
+    for name, df, ts_col in specs:
+        lo, hi = ranges[name]
+        agg = df.agg(
+            F.count("*").alias("row_count"), F.max(ts_col).alias("latest_ts")
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("table_name"),
+                "row_count",
+                F.lit(lo).cast("long").alias("expected_min"),
+                F.lit(hi).cast("long").alias("expected_max"),
+                ((F.col("row_count") >= lo) & (F.col("row_count") <= hi)).alias(
+                    "in_range"
+                ),
+                "latest_ts",
+                F.coalesce(
+                    (F.col("latest_ts") >= day_ago) & (F.col("latest_ts") <= now),
+                    F.lit(False),
+                ).alias("is_fresh"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 #: estimated API calls per completed job type (yml:962-987)
 API_COST = {"early_odds": 2, "pre_match": 4, "team_news": 1, "final_data": 2}
 API_FOOTBALL_DAILY_LIMIT = 100

@@ -287,3 +287,34 @@ def test_dashboard_odds_records_not_inflated(spark, tmp_path):
     [ls] = doc["league_stats"]
     assert ls["total_games"] == 2
     assert ls["odds_records"] == 3  # fixture 2 adds ZERO, not one
+
+
+def test_validate_counts_ranges_and_freshness(spark):
+    """validate_data.py parity: in_range verdicts against the
+    reference's expected-value table, freshness fails closed on an
+    empty table and on a NULL-only timestamp column."""
+    from football_data_pipeline_spark.operators.reports import validate_counts
+
+    now = F.lit(NOW).cast("timestamp")
+    fixtures = spark.createDataFrame(
+        [(i, "1995-05-31 14:00:00") for i in range(12)], "id long, c string"
+    ).select("id", F.to_timestamp("c").alias("created_at"))  # 12 ∈ [10, 30]
+    odds = spark.createDataFrame(
+        [(1, "1995-04-01 10:00:00")], "fixture_id long, c string"
+    ).select("fixture_id", F.to_timestamp("c").alias("collected_at"))  # 1 < 30, stale
+    teams = spark.createDataFrame([], "id long, updated_at timestamp")  # empty
+    leagues = spark.createDataFrame(
+        [(i, None) for i in range(7)], "id long, created_at timestamp"
+    )  # 7 ∈ [5, 10], NULL timestamps
+    rows = {
+        r["table_name"]: r.asDict()
+        for r in validate_counts(fixtures, odds, teams, leagues, now).collect()
+    }
+    assert set(rows) == {"fixtures", "odds", "teams", "leagues"}
+    assert rows["fixtures"]["in_range"] and rows["fixtures"]["is_fresh"]
+    assert not rows["odds"]["in_range"] and not rows["odds"]["is_fresh"]
+    assert rows["teams"]["row_count"] == 0
+    assert not rows["teams"]["in_range"] and not rows["teams"]["is_fresh"]
+    assert rows["teams"]["latest_ts"] is None
+    assert rows["leagues"]["in_range"] and not rows["leagues"]["is_fresh"]
+    assert (rows["fixtures"]["expected_min"], rows["fixtures"]["expected_max"]) == (10, 30)
