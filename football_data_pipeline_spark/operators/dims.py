@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 from .flatten import extract_fixtures, extract_leagues, extract_teams, flatten_odds
-from .gold import upcoming_games_with_odds
+from .gold import team_odds_lookup, upcoming_games_with_odds
 from .reports import validate_counts
 
 #: (phase index, collection_type, data.odds_<key> slot) per document
@@ -338,5 +338,70 @@ def q_validate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         odds_history=flatten_odds(bronze),
         teams=extract_teams(bronze),
         leagues=extract_leagues(bronze),
+        now=now,
+    )
+
+
+@query(
+    "q_team_odds_lookup",
+    oracle=_DOC_CTES
+    + """,
+    odds AS (
+      SELECT fid, bookmaker,
+             CASE phase WHEN 0 THEN 'early_odds' ELSE 'final_data' END
+               AS collection_phase,
+             'h2h' AS market_type,
+             (fid % 250 + phase * 7 + bd) / 100.0 + 1.1 AS home_odds,
+             (fid % 170 + phase * 7 + bd) / 100.0 + 2.5 AS draw_odds,
+             (fid % 310 + phase * 7 + bd) / 100.0 + 1.3 AS away_odds,
+             cat AS collected_at
+      FROM docs CROSS JOIN (VALUES ('Alpha', 0), ('Beta', 3)) b(bookmaker, bd)
+      WHERE fid % 2 = 0
+    ),
+    matched AS (SELECT id FROM teams_dim WHERE name LIKE '%T10%'),
+    next_game AS (
+      SELECT f.id, f.kickoff_utc, ht.name AS home_team, ta.name AS away_team,
+             l.name AS league
+      FROM fixtures_dim f
+      JOIN teams_dim ht ON f.home_team_id = ht.id
+      JOIN teams_dim ta ON f.away_team_id = ta.id
+      JOIN leagues_dim l ON f.league_id = l.id AND f.season = l.season
+      WHERE (f.home_team_id IN (SELECT id FROM matched)
+             OR f.away_team_id IN (SELECT id FROM matched))
+        AND f.kickoff_utc > TIMESTAMP '1998-06-01 00:00:00'
+      ORDER BY f.kickoff_utc, f.id
+      LIMIT 1
+    ),
+    odds_top AS (
+      SELECT o.* FROM odds o JOIN next_game g ON o.fid = g.id
+      ORDER BY o.collected_at DESC, o.bookmaker DESC
+      LIMIT 3
+    )
+    SELECT g.id AS fixture_id, g.kickoff_utc, g.home_team, g.away_team,
+           g.league, o.bookmaker, o.collection_phase, o.market_type,
+           o.home_odds, o.draw_odds, o.away_odds, o.collected_at
+    FROM next_game g LEFT JOIN odds_top o ON o.fid = g.id
+    """,
+)
+def q_team_odds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Discord ``!odds`` command read path
+    (/root/reference/discord_integration.py:135-160) end-to-end over
+    the engine's own silver tables: '%T10%' team resolution → next
+    fixture after a replay now of 1998-06-01 → latest 3 h2h snapshots
+    with full game context.
+
+    What the hash proves: the LIKE → OR-semi-join → top-1 fixture cut
+    (with id tie-break), the per-fixture top-3 snapshot cut (with
+    bookmaker tie-break), and that a no-odds game would still return
+    its context row (LEFT semantics).
+    """
+    bronze = _game_bronze(load(spark, sf_dir, "orders"))
+    now = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    return team_odds_lookup(
+        fixtures=extract_fixtures(bronze),
+        teams=extract_teams(bronze),
+        leagues=extract_leagues(bronze),
+        odds_history=flatten_odds(bronze),
+        team_like="T10",
         now=now,
     )

@@ -87,6 +87,47 @@ def simple_embed(title: str, description: str, now_iso: str, color: int = COLOR_
     }
 
 
+def odds_lookup_embed(rows: list, now_iso: str) -> dict:
+    """The ``!odds`` command response embed
+    (discord_integration.py:161-177): one embed per lookup, a Kickoff
+    field, then one field per odds snapshot row. ``rows`` is
+    team_odds_lookup's output (≤ n_snapshots rows, all sharing the
+    game context; a no-odds game yields one row with NULL bookmaker
+    → zero odds fields, like the reference's empty loop)."""
+    game = rows[0]
+    fields = [
+        {
+            "name": "⏰ Kickoff",
+            "value": game["kickoff_utc"].isoformat(sep=" "),
+            "inline": False,
+        }
+    ]
+    for r in sorted(
+        (r for r in rows if r["bookmaker"] is not None),
+        key=lambda r: (r["collected_at"], r["bookmaker"]),
+        reverse=True,
+    ):
+        fields.append(
+            {
+                "name": f"\U0001f4ca {r['bookmaker']} ({r['collection_phase']})",
+                "value": (
+                    f"**{game['home_team']}**: {r['home_odds']}\n"
+                    f"**{game['away_team']}**: {r['away_odds']}\n"
+                    f"Draw: {r['draw_odds']}\n"
+                    f"Market: {r['market_type']}"
+                ),
+                "inline": True,
+            }
+        )
+    return {
+        "title": f"\U0001f3b2 Odds: {game['home_team']} vs {game['away_team']}",
+        "description": f"**{game['league']}**",
+        "color": COLOR_OK,
+        "fields": fields,
+        "timestamp": now_iso,
+    }
+
+
 def notification_sink(
     send: Callable[[dict], None], now_iso: str
 ) -> Callable[[DataFrame, int], None]:

@@ -54,3 +54,73 @@ def test_notification_sink_delivers(spark):
     # empty batch → no webhook call
     sink(_movements(spark).limit(0), batch_id=1)
     assert len(sent) == 1
+
+
+def test_odds_lookup_embed_shape(spark):
+    """!odds command end-to-end on crafted silver: LIKE resolution →
+    next fixture → top-3 snapshots → the reference's embed document
+    (discord_integration.py:161-177)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.gold import team_odds_lookup
+    from football_data_pipeline_spark.streaming.notify import odds_lookup_embed
+
+    now = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    fixtures = spark.createDataFrame(
+        # fixture 2 is Arsenal's NEXT game; fixture 1 is in the past,
+        # fixture 3 later than 2, fixture 4 doesn't involve Arsenal
+        [(1, 10, 11, 7, 1995, "1995-05-01 15:00:00"),
+         (2, 12, 10, 7, 1995, "1995-06-03 15:00:00"),
+         (3, 10, 12, 7, 1995, "1995-06-10 15:00:00"),
+         (4, 11, 12, 7, 1995, "1995-06-02 15:00:00")],
+        "id long, home_team_id long, away_team_id long, league_id long, "
+        "season int, k string",
+    ).select("*", F.to_timestamp("k").alias("kickoff_utc")).drop("k")
+    teams = spark.createDataFrame(
+        [(10, "Arsenal FC"), (11, "Chelsea"), (12, "Liverpool")],
+        "id long, name string",
+    )
+    leagues = spark.createDataFrame(
+        [(7, 1995, "Premier League", "England")],
+        "id long, season int, name string, country string",
+    )
+    odds = spark.createDataFrame(
+        [(2, "Alpha", "h2h", 2.0, 3.0, 4.0, "early_odds", "1995-05-30 10:00:00"),
+         (2, "Beta", "h2h", 2.1, 3.1, 4.1, "early_odds", "1995-05-30 10:00:00"),
+         (2, "Alpha", "h2h", 2.2, 3.2, 4.2, "final_data", "1995-05-31 10:00:00"),
+         (2, "Beta", "h2h", 2.3, 3.3, 4.3, "final_data", "1995-05-31 10:00:00"),
+         (2, "Alpha", "totals", None, None, None, "early_odds", "1995-05-31 12:00:00"),
+         (3, "Alpha", "h2h", 9.0, 9.0, 9.0, "early_odds", "1995-05-31 10:00:00")],
+        "fixture_id long, bookmaker string, market_type string, "
+        "home_odds double, draw_odds double, away_odds double, "
+        "collection_phase string, c string",
+    ).select("*", F.to_timestamp("c").alias("collected_at")).drop("c")
+
+    rows = [
+        r.asDict()
+        for r in team_odds_lookup(fixtures, teams, leagues, odds, "Arsenal", now).collect()
+    ]
+    # fixture 2 (earliest upcoming Arsenal game, away role), top-3 of
+    # its four h2h snapshots (totals row excluded): both finals + Beta
+    # early via the bookmaker-DESC tiebreak
+    assert {r["fixture_id"] for r in rows} == {2}
+    assert {(r["bookmaker"], r["collection_phase"]) for r in rows} == {
+        ("Alpha", "final_data"), ("Beta", "final_data"), ("Beta", "early_odds")
+    }
+
+    embed = odds_lookup_embed(rows, "1995-06-01T00:00:00")
+    assert set(embed) == {"title", "description", "color", "fields", "timestamp"}
+    assert embed["title"] == "🎲 Odds: Liverpool vs Arsenal FC"
+    assert embed["description"] == "**Premier League**"
+    assert embed["fields"][0]["name"] == "⏰ Kickoff"
+    assert len(embed["fields"]) == 4  # kickoff + 3 snapshots
+    assert embed["fields"][1]["name"] == "📊 Beta (final_data)"
+    assert "**Arsenal FC**: 4.3" in embed["fields"][1]["value"]
+    assert "Market: h2h" in embed["fields"][1]["value"]
+
+    # a game with no odds still renders: context row, zero odds fields
+    no_odds = team_odds_lookup(fixtures, teams, leagues, odds.limit(0), "Arsenal", now)
+    rows2 = [r.asDict() for r in no_odds.collect()]
+    assert len(rows2) == 1 and rows2[0]["bookmaker"] is None
+    embed2 = odds_lookup_embed(rows2, "1995-06-01T00:00:00")
+    assert len(embed2["fields"]) == 1  # kickoff only
