@@ -4,17 +4,36 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": <float>}
+   "queries": {"q_...": sec, ...}, "spread": {"q_...": sec, ...},
+   "trials": N, "sf": <float>}
 
 Each query is fully materialized through the no-op sink (format
 "noop") so projection pruning can't skip work, and timing excludes
 result transfer to the driver.
+
+Noise control: every query runs N_TRIALS times (default 3, override
+SPARK_GRAFT_BENCH_TRIALS), trials INTERLEAVED round-robin — trial
+t+1 of a query is separated from trial t by a full pass over the
+other queries, so a transient background-load spike on the shared
+box cannot hit all trials of one query. "queries" reports the
+per-query MEDIAN, "spread" the max−min across trials; a
+round-over-round delta smaller than the spread is noise, not a
+regression. Trials share one JVM deliberately: the warm-up pass
+already isolates JIT/codegen effects, and a fresh JVM per trial
+would re-measure startup, not the plans.
+
+Expected stderr: one benign ``WindowExec: No Partition Defined``
+warning from q_fuzzy_join — resolution.rank_candidates's deliberate
+global sort of the DIM-SIZED candidate universe (never the pair
+stream); its input size is enforced by a plan-embedded guard
+(resolution.py MAX_RANK_CANDIDATES).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -47,6 +66,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     spark = get_spark(app_name="fdps-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     # JIT/codegen warm-up: one pass over the operator paths at the
@@ -59,13 +79,16 @@ def main() -> None:
                 "noop"
             ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_trials):
+        for name in HEADLINE:
+            fn = QUERIES[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "trials": n_trials,
                 "sf": sf,
             }
         )

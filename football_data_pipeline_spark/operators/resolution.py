@@ -238,19 +238,68 @@ RANK_BITS = 30
 CONF_BITS = 20
 CONF_SCALE = (1 << CONF_BITS) - 1
 
+#: hard cap on the candidate universe rank_candidates will globally
+#: sort. Far above any real bookmaker/team dim (the reference's whole
+#: teams table is tens of rows) yet small enough that the deliberate
+#: single-partition window stays trivially cheap. Also the RANK_BITS
+#: packing bound: 2^30 ranks.
+MAX_RANK_CANDIDATES = 1_000_000
 
-def rank_candidates(candidates_df: DataFrame, cand_col: str) -> DataFrame:
+
+def rank_candidates(
+    candidates_df: DataFrame,
+    cand_col: str,
+    max_candidates: int = MAX_RANK_CANDIDATES,
+) -> DataFrame:
     """Dense rank of the candidate universe by name ascending —
     the tie-break order of the resolution argmin, precomputed ONCE
     on the small (broadcast-by-design) candidate side so the
     per-pair aggregation key can be a single BIGINT. The global
     window is a deliberate single-partition sort of a dim-sized
-    input, never of the pair stream."""
+    input, never of the pair stream (expect a benign ``WindowExec:
+    No Partition Defined`` warning from exactly this plan).
+
+    The dim-sized contract is ENFORCED, not assumed: a 1-row count
+    aggregate is cross-joined in with a ``raise_error`` check, so a
+    caller that passes a fact-side column fails the job with a
+    descriptive error instead of silently single-partition-sorting
+    terabytes. The guard is lazy (plan-embedded, no driver count)
+    and costs one map-side-combined count over the dim.
+    """
+    distinct = candidates_df.select(cand_col).distinct()
+    guard = distinct.agg(F.count("*").alias("__n_cand")).select(
+        F.when(F.col("__n_cand") <= max_candidates, F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "rank_candidates: candidate universe has "
+                    ),
+                    F.col("__n_cand").cast("string"),
+                    F.lit(
+                        f" distinct values, over the {max_candidates} cap — "
+                        "this operator global-sorts a dim-sized input only; "
+                        "a fact-side column does not belong here"
+                    ),
+                )
+            )
+        )
+        .alias("__guard_ok")
+    )
+    # the guard folds INTO the rank (+ 0 * guard) rather than being a
+    # dropped column: Catalyst prunes unused columns, which would
+    # optimize an unreferenced raise_error away, and 0 * col cannot
+    # constant-fold because of null semantics
     return (
-        candidates_df.select(cand_col)
-        .distinct()
-        .withColumn(
-            "__cand_rank", F.dense_rank().over(Window.orderBy(cand_col))
+        distinct.withColumn(
+            "__rank_raw", F.dense_rank().over(Window.orderBy(cand_col))
+        )
+        .crossJoin(F.broadcast(guard))
+        .select(
+            cand_col,
+            (F.col("__rank_raw") + F.lit(0) * F.col("__guard_ok")).alias(
+                "__cand_rank"
+            ),
         )
     )
 

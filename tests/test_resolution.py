@@ -159,3 +159,25 @@ def test_blocking_key_restricts_candidates(spark):
     assert out[0].matched_name is None
     assert out[0].strategy == "no_match"
     assert out[0].alternatives == []
+
+
+def test_rank_candidates_guard_enforces_dim_contract(spark):
+    """The deliberate global window in rank_candidates must fail
+    loudly on a fact-sized input instead of silently
+    single-partition-sorting it (plan-embedded raise_error guard)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.resolution import rank_candidates
+
+    names = spark.range(10).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("odds_name")
+    )
+    ranks = {
+        r["odds_name"]: r["__cand_rank"]
+        for r in rank_candidates(names, "odds_name").collect()
+    }
+    assert sorted(ranks.values()) == list(range(1, 11))
+    assert ranks["n0"] == 1  # ascending-name dense rank
+
+    with pytest.raises(Exception, match="rank_candidates.*over the 5 cap"):
+        rank_candidates(names, "odds_name", max_candidates=5).collect()
