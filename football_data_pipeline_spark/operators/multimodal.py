@@ -7,16 +7,25 @@ queryable, and decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the heavy Python work streams per-partition
 without a shuffle.
 
-The decode kernels themselves are STUBBED (PIL/ffmpeg are not in
-this environment): ``decode_image`` raises ``NotImplementedError``
-unless a decoder import succeeds, and ``extract_features`` computes
-deterministic byte-level pseudo-features so the Spark-side plumbing —
-schema, batching, UDF signature, partition behavior — is fully real
-and testable.
+Decode support is tiered by what this environment can honestly do:
+
+- REAL pixel kernels for uncompressed formats a pure-Python codec
+  covers completely: binary PPM (P6) and 24-bit BI_RGB BMP.
+  ``decode_pixels`` → RGB bytes, ``resize_nearest`` does actual
+  nearest-neighbor resampling, ``image_stats`` computes true
+  per-channel statistics. No native deps; the same kernels run
+  unchanged under ``mapInPandas`` at any scale.
+- compressed formats (PNG/JPEG/...) still require PIL and stay
+  gated behind the import probe — ``decode_image`` raises
+  ``NotImplementedError`` when no decoder is importable.
+- non-image payloads keep the deterministic byte-level fallback in
+  ``extract_features``/``resize_images`` so the plumbing remains
+  exercised end-to-end on the synthetic text corpus.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +34,106 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+
+# ---------------------------------------------------------------------------
+# pure-Python pixel codecs (PPM P6, 24-bit BMP) — run inside the
+# Arrow-batched kernels; no native imaging dependency
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from top-down RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse binary PPM (P6): header tokens may be separated by any
+    whitespace and ``#`` comments; exactly one whitespace byte
+    separates maxval from the raster."""
+    b = bytes(payload)
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while idx < len(b) and b[idx : idx + 1].isspace():
+            idx += 1
+        if b[idx : idx + 1] == b"#":
+            while idx < len(b) and b[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(b) and not b[idx : idx + 1].isspace():
+            idx += 1
+        if start == idx:
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[start:idx]))
+    idx += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    data = b[idx : idx + w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse uncompressed 24-bit BI_RGB BMP into top-down RGB bytes
+    (handles the bottom-up row order and 4-byte row padding)."""
+    b = bytes(payload)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h_raw = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up, h = h_raw > 0, abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        row = b[data_off + src_y * stride : data_off + src_y * stride + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP raster")
+        # BGR → RGB via strided slice assignment (no per-pixel loop)
+        out[y * w * 3 + 0 : (y + 1) * w * 3 : 3] = row[2::3]
+        out[y * w * 3 + 1 : (y + 1) * w * 3 : 3] = row[1::3]
+        out[y * w * 3 + 2 : (y + 1) * w * 3 : 3] = row[0::3]
+    return w, h, bytes(out)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Magic-sniffing dispatch to the pure codecs; None when the
+    payload is not a format they cover (caller picks the fallback or
+    the PIL-gated path)."""
+    head = bytes(payload[:2])
+    if head == b"P6":
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
+    return None
+
+
+def resize_nearest(
+    width: int, height: int, rgb: bytes, new_width: int, new_height: int
+) -> bytes:
+    """Nearest-neighbor resample of top-down RGB bytes; source index
+    is the floor mapping ``sx = x * src // dst`` on both axes."""
+    out = bytearray(new_width * new_height * 3)
+    xs = [(x * width) // new_width for x in range(new_width)]
+    for y in range(new_height):
+        sy = (y * height) // new_height
+        row_base = sy * width
+        dst = y * new_width * 3
+        for i, sx in enumerate(xs):
+            s = (row_base + sx) * 3
+            d = dst + i * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
 
 FEATURE_SCHEMA = (
     "asset_id long, mime string, n_bytes long, checksum string, "
@@ -56,22 +165,27 @@ def _try_import_decoder():
         return False
 
 
-def decode_image(payload: bytes):
-    """Real decode path — requires an imaging library.
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode to (width, height, top-down RGB bytes).
 
-    STUB in this environment (no PIL/opencv); when a decoder is
-    importable the payload is decoded for real, so the function is
-    honest either way.
+    PPM/BMP decode via the pure-Python codecs above — REAL in every
+    environment. Compressed formats need PIL; without it they raise
+    ``NotImplementedError`` (honest gating, not a fake decode).
     """
+    direct = decode_pixels(payload)
+    if direct is not None:
+        return direct
     if not _try_import_decoder():
         raise NotImplementedError(
-            "image decode requires PIL/opencv; not available in this build"
+            "compressed-image decode requires PIL/opencv; not available in "
+            "this build (PPM/BMP decode is built in)"
         )
     import io
 
     import PIL.Image
 
-    return PIL.Image.open(io.BytesIO(payload))
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, img.tobytes()
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -137,32 +251,92 @@ RESIZED_SCHEMA = "asset_id long, payload binary, mime string, width int, height 
 
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Binary-in/binary-out Arrow-batched transform — the
-    decode→resize→re-encode shape.
+    """Binary-in/binary-out Arrow-batched decode→resize→re-encode.
 
-    STUB kernel: deterministic byte truncation/padding to width×height
-    bytes stands in for a real resampler; the pipeline contract
-    (schema, batch shape, per-partition streaming, no shuffle) is the
-    production one. Swap the body for PIL when a decoder is present.
+    PPM/BMP payloads take the REAL pixel path: decode to RGB,
+    nearest-neighbor resample to width×height, re-encode as PPM
+    (mime becomes ``image/ppm``). Payloads the pure codecs don't
+    cover keep the deterministic byte-truncation fallback (original
+    mime), so the synthetic text corpus still exercises the
+    plumbing. Per-partition streaming, no shuffle, either way.
     """
     target = width * height
 
+    def one(b, mime):
+        decoded = decode_pixels(b)
+        if decoded is None:
+            return bytes(b)[:target].ljust(target, b"\0"), mime
+        w0, h0, rgb = decoded
+        return (
+            encode_ppm(width, height, resize_nearest(w0, h0, rgb, width, height)),
+            "image/ppm",
+        )
+
     def kernel(batches):
         for pdf in batches:
-            payloads = pdf["payload"].map(
-                lambda b: bytes(b)[:target].ljust(target, b"\0")
-            )
+            pairs = [
+                one(b, m["mime"]) for b, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "payload": payloads,
-                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "payload": [p for p, _ in pairs],
+                    "mime": [m for _, m in pairs],
                     "width": width,
                     "height": height,
                 }
             )
 
     return assets.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+STATS_SCHEMA = (
+    "asset_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, decoded boolean"
+)
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """True per-channel pixel statistics for decodable payloads —
+    the feature-extraction step computed on REAL pixel data
+    (PPM/BMP via the pure codecs). Undecodable payloads yield a
+    NULL-stats row with decoded=false rather than fake numbers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_pixels(b)
+                if decoded is None:
+                    rows.append((aid, None, None, None, None, None, False))
+                    continue
+                w, h, rgb = decoded
+                n = w * h
+                rows.append(
+                    (
+                        aid,
+                        w,
+                        h,
+                        sum(rgb[0::3]) / n,
+                        sum(rgb[1::3]) / n,
+                        sum(rgb[2::3]) / n,
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "decoded",
+                ],
+            )
+
+    return assets.mapInPandas(kernel, schema=STATS_SCHEMA)
 
 
 FRAME_SIZE = 256  # stub "frame" = fixed byte chunk

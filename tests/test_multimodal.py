@@ -104,3 +104,112 @@ def test_sample_frames_empty_payload_yields_no_rows(spark):
     )
     out = sample_frames(assets, every_n=1).collect()
     assert [r.asset_id for r in out] == [2]  # empty video → zero frames
+
+
+# --- real pixel kernels (PPM/BMP pure codecs) ---
+
+
+def _ppm_4x2() -> bytes:
+    """4×2 image, pixel (x,y) = (10x, 100+10y, 255-10x)."""
+    from football_data_pipeline_spark.operators.multimodal import encode_ppm
+
+    rgb = bytearray()
+    for y in range(2):
+        for x in range(4):
+            rgb += bytes([10 * x, 100 + 10 * y, 255 - 10 * x])
+    return encode_ppm(4, 2, bytes(rgb))
+
+
+def test_ppm_roundtrip_exact_pixels():
+    from football_data_pipeline_spark.operators.multimodal import decode_ppm
+
+    w, h, rgb = decode_ppm(_ppm_4x2())
+    assert (w, h) == (4, 2)
+    # pixel (2, 1): r=20, g=110, b=235
+    off = (1 * 4 + 2) * 3
+    assert rgb[off : off + 3] == bytes([20, 110, 235])
+    # comments + arbitrary whitespace in header
+    w2, h2, rgb2 = decode_ppm(b"P6 # c\n# comment line\n 4\t2 # x\n255\n" + rgb)
+    assert (w2, h2, rgb2) == (w, h, rgb)
+
+
+def test_bmp_decode_bottom_up_padding_exact():
+    """Hand-packed 3×2 24-bit BMP: bottom-up rows, BGR order, stride
+    padded 9→12 bytes — decode must undo all three."""
+    import struct
+
+    from football_data_pipeline_spark.operators.multimodal import decode_bmp
+
+    # logical top-down RGB rows: row0 = red,green,blue; row1 = white,black,gray
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bot = [(255, 255, 255), (0, 0, 0), (128, 128, 128)]
+    stride = 12
+    raster = b""
+    for row in (bot, top):  # file stores bottom row first
+        line = b"".join(bytes([b, g, r]) for r, g, b in row)  # BGR
+        raster += line + b"\0" * (stride - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(raster), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    )
+    w, h, rgb = decode_bmp(header + raster)
+    assert (w, h) == (3, 2)
+    assert rgb == b"".join(bytes(p) for p in top + bot)
+
+
+def test_resize_nearest_known_mapping():
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        resize_nearest,
+    )
+
+    w, h, rgb = decode_ppm(_ppm_4x2())
+    out = resize_nearest(w, h, rgb, 2, 1)
+    # floor mapping: dst x0→src x0, x1→src x2; y0→src y0
+    assert out == bytes([0, 100, 255]) + bytes([20, 100, 235])
+    # upscale 4×2 → 8×2 duplicates columns
+    up = resize_nearest(w, h, rgb, 8, 2)
+    assert up[0:3] == up[3:6] == bytes([0, 100, 255])
+
+
+def test_decode_image_ppm_real_no_pil():
+    from football_data_pipeline_spark.operators.multimodal import decode_image
+
+    w, h, rgb = decode_image(_ppm_4x2())
+    assert (w, h) == (4, 2) and len(rgb) == 24
+
+
+def test_image_stats_and_resize_end_to_end(spark):
+    """Spark-side: crafted PPMs + one text payload through
+    image_stats and resize_images — exact means, exact pixels."""
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_stats,
+        resize_images,
+    )
+    from pyspark.sql import functions as F
+
+    solid = encode_ppm(2, 2, bytes([10, 20, 30]) * 4)  # constant image
+    grad = _ppm_4x2()
+    assets = spark.createDataFrame(
+        [(1, solid), (2, grad), (3, b"not an image")],
+        "asset_id long, payload binary",
+    ).withColumn(
+        "meta", F.struct(F.lit("image/ppm").alias("mime"))
+    )
+
+    stats = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    assert stats[1]["decoded"] and (stats[1]["mean_r"], stats[1]["mean_g"], stats[1]["mean_b"]) == (10.0, 20.0, 30.0)
+    # gradient: mean_r over x∈{0,10,20,30} = 15, mean_g over y∈{100,110} = 105
+    assert stats[2]["width"] == 4 and stats[2]["height"] == 2
+    assert (stats[2]["mean_r"], stats[2]["mean_g"], stats[2]["mean_b"]) == (15.0, 105.0, 240.0)
+    assert not stats[3]["decoded"] and stats[3]["mean_r"] is None
+
+    resized = {r["asset_id"]: r for r in resize_images(assets, width=2, height=1).collect()}
+    w, h, rgb = decode_ppm(bytes(resized[2]["payload"]))
+    assert (w, h) == (2, 1) and rgb == bytes([0, 100, 255, 20, 100, 235])
+    assert resized[2]["mime"] == "image/ppm"
+    # non-image fallback: byte truncation, original mime
+    assert len(resized[3]["payload"]) == 2 and resized[3]["mime"] == "image/ppm"
