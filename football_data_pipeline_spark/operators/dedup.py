@@ -23,6 +23,25 @@ turns pairs into a keep/drop list:
 Engine/oracle parity: all hashing goes through md5 (stable in both
 engines); minima over hex strings are lexicographic; Jaccard ratios
 are exact small-int divisions — no float-summation drift anywhere.
+
+Scale probe (2026-08-13, local[16], 10× corpus = 50k docs built as
+10 perturbed copies of sf0.1 — every doc gains ~10 near-copies, so
+TRUE pair count grows ~19.5× (25.7k → 502k), a deliberately harsher
+density than a plain scale-up):
+- q_dedup_minhash: 6.6s → ~55s. Time tracks OUTPUT pairs (≈ linear
+  in the 19.5× pair growth, sublinear in nothing): pair generation
+  is inherently quadratic per cluster, and the banded+salted plan
+  keeps everything else linear. PAIR_SALT sweep at this density
+  (interleaved trials): salt=1 ~25% slower than salted; 4/8/16/32
+  indistinguishable within box noise (medians 55.7s vs 55.4s for
+  8 vs 16). Default stays 8 — enough to spread template
+  mega-buckets, no measurable cost.
+- q_ngram_jaccard: 2.5s → 6.0s on 10× docs (sublinear: the
+  (lang, source, band) buckets spread the growth).
+- q_dedup_components: 11.5s → 120s — label propagation is
+  iteration-bound; bigger star clusters add rounds over a 500k-edge
+  graph. Linear-ish in edges, the expected shape for min-label
+  propagation without a hash-to-min shortcut.
 """
 
 from __future__ import annotations
