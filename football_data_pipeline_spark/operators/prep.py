@@ -1,11 +1,16 @@
-"""Corpus-preparation operators: contamination scanning and
-token-budget sequence packing — the last mile between a cleaned
-corpus and a training run.
+"""Corpus-preparation operators: contamination scanning (PII and
+benchmark leakage) and token-budget sequence packing — the last mile
+between a cleaned corpus and a training run.
 
 Scale notes:
 - the PII scan is a pure projection (regexp_count inside the scan's
   codegen stage) followed by one rollup aggregate — embarrassingly
   parallel at any size;
+- decontamination joins exploded train n-grams against the DISTINCT
+  eval n-gram set. Benchmarks are small by nature (MBs against 100 TB
+  of train), so the eval set broadcasts and the scan stays a
+  map-side probe — no shuffle of train data beyond the per-doc count
+  aggregation, which is keyed on high-cardinality doc_id;
 - packing partitions the cumulative-sum window by (lang, shard) where
   shard is a deterministic hash bucket, so no window partition grows
   with corpus size (a naive per-language cumsum would put an entire
@@ -22,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.stable import rnd
 from ..registry import query
 from .sampling import RESOLUTION, sample_bucket
 
@@ -131,4 +137,134 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --- benchmark decontamination (train/eval n-gram overlap) ---
+
+#: split salt + modulus: bucket 0 of 50 ⇒ a deterministic ~2% of
+#: documents stand in for the eval benchmark
+DECON_SALT = "decon-v1"
+DECON_HOLDOUT_MOD = 50
+#: fraction of a train doc's distinct n-grams that must appear in the
+#: eval set before the doc is flagged contaminated
+DECON_THRESHOLD = 0.5
+
+#: word-3-gram shingles, identical construction (and engine parity)
+#: to dedup.ngram_dedup_pairs
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
+    "i -> concat_ws(' ', slice(words, i, 3))))"
+)
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    words = F.array_remove(F.split(F.col("text"), " "), "")
+    return docs.select("doc_id", "source", words.alias("words")).select(
+        "doc_id", "source", F.expr(_SHINGLES_EXPR).alias("shingles")
+    )
+
+
+def contamination_overlap(
+    train: DataFrame, eval_docs: DataFrame, threshold: float = DECON_THRESHOLD
+) -> DataFrame:
+    """Per-train-document benchmark-leakage scan: the fraction of the
+    document's distinct word-3-grams that occur anywhere in the eval
+    corpus, and a contaminated verdict at ``threshold``.
+
+    The canonical decontamination shape (n-gram overlap against held
+    -out benchmarks): explode train shingles, probe the broadcast
+    DISTINCT eval n-gram set, count hits per doc, LEFT-join the
+    counts back so zero-overlap documents keep a 0 row. The ratio
+    uses engine-stable rounding (functions.stable.rnd).
+    """
+    tr = _with_shingles(train)
+    ev_set = (
+        _with_shingles(eval_docs)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    hits = (
+        tr.select("doc_id", F.explode("shingles").alias("g"))
+        .join(F.broadcast(ev_set), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        tr.select("doc_id", "source", F.size("shingles").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn(
+            "overlap_ratio", rnd(F.col("n_overlap") / F.col("n_shingles"), 4)
+        )
+        .withColumn("contaminated", F.col("overlap_ratio") >= threshold)
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             CAST(('0x' || substr(md5('{DECON_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {RESOLUTION} % {DECON_HOLDOUT_MOD} AS b
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, b,
+             list_distinct(list_transform(range(1, greatest(len(words) - 1, 2)),
+                           i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE b = 0),
+    tr AS (SELECT doc_id, source, unnest(shingles) AS g, len(shingles) AS n_sh
+           FROM sh WHERE b <> 0),
+    ov AS (
+      SELECT t.doc_id, any_value(t.source) AS source,
+             any_value(t.n_sh) AS n_sh, count(e.g) AS n_overlap
+      FROM tr t LEFT JOIN ev e ON t.g = e.g
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT *, floor(n_overlap * 1.0 / n_sh * 10000 + 0.5) / 10000 AS ratio
+      FROM ov
+    )
+    SELECT source,
+           count(*) AS n_train_docs,
+           CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlapping,
+           CAST(sum(CASE WHEN ratio >= {DECON_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(n_overlap) AS BIGINT) AS total_overlap,
+           max(ratio) AS max_ratio
+    FROM scored GROUP BY source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination report per source: a deterministic
+    ~2% hash holdout of ``documents`` plays the eval benchmark; every
+    remaining (train) document is scored for word-3-gram overlap
+    against it. The per-source rollup pins doc-level verdicts via
+    counts + total_overlap + max_ratio.
+
+    The synthetic corpus's duplicates are word-order-shuffled, so
+    ratios stay below the 0.5 flag threshold here (max ≈ 0.125 at
+    sf0.01) — n_contaminated = 0 is the EXPECTED value and the hash
+    still proves the whole overlap computation. Verbatim-copy
+    flagging is exercised by the crafted-corpus pytest.
+    """
+    docs = load(spark, sf_dir, "documents")
+    split = F.pmod(
+        sample_bucket(F.col("doc_id"), DECON_SALT), F.lit(DECON_HOLDOUT_MOD)
+    )
+    eval_docs = docs.filter(split == 0)
+    train = docs.filter(split != 0)
+    scored = contamination_overlap(train, eval_docs)
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.when(F.col("n_overlap") > 0, 1).otherwise(0)).alias("n_overlapping"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias("n_contaminated"),
+        F.sum("n_overlap").alias("total_overlap"),
+        F.max("overlap_ratio").alias("max_ratio"),
     )

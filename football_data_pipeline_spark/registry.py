@@ -85,6 +85,7 @@ CHECK_PRIORITY = [
     # new in round 3:
     "q_validate_counts",
     "q_team_odds_lookup",
+    "q_decontaminate",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -99,6 +100,8 @@ ROTATE_TAIL = [
     "q_anti_join",
     "q_or_join",
     "q_union_roles",
+    "q_left_join_count",
+    "q_json_extract",
 ]
 
 

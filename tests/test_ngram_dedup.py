@@ -49,3 +49,30 @@ def test_blocking_respects_lang_source(spark):
     rows = [(1, "en", "web", BASE), (2, "en", "books", BASE), (3, "fr", "web", BASE)]
     docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
     assert ngram_dedup_pairs(spark, docs).count() == 0
+
+
+def test_contamination_overlap_flags_verbatim_copies(spark):
+    """Decontamination on a crafted corpus: a train doc that quotes an
+    eval doc verbatim is flagged; a paraphrase (shared words, different
+    order) stays under threshold; disjoint text scores 0."""
+    from football_data_pipeline_spark.operators.prep import contamination_overlap
+
+    eval_docs = spark.createDataFrame(
+        [(100, "ev", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, source string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy with a prefix: most 3-grams overlap
+            (1, "tr", "breaking the quick brown fox jumps over the lazy dog"),
+            # same words shuffled: word-level match, few shared 3-grams
+            (2, "tr", "dog lazy the over jumps fox brown quick the"),
+            # disjoint
+            (3, "tr", "completely unrelated text about football data"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination_overlap(train, eval_docs).collect()}
+    assert rows[1]["contaminated"] and rows[1]["overlap_ratio"] >= 0.7
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] <= 2
+    assert rows[3]["n_overlap"] == 0 and rows[3]["overlap_ratio"] == 0.0
