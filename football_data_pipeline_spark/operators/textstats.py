@@ -239,3 +239,84 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FP_MOD
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+#: duplicate-bigram fraction at/above which a document is flagged
+#: repetitive (the Gopher-class repetition filters use 0.2 for
+#: duplicate 2-grams)
+REPETITION_THRESHOLD = 0.2
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, greatest(size(words) - 1, 1)), "
+    "i -> concat_ws(' ', slice(words, i, 2)))"
+)
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words), 2)),
+                    i -> array_to_string(words[i:i+1], ' '))) AS gram
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+             CAST(max(n) AS BIGINT) AS top_count
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct_bigrams, top_count,
+           floor((1.0 - n_distinct_bigrams * 1.0 / n_bigrams) * 10000 + 0.5)
+             / 10000 AS dup_bigram_frac,
+           floor((top_count * 1.0 / n_bigrams) * 10000 + 0.5) / 10000
+             AS top_bigram_frac,
+           floor((1.0 - n_distinct_bigrams * 1.0 / n_bigrams) * 10000 + 0.5)
+             / 10000 >= {REPETITION_THRESHOLD} AS repetitive
+    FROM m
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (the Gopher-style repetitive-text filters):
+    per document, the duplicate word-2-gram fraction and the most-
+    frequent-2-gram share, with a repetitive flag at
+    ``REPETITION_THRESHOLD``. Boilerplate and template spam score
+    high; natural prose stays low.
+
+    Scale shape: explode to (doc, gram) — codegen'd generator, no
+    Python — then two hash aggregations, keyed (doc_id, gram) and
+    doc_id. Both keys are high-cardinality and skew-free; nothing
+    holds a whole document's grams in one buffer except the count
+    map for that document's partitions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", _words().alias("words")
+    ).select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").count()
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("count").alias("top_count"),
+    )
+    dup_frac = rnd(
+        F.lit(1.0) - F.col("n_distinct_bigrams") * 1.0 / F.col("n_bigrams"), 4
+    )
+    top_frac = rnd(F.col("top_count") * 1.0 / F.col("n_bigrams"), 4)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_count",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (dup_frac >= REPETITION_THRESHOLD).alias("repetitive"),
+    )

@@ -86,6 +86,7 @@ CHECK_PRIORITY = [
     "q_validate_counts",
     "q_team_odds_lookup",
     "q_decontaminate",
+    "q_repetition",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,

@@ -76,3 +76,41 @@ def test_contamination_overlap_flags_verbatim_copies(spark):
     assert rows[1]["contaminated"] and rows[1]["overlap_ratio"] >= 0.7
     assert not rows[2]["contaminated"] and rows[2]["n_overlap"] <= 2
     assert rows[3]["n_overlap"] == 0 and rows[3]["overlap_ratio"] == 0.0
+
+
+def test_repetition_flags_template_spam(spark):
+    """Repetition metric on crafted text: looped boilerplate flags,
+    natural prose does not."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.operators import textstats  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    # reuse the registered query's logic by calling the module fn on a
+    # crafted docs frame via the same grams pipeline
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                      # 1 distinct bigram dominates
+            (2, "the quick brown fox jumps over a lazy dog near the riverbank"),
+        ],
+        "doc_id long, text string",
+    )
+    words = F.array_remove(F.split("text", " "), "")
+    grams = docs.select("doc_id", words.alias("words")).select(
+        "doc_id",
+        F.explode(F.expr(textstats._BIGRAMS_EXPR)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").count()
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("count").alias("n"),
+        F.count("*").alias("d"),
+        F.max("count").alias("t"),
+    )
+    rows = {r["doc_id"]: r for r in per_doc.collect()}
+    # doc 1: 100 words → 99 bigrams, only 3 distinct ("buy now",
+    # "now buy", trailing single "buy"→ none; actually "buy now"/"now buy")
+    assert rows[1]["d"] <= 3 and rows[1]["t"] >= 49
+    dup1 = 1 - rows[1]["d"] / rows[1]["n"]
+    dup2 = 1 - rows[2]["d"] / rows[2]["n"]
+    assert dup1 > textstats.REPETITION_THRESHOLD > dup2
