@@ -639,3 +639,115 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# --- corpus-level overlap: minhash similarity between SOURCES ---
+
+#: signature width for the source-overlap estimate; standard error of
+#: the Jaccard estimate is sqrt(J(1-J)/H) ≈ 0.06 at H=64, J=0.5
+OVERLAP_HASHES = 64
+
+
+def _gram_min_cols(n_hashes: int = OVERLAP_HASHES) -> list[Column]:
+    """Per-salt minima over the group's grams as fixed-width BIGINTs
+    (first 15 md5 hex digits), so all H aggregates stay inside ONE
+    HashAggregate — min over a string buffer would silently fall back
+    to SortAggregate (same constraint as resolution.resolve_agg)."""
+    return [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"s{i}:"), F.col("gram"))), 1, 15), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+
+
+@query(
+    "q_source_overlap",
+    oracle=(
+        lambda mh_cols, eq_terms: f"""
+    WITH w AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(words) - 1, 2)),
+                    i -> array_to_string(words[i:i+2], ' ')))) AS gram
+      FROM w
+    ),
+    sigs AS (
+      SELECT source, count(*) AS n_grams, {mh_cols}
+      FROM g GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n_grams AS n_grams_a, b.n_grams AS n_grams_b,
+           floor((({eq_terms}) * 1.0 / {OVERLAP_HASHES}) * 10000 + 0.5) / 10000
+             AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    """
+    )(
+        ", ".join(
+            f"min(CAST(('0x' || substr(md5('s{i}:' || gram), 1, 15)) AS BIGINT)) AS m{i}"
+            for i in range(OVERLAP_HASHES)
+        ),
+        " + ".join(
+            f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+            for i in range(OVERLAP_HASHES)
+        ),
+    ),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap matrix: minhash-estimated word-3-gram
+    Jaccard between every pair of sources — the dump-vs-dump
+    similarity scan that decides which corpus slices deserve
+    cross-slice dedup at all (近-identical dumps first).
+
+    Scale shape: ONE distinct over (source, gram) — keyed on the
+    gram-bearing pair, spreads evenly — then H=64 fixed-width min()
+    aggregates per source in a single HashAggregate, leaving a
+    #sources-row table whose pairwise join is dim-sized (190 rows at
+    20 sources). Nothing pairwise ever touches gram-level data: the
+    estimate costs O(corpus) + O(sources²), the 100 TB-safe shape.
+    The estimator (fraction of matching minima) is deterministic in
+    both engines — md5 is fixed, minima are exact integers.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.col("text"), " "), "")
+    grams_expr = (
+        "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
+        "i -> concat_ws(' ', slice(words, i, 3))))"
+    )
+    g = (
+        docs.select("source", words.alias("words"))
+        .select("source", F.explode(F.expr(grams_expr)).alias("gram"))
+        .distinct()
+    )
+    sigs = g.groupBy("source").agg(
+        F.count("*").alias("n_grams"), *_gram_min_cols()
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"),
+        F.col("n_grams").alias("n_grams_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(OVERLAP_HASHES)],
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"),
+        F.col("n_grams").alias("n_grams_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(OVERLAP_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(OVERLAP_HASHES)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            rnd(matches * 1.0 / OVERLAP_HASHES, 4).alias("est_jaccard"),
+        )
+    )

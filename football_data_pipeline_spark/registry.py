@@ -87,6 +87,7 @@ CHECK_PRIORITY = [
     "q_team_odds_lookup",
     "q_decontaminate",
     "q_repetition",
+    "q_source_overlap",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -103,6 +104,8 @@ ROTATE_TAIL = [
     "q_union_roles",
     "q_left_join_count",
     "q_json_extract",
+    # P5 LIKE-search, now also exercised end-to-end by q_team_odds_lookup:
+    "q_team_search",
 ]
 
 

@@ -114,3 +114,37 @@ def test_repetition_flags_template_spam(spark):
     dup1 = 1 - rows[1]["d"] / rows[1]["n"]
     dup2 = 1 - rows[2]["d"] / rows[2]["n"]
     assert dup1 > textstats.REPETITION_THRESHOLD > dup2
+
+
+def test_source_overlap_estimator_bounds(spark):
+    """Minhash corpus-overlap estimate: identical corpora → 1.0,
+    disjoint corpora → 0.0 (all 64 minima match / none match)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.dedup import (
+        OVERLAP_HASHES,
+        _gram_min_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta"),
+            ("b", "alpha beta gamma delta epsilon zeta"),   # identical to a
+            ("c", "one two three four five six seven"),     # disjoint
+        ],
+        "source string, text string",
+    )
+    words = F.array_remove(F.split("text", " "), "")
+    grams_expr = (
+        "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
+        "i -> concat_ws(' ', slice(words, i, 3))))"
+    )
+    g = (
+        docs.select("source", words.alias("words"))
+        .select("source", F.explode(F.expr(grams_expr)).alias("gram"))
+        .distinct()
+    )
+    sigs = {r["source"]: r for r in g.groupBy("source").agg(*_gram_min_cols()).collect()}
+    same = sum(sigs["a"][f"m{i}"] == sigs["b"][f"m{i}"] for i in range(OVERLAP_HASHES))
+    diff = sum(sigs["a"][f"m{i}"] == sigs["c"][f"m{i}"] for i in range(OVERLAP_HASHES))
+    assert same == OVERLAP_HASHES and diff == 0
