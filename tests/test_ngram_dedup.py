@@ -148,3 +148,24 @@ def test_source_overlap_estimator_bounds(spark):
     same = sum(sigs["a"][f"m{i}"] == sigs["b"][f"m{i}"] for i in range(OVERLAP_HASHES))
     diff = sum(sigs["a"][f"m{i}"] == sigs["c"][f"m{i}"] for i in range(OVERLAP_HASHES))
     assert same == OVERLAP_HASHES and diff == 0
+
+
+def test_new_ops_plan_shapes(spark):
+    """Scale-guard plan asserts: decontaminate probes a BROADCAST eval
+    set (no sort-merge join of train grams), and source_overlap's 64
+    minima run in hash aggregation (BIGINT buffers — a string buffer
+    would silently fall back to SortAggregate)."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    decon = QUERIES["q_decontaminate"].fn(spark, SF_DIR)
+    plan = decon._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+    overlap = QUERIES["q_source_overlap"].fn(spark, SF_DIR)
+    plan2 = overlap._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan2
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
