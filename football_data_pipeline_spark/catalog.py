@@ -52,8 +52,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # unrelated concurrent reads in the same session interpret
         # nanos timestamps.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dt == "timestamp_ntz":
+            # some reader configurations surface the nanos column as
+            # TIMESTAMP_NTZ instead. Normalize to TIMESTAMP (LTZ):
+            # event-time streaming (watermarks) REQUIRES it, and with
+            # the session pinned to UTC (session.py/configure_for_
+            # oracle) the wall-clock values are identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
