@@ -332,3 +332,45 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") * 1.0 / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "q_ivf_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'d': i - 1, 'v': embedding[i]})) AS e
+      FROM embeddings
+    )
+    SELECT label, e.d AS dim_idx,
+           CAST(count(*) AS BIGINT) AS n_members,
+           floor((CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+                 * 1000000 + 0.5) / 1000000 AS centroid_val
+    FROM u GROUP BY label, e.d
+    """,
+)
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-build step (one Lloyd/k-means centroid update):
+    element-wise mean of every cluster's member vectors, flat
+    (label, dim_idx) grain so the result is hash-checkable.
+
+    Scale shape: posexplode to (label, dim, value) — a codegen
+    generator, rows = N×D but each is 16 bytes — then ONE hash
+    aggregation keyed (label, dim): |labels|·D output rows regardless
+    of corpus size, with map-side partial aggregation doing almost
+    all the work. Float parity: members are summed as DECIMAL(38,10)
+    (exact, order-independent — functions/stable.py rationale), so
+    the mean is identical across partitionings and engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    return u.groupBy("label", "dim_idx").agg(
+        F.count("*").alias("n_members"),
+        rnd(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("centroid_val"),
+    )

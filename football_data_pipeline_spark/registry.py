@@ -88,6 +88,7 @@ CHECK_PRIORITY = [
     "q_decontaminate",
     "q_repetition",
     "q_source_overlap",
+    "q_ivf_centroids",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -106,6 +107,7 @@ ROTATE_TAIL = [
     "q_json_extract",
     # P5 LIKE-search, now also exercised end-to-end by q_team_odds_lookup:
     "q_team_search",
+    "q_lineups_flatten",
 ]
 
 
