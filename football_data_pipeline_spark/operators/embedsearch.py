@@ -374,3 +374,108 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_val"),
     )
+
+
+def _centroid_arrays_sql() -> str:
+    """Shared oracle CTEs: per-label centroid as an ORDERED array of
+    the 6-dp-rounded means (same rounding as q_ivf_centroids, so the
+    two queries describe one consistent index build)."""
+    return """
+    WITH u AS (
+      SELECT label, vec_id, embedding,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'d': i - 1, 'v': embedding[i]})) AS e
+      FROM embeddings
+    ),
+    cm AS (
+      SELECT label, e.d AS d,
+             floor((CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+                   * 1000000 + 0.5) / 1000000 AS cv
+      FROM u GROUP BY label, e.d
+    ),
+    cent AS (
+      SELECT label AS c_label, list(cv ORDER BY d) AS c_vec FROM cm GROUP BY label
+    )
+    """
+
+
+@query(
+    "q_ivf_reassign",
+    oracle=_centroid_arrays_sql()
+    + """,
+    dists AS (
+      SELECT v.vec_id, v.label AS old_label, c.c_label,
+             list_sum(list_transform(range(1, len(v.embedding) + 1),
+                      i -> (CAST(v.embedding[i] AS DOUBLE) - c.c_vec[i])
+                         * (CAST(v.embedding[i] AS DOUBLE) - c.c_vec[i]))) AS d2
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, old_label, c_label AS new_label, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, c_label ASC) AS rn
+      FROM dists
+    )
+    SELECT old_label, new_label,
+           count(*) AS n_vectors,
+           floor((CAST(sum(CAST(d2 AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+                 * 10000 + 0.5) / 10000 AS avg_sq_dist
+    FROM best WHERE rn = 1
+    GROUP BY old_label, new_label
+    """,
+)
+def q_ivf_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the Lloyd iteration: reassign every vector
+    to its nearest UPDATED centroid (squared-L2, label-asc
+    tie-break) and report the old→new transition matrix with the
+    per-cell mean squared distance — the convergence diagnostic an
+    IVF index build watches.
+
+    Scale shape: centroids are |labels| rows → broadcast cross join
+    gives N×K rows (K small by construction), distance is a strict
+    left-to-right fold inside codegen, argmin is a per-vector window
+    over K rows. Per-pair d2 doubles are engine-identical (fixed-
+    order folds over 6-dp centroids); the per-cell mean then sums
+    them as DECIMAL(38,10) on BOTH sides so group order cannot move
+    the rounded value.
+    """
+    from ..functions.stable import rnd as _rnd
+
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cm = u.groupBy("label", "d").agg(
+        rnd(
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("cv")
+    )
+    cent = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cv"))), lambda s: s["cv"]
+        ).alias("c_vec")
+    ).select(F.col("label").alias("c_label"), "c_vec")
+    diff2 = F.zip_with(
+        "embedding",
+        "c_vec",
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    dists = (
+        emb.select("vec_id", F.col("label").alias("old_label"), "embedding")
+        .join(F.broadcast(cent))
+        .withColumn(
+            "d2", F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    best = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(
+        "old_label", F.col("c_label").alias("new_label")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        _rnd(
+            F.sum(F.col("d2").cast("decimal(38,10)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_sq_dist"),
+    )

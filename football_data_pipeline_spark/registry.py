@@ -89,6 +89,7 @@ CHECK_PRIORITY = [
     "q_repetition",
     "q_source_overlap",
     "q_ivf_centroids",
+    "q_ivf_reassign",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -108,6 +109,7 @@ ROTATE_TAIL = [
     # P5 LIKE-search, now also exercised end-to-end by q_team_odds_lookup:
     "q_team_search",
     "q_lineups_flatten",
+    "q_h2h_flatten",
 ]
 
 
