@@ -223,3 +223,53 @@ def test_connected_components_matches_union_find(spark, raw_pairs):
         assert got[n].component == comp
         assert got[n].component_size == size
         assert got[n].is_canonical == (n == comp)
+
+
+rgb_dims = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@given(
+    rgb_dims,
+    st.binary(min_size=0, max_size=0),  # placeholder so hypothesis shrinks dims first
+    st.randoms(use_true_random=False),
+)
+@FAST
+def test_ppm_bmp_roundtrip_and_resize_identity(spark, dims, _b, rng):
+    """Pure-codec properties (no Spark): PPM encode→decode is the
+    identity; a hand-packed BMP of the same pixels decodes equal;
+    nearest-neighbor resize to the SAME dims is the identity; resize
+    output always has exactly new_w*new_h*3 bytes with every pixel
+    drawn from the source image."""
+    import struct
+
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    w, h = dims
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+    # pack the same pixels as a bottom-up 24-bit BMP
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for y in reversed(range(h)):
+        row = rgb[y * w * 3 : (y + 1) * w * 3]
+        line = b"".join(row[i * 3 : i * 3 + 3][::-1] for i in range(w))  # RGB→BGR
+        raster += line + b"\0" * (stride - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(raster), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    assert decode_bmp(header + raster) == (w, h, rgb)
+
+    assert resize_nearest(w, h, rgb, w, h) == rgb
+    nw, nh = max(1, w // 2), min(12, h * 2)
+    out = resize_nearest(w, h, rgb, nw, nh)
+    assert len(out) == nw * nh * 3
+    pixels = {rgb[i * 3 : i * 3 + 3] for i in range(w * h)}
+    assert all(out[i * 3 : i * 3 + 3] in pixels for i in range(nw * nh))
