@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.stable import rnd
 from ..registry import query
+from .sampling import sample_bucket
 
 N_HASHES = 18
 N_BANDS = 3  # rows per band = N_HASHES // N_BANDS = 6
@@ -750,4 +751,172 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams_b",
             rnd(matches * 1.0 / OVERLAP_HASHES, 4).alias("est_jaccard"),
         )
+    )
+
+
+# --- incremental dedup: a NEW batch against the existing corpus ---
+
+#: deterministic batch split for the driver query: bucket 0 of 5 ⇒
+#: ~20% of documents play the newly-ingested batch, the rest the
+#: historical corpus
+INCR_SALT = "incr-v1"
+INCR_MOD = 5
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame, history: DataFrame, verify: float = JACCARD_VERIFY
+) -> DataFrame:
+    """Classify each newly-ingested document against an existing
+    corpus: ``exact`` (canonical word-set fingerprint already in
+    history), ``near`` (shares a minhash band bucket with a history
+    document and exact Jaccard ≥ ``verify``), else ``unique`` — the
+    daily-ingest production shape, where dedup runs new-vs-all
+    WITHOUT ever re-pairing history against itself.
+
+    Scale shape: the exact stage is one fingerprint equi-join (new
+    side is a day's batch, history side is fingerprint+band columns
+    only — at 100 TB these are the precomputed index tables the
+    writer maintains, not a re-derivation). The near stage joins band
+    signatures new⋈history — candidates are bucket-local exactly as
+    in q_dedup_minhash, and only the (tiny) verified pair set is
+    re-joined for tie-broken match selection. History pairs never
+    form; cost is O(new × bands) plus verification.
+    """
+
+    def prep(docs: DataFrame) -> DataFrame:
+        ws = word_set(F.col("text"))
+        return docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.md5(F.concat_ws(" ", F.array_sort(ws))).alias("fp"),
+        )
+
+    n, h = prep(new_docs), prep(history)
+
+    exact = (
+        n.select("doc_id", "fp")
+        .join(h.select(F.col("doc_id").alias("h_doc"), "fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.min("h_doc").alias("matched_doc"))
+        .withColumn("dup_kind", F.lit("exact"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+
+    remaining = n.join(exact.select("doc_id"), "doc_id", "left_anti")
+
+    def sigs(df: DataFrame, id_alias: str) -> DataFrame:
+        with_mh = df.select(
+            F.col("doc_id").alias(id_alias),
+            "ws",
+            *[m.alias(f"mh{i}") for i, m in enumerate(minhash_signature(F.col("ws")))],
+        )
+        return with_mh.select(
+            id_alias, "ws", F.explode(_band_sigs()).alias("sig")
+        )
+
+    cand = (
+        sigs(remaining, "doc_id")
+        .join(
+            sigs(h, "h_doc").select("h_doc", F.col("ws").alias("h_ws"), "sig"),
+            "sig",
+        )
+        .select("doc_id", "ws", "h_doc", "h_ws")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ws", "h_ws"))
+    union = F.size(F.array_union("ws", "h_ws"))
+    verified = cand.withColumn("jac", inter / union).filter(F.col("jac") >= verify)
+    near_pick = verified.groupBy("doc_id").agg(F.min("h_doc").alias("matched_doc"))
+    near = (
+        near_pick.join(
+            verified.select("doc_id", F.col("h_doc").alias("matched_doc"), "jac"),
+            ["doc_id", "matched_doc"],
+        )
+        .select(
+            "doc_id",
+            "matched_doc",
+            F.lit("near").alias("dup_kind"),
+            rnd(F.col("jac"), 4).alias("jaccard"),
+        )
+    )
+
+    classified = exact.select("doc_id", "matched_doc", "dup_kind", "jaccard").unionByName(
+        near
+    )
+    return (
+        n.select("doc_id")
+        .join(classified, "doc_id", "left")
+        .withColumn("dup_kind", F.coalesce("dup_kind", F.lit("unique")))
+    )
+
+
+def _incremental_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(ws, t -> md5('{i}:' || t))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    band_exprs = ", ".join(
+        "'{}' || '|' || {}".format(
+            b,
+            " || '|' || ".join(f"mh{ROWS_PER_BAND * b + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_WORD_SET_SQL} AS ws,
+             md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS fp,
+             CAST(('0x' || substr(md5('{INCR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 % {INCR_MOD} AS b
+      FROM documents
+    ),
+    n AS (SELECT * FROM d WHERE b = 0),
+    h AS (SELECT * FROM d WHERE b <> 0),
+    exact AS (
+      SELECT n.doc_id, min(h.doc_id) AS matched_doc,
+             'exact' AS dup_kind, 1.0 AS jaccard
+      FROM n JOIN h ON n.fp = h.fp GROUP BY n.doc_id
+    ),
+    rem AS (SELECT * FROM n WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+    nmh AS (SELECT doc_id, ws, {mh_cols} FROM rem),
+    hmh AS (SELECT doc_id, ws, {mh_cols} FROM h),
+    nsig AS (SELECT doc_id, ws, unnest([{band_exprs}]) AS sig FROM nmh),
+    hsig AS (SELECT doc_id AS h_doc, ws AS h_ws, unnest([{band_exprs}]) AS sig FROM hmh),
+    cand AS (
+      SELECT DISTINCT a.doc_id, a.ws, b.h_doc, b.h_ws
+      FROM nsig a JOIN hsig b ON a.sig = b.sig
+    ),
+    verified AS (
+      SELECT doc_id, h_doc,
+             len(list_intersect(ws, h_ws)) * 1.0
+               / len(list_distinct(list_concat(ws, h_ws))) AS jac
+      FROM cand
+      WHERE len(list_intersect(ws, h_ws)) * 1.0
+              / len(list_distinct(list_concat(ws, h_ws))) >= {JACCARD_VERIFY}
+    ),
+    near AS (
+      SELECT v.doc_id, v.matched_doc, 'near' AS dup_kind,
+             floor(v2.jac * 10000 + 0.5) / 10000 AS jaccard
+      FROM (SELECT doc_id, min(h_doc) AS matched_doc FROM verified GROUP BY doc_id) v
+      JOIN verified v2 ON v2.doc_id = v.doc_id AND v2.h_doc = v.matched_doc
+    ),
+    classified AS (SELECT * FROM exact UNION ALL SELECT * FROM near)
+    SELECT n.doc_id, c.matched_doc,
+           COALESCE(c.dup_kind, 'unique') AS dup_kind, c.jaccard
+    FROM n LEFT JOIN classified c ON n.doc_id = c.doc_id
+    """
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) dedup over a deterministic
+    20/80 split of ``documents``: every 'new' document classified
+    exact / near / unique against the 'historical' 80%, with the
+    matched history document and verified Jaccard. The production
+    ingest shape — history is probed, never re-paired with itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    split = F.pmod(sample_bucket(F.col("doc_id"), INCR_SALT), F.lit(INCR_MOD))
+    return dedup_against_corpus(
+        new_docs=docs.filter(split == 0), history=docs.filter(split != 0)
     )

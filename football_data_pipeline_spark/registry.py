@@ -90,6 +90,7 @@ CHECK_PRIORITY = [
     "q_source_overlap",
     "q_ivf_centroids",
     "q_ivf_reassign",
+    "q_dedup_incremental",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -110,6 +111,7 @@ ROTATE_TAIL = [
     "q_team_search",
     "q_lineups_flatten",
     "q_h2h_flatten",
+    "q_team_stats_extract",
 ]
 
 
