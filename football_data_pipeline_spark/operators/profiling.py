@@ -107,3 +107,59 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percentile(ln, F.lit(0.99))).alias("p99_len"),
         F.max(ln).cast("long").alias("max_len"),
     )
+
+
+#: adaptive length-filter percentile band (per language)
+FILTER_LO_P = 0.05
+FILTER_HI_P = 0.95
+
+
+@query(
+    "q_length_filter",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT lang,
+             {oracle_rnd(f'quantile_cont(length(text), {FILTER_LO_P})')} AS lo,
+             {oracle_rnd(f'quantile_cont(length(text), {FILTER_HI_P})')} AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(length(d.text) AS BIGINT) AS doc_len,
+           c.lo, c.hi,
+           CASE WHEN length(d.text) < c.lo THEN 'short' ELSE 'long' END AS side
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+    WHERE length(d.text) < c.lo OR length(d.text) > c.hi
+    """,
+)
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language length filter: documents outside their
+    OWN language's [p05, p95] length band, with the band and which
+    side they fell off — fixed global cutoffs mis-filter languages
+    with different length distributions, so the cut adapts per lang.
+
+    Scale shape: one exact-percentile aggregate per lang (the
+    approx_percentile sketch is the 100 TB knob, same signature) →
+    a #langs-row cutoff table broadcast back onto the scan; the
+    filter itself is codegen'd, no second shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    cuts = docs.groupBy("lang").agg(
+        rnd(F.percentile(ln, F.lit(FILTER_LO_P))).alias("lo"),
+        rnd(F.percentile(ln, F.lit(FILTER_HI_P))).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .withColumn("doc_len", ln.cast("long"))
+        .filter((F.col("doc_len") < F.col("lo")) | (F.col("doc_len") > F.col("hi")))
+        .select(
+            "doc_id",
+            "lang",
+            "doc_len",
+            "lo",
+            "hi",
+            F.when(F.col("doc_len") < F.col("lo"), "short")
+            .otherwise("long")
+            .alias("side"),
+        )
+    )

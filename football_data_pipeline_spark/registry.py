@@ -91,6 +91,7 @@ CHECK_PRIORITY = [
     "q_ivf_centroids",
     "q_ivf_reassign",
     "q_dedup_incremental",
+    "q_length_filter",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -112,6 +113,7 @@ ROTATE_TAIL = [
     "q_lineups_flatten",
     "q_h2h_flatten",
     "q_team_stats_extract",
+    "q_odds_flatten",
 ]
 
 
