@@ -35,7 +35,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.flatten import (
     derive_players,
@@ -217,3 +217,95 @@ def dedup_stream(events: DataFrame, id_cols: list[str], ts_col: str = "ts",
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
     return events.dropDuplicates(id_cols)
+
+
+def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for a DOCUMENT stream: classify each
+    micro-batch against the accumulated accepted corpus
+    (operators.dedup.dedup_against_corpus — exact fingerprint probe,
+    then banded near probe), persist the classification, and append
+    only unique documents to the corpus. The streaming form of
+    incremental dedup: history grows batch by batch and is probed,
+    never re-paired with itself.
+
+    Exactly-once: both outputs are batchId-keyed partition
+    overwrites, and the history read PRUNES to ``batch_id < this``
+    so a crash-restart re-running batch N never sees its own partial
+    output as 'history' (which would classify the whole batch as
+    duplicate of itself).
+
+    Within-batch duplicates are collapsed first (exact canonical
+    fingerprint, min doc_id wins) so two copies arriving in one
+    micro-batch cannot both be accepted.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedup_against_corpus, word_set
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fp = F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text")))))
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        batch = (
+            batch.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+            .cache()
+        )
+        try:
+            try:
+                history = (
+                    spark.read.option("basePath", f"{corpus_root}/accepted")
+                    .parquet(f"{corpus_root}/accepted")
+                    .filter(F.col("batch_id") < batch_id)
+                    .drop("batch_id")
+                )
+            except AnalysisException:
+                history = spark.createDataFrame([], batch.schema)
+            classified = dedup_against_corpus(batch, history)
+            classified.write.mode("overwrite").parquet(
+                f"{corpus_root}/classification/batch_id={batch_id}"
+            )
+            accepted = batch.join(
+                spark.read.parquet(
+                    f"{corpus_root}/classification/batch_id={batch_id}"
+                )
+                .filter(F.col("dup_kind") == "unique")
+                .select("doc_id"),
+                "doc_id",
+            )
+            accepted.write.mode("overwrite").parquet(
+                f"{corpus_root}/accepted/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+
+    return write_batch
+
+
+def start_dedup_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    corpus_root: str,
+    checkpoint: str,
+    trigger: str | None = None,
+):
+    """Wire the streaming incremental-dedup ingest: a parquet file
+    source of documents → per-micro-batch classification against the
+    accumulated accepted corpus. ``trigger=None`` → availableNow."""
+    from ..catalog import load  # noqa: F401 (schema doc: documents table shape)
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+        .writeStream.foreachBatch(dedup_batch_writer(corpus_root))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()

@@ -144,3 +144,59 @@ def test_fact_writes_idempotent_per_batch(spark, tmp_path):
     odds = spark.read.parquet(str(tmp_path / "silver" / "odds_history")).collect()
     assert len(odds) == 1  # not duplicated
     assert odds[0].batch_id == 7
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Two document micro-batches through the incremental-dedup
+    stream: batch 2's exact copy and near copy of accepted batch-1
+    docs are rejected, its fresh doc is accepted; within-batch exact
+    duplicates collapse before classification."""
+    import time
+
+    from football_data_pipeline_spark.streaming.pipeline import start_dedup_pipeline
+
+    src = str(tmp_path / "docs_src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, "totally different words here about football and odds", "en", "s", 50),
+            (3, base, "en", "s", len(base)),  # within-batch exact dup of 1
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    b1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [
+            (10, base, "en", "s", len(base)),                   # exact dup of accepted 1
+            (11, base + " extraword", "en", "s", 60),           # near dup (jaccard 10/11)
+            (12, "completely novel content nothing shared at all", "en", "s", 46),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = start_dedup_pipeline(spark, src, corpus, ckpt)
+    q.awaitTermination(180)
+
+    cls = spark.read.option("basePath", f"{corpus}/classification").parquet(
+        f"{corpus}/classification"
+    )
+    rows = {r["doc_id"]: r for r in cls.collect()}
+    # batch 1: doc 3 collapsed within-batch (absent), 1 and 2 unique
+    assert 3 not in rows
+    assert rows[1]["dup_kind"] == "unique" and rows[2]["dup_kind"] == "unique"
+    # batch 2 vs accepted history
+    assert rows[10]["dup_kind"] == "exact" and rows[10]["matched_doc"] == 1
+    assert rows[11]["dup_kind"] == "near" and rows[11]["matched_doc"] == 1
+    assert rows[11]["jaccard"] >= 0.9
+    assert rows[12]["dup_kind"] == "unique"
+
+    accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(
+        f"{corpus}/accepted"
+    )
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 12]
