@@ -320,3 +320,54 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         (dup_frac >= REPETITION_THRESHOLD).alias("repetitive"),
     )
+
+
+@query(
+    "q_seq_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len({_WORDS_SQL}) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT lang, n_tokens,
+             CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT lang, bucket,
+           CAST(2 ** bucket AS BIGINT) AS lo_tokens,
+           CAST(2 ** (bucket + 1) - 1 AS BIGINT) AS hi_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def q_seq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram: documents per (lang, power-of-two
+    token bucket) with the token mass per bucket — the query that
+    sizes training sequence lengths and packing budgets (how much of
+    the corpus fits 512? how much needs 4k?).
+
+    Bucket = floor(log2(n_tokens)) computed INTEGER-exactly as
+    binary-representation length − 1 on both engines — float log2 is
+    not guaranteed exact at powers of two, and an off-by-one-ulp
+    there would flip bucket boundaries between engines. One hash
+    aggregation; output is |langs| × ~12 rows at any corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    b = docs.select("lang", n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    ).withColumn(
+        "bucket",
+        (F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    ).select(
+        "lang",
+        "bucket",
+        F.expr("shiftleft(1L, CAST(bucket AS INT))").alias("lo_tokens"),
+        F.expr("shiftleft(1L, CAST(bucket AS INT) + 1) - 1L").alias("hi_tokens"),
+        "n_docs",
+        "total_tokens",
+    )

@@ -92,6 +92,7 @@ CHECK_PRIORITY = [
     "q_ivf_reassign",
     "q_dedup_incremental",
     "q_length_filter",
+    "q_seq_histogram",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -114,6 +115,7 @@ ROTATE_TAIL = [
     "q_h2h_flatten",
     "q_team_stats_extract",
     "q_odds_flatten",
+    "q_first_last_change",
 ]
 
 
