@@ -83,3 +83,56 @@ def q_windowed_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date_trunc('hour', ts)`` states the identical bucket.
     """
     return hourly_volatility(load(spark, sf_dir, "events"))
+
+
+def enrich_stream_stream(
+    odds: DataFrame,
+    fixtures: DataFrame,
+    odds_watermark: str = "1 hour",
+    fixture_watermark: str = "2 hours",
+    lookback: str = "24 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each odds snapshot is
+    enriched with its fixture's context row, accepting fixture
+    records created up to ``lookback`` BEFORE the snapshot (the
+    fixture normally lands first) or up to the snapshot instant
+    (out-of-order arrival inside the watermark).
+
+    The Structured Streaming join category the fan-out pipeline does
+    not cover: both sides are unbounded, so BOTH carry watermarks and
+    the join predicate carries an event-time RANGE — that pair is
+    what lets Spark evict buffered state (fixtures older than
+    lookback + watermark; odds older than their watermark) instead
+    of holding both streams forever. Works identically on batch
+    inputs (watermarks are no-ops there), so the same function is
+    unit-checkable against a plain join.
+    """
+    o = odds.withWatermark("collected_at", odds_watermark) if odds.isStreaming else odds
+    fx = (
+        fixtures.withWatermark("created_at", fixture_watermark)
+        if fixtures.isStreaming
+        else fixtures
+    )
+    f = fx.select(
+        F.col("id").alias("__fx_id"),
+        F.col("kickoff_utc"),
+        F.col("home_team_id"),
+        F.col("away_team_id"),
+        F.col("created_at"),
+    )
+    return o.join(
+        f,
+        (F.col("fixture_id") == F.col("__fx_id"))
+        & (F.col("created_at") >= F.col("collected_at") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("created_at") <= F.col("collected_at")),
+    ).select(
+        "fixture_id",
+        "bookmaker",
+        "home_odds",
+        "draw_odds",
+        "away_odds",
+        "collected_at",
+        "kickoff_utc",
+        "home_team_id",
+        "away_team_id",
+    )

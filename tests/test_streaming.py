@@ -168,3 +168,67 @@ def test_windowed_volatility_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM volatility").collect())
     assert got == expected
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Both sides streaming with watermarks + an event-time range
+    predicate: the odds snapshot joins the fixture created before it
+    (within lookback); a fixture created AFTER the snapshot or
+    beyond lookback does not match."""
+    import time
+
+    from football_data_pipeline_spark.streaming.windowed import enrich_stream_stream
+
+    fx_schema = (
+        "id long, kickoff_utc timestamp, home_team_id long, away_team_id long, "
+        "created_at timestamp"
+    )
+    od_schema = (
+        "fixture_id long, bookmaker string, home_odds double, draw_odds double, "
+        "away_odds double, collected_at timestamp"
+    )
+    fx_dir, od_dir = str(tmp_path / "fx"), str(tmp_path / "od")
+    spark.createDataFrame(
+        [
+            (1, "1995-06-02 15:00:00", 10, 11, "1995-06-01 00:00:00"),  # matches
+            (2, "1995-06-02 15:00:00", 10, 11, "1995-06-01 13:00:00"),  # created after snapshot
+            (3, "1995-06-02 15:00:00", 10, 11, "1995-05-30 00:00:00"),  # beyond 24h lookback
+        ],
+        "id long, k string, home_team_id long, away_team_id long, c string",
+    ).selectExpr(
+        "id", "CAST(k AS TIMESTAMP) kickoff_utc", "home_team_id",
+        "away_team_id", "CAST(c AS TIMESTAMP) created_at",
+    ).coalesce(1).write.parquet(fx_dir)
+    spark.createDataFrame(
+        [
+            (1, "Alpha", 2.0, 3.0, 4.0, "1995-06-01 12:00:00"),
+            (2, "Alpha", 2.0, 3.0, 4.0, "1995-06-01 12:00:00"),
+            (3, "Alpha", 2.0, 3.0, 4.0, "1995-06-01 12:00:00"),
+        ],
+        "fixture_id long, bookmaker string, home_odds double, draw_odds double, "
+        "away_odds double, c string",
+    ).selectExpr(
+        "fixture_id", "bookmaker", "home_odds", "draw_odds", "away_odds",
+        "CAST(c AS TIMESTAMP) collected_at",
+    ).coalesce(1).write.parquet(od_dir)
+
+    odds = spark.readStream.schema(od_schema).parquet(od_dir)
+    fixtures = spark.readStream.schema(fx_schema).parquet(fx_dir)
+    q = (
+        enrich_stream_stream(odds, fixtures)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fixture_id FROM enriched").collect()
+    assert [r.fixture_id for r in got] == [1]
+
+    # batch parity: the same function on batch inputs gives the same match
+    b = enrich_stream_stream(
+        spark.read.parquet(od_dir), spark.read.parquet(fx_dir)
+    ).collect()
+    assert [r.fixture_id for r in b] == [1]
+    assert b[0].home_team_id == 10
