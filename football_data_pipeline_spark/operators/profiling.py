@@ -163,3 +163,79 @@ def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+SKEW_TOP_K = 10
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = SKEW_TOP_K) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the k heaviest keys with
+    their row share and skew ratio (rows vs the uniform per-key
+    expectation) — the report that decides whether a key needs
+    salting or AQE skew-join handling before a 100 TB run.
+
+    One count aggregate keyed on ``key_col``, a 1-row global
+    cross-joined back (broadcast no-op), and a TakeOrderedAndProject
+    top-k. Nothing key-level survives beyond the top-k cut.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    globals_ = counts.agg(
+        F.sum("n_rows").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, no global sort of the key-count table), THEN
+    # the rank window over the k surviving rows only
+    topk = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(k)
+        .crossJoin(F.broadcast(globals_))
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            "total_rows",
+            "n_keys",
+            rnd(F.col("n_rows") * 100.0 / F.col("total_rows"), 4).alias("share_pct"),
+            rnd(
+                F.col("n_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+@query(
+    "q_skew_report",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key_value, count(*) AS n_rows FROM orders GROUP BY o_custkey
+    ),
+    g AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    ranked AS (
+      SELECT c.*, g.total_rows, g.n_keys,
+             row_number() OVER (ORDER BY c.n_rows DESC, c.key_value ASC) AS rank
+      FROM counts c CROSS JOIN g
+    )
+    SELECT rank, CAST(key_value AS VARCHAR) AS key_value, n_rows,
+           total_rows, n_keys,
+           {oracle_rnd('n_rows * 100.0 / total_rows', 4)} AS share_pct,
+           {oracle_rnd('n_rows * n_keys / total_rows', 4)} AS skew_ratio
+    FROM ranked WHERE rank <= {SKEW_TOP_K}
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over orders.o_custkey (the star schema's
+    natural hot-key candidate): the 10 heaviest customers with row
+    share and skew ratio vs uniform."""
+    return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey")

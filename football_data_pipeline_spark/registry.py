@@ -93,6 +93,7 @@ CHECK_PRIORITY = [
     "q_dedup_incremental",
     "q_length_filter",
     "q_seq_histogram",
+    "q_skew_report",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -116,6 +117,7 @@ ROTATE_TAIL = [
     "q_team_stats_extract",
     "q_odds_flatten",
     "q_first_last_change",
+    "q_lag_movement",
 ]
 
 
