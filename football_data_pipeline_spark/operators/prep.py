@@ -268,3 +268,139 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_overlap").alias("total_overlap"),
         F.max("overlap_ratio").alias("max_ratio"),
     )
+
+
+# --- the composed cleaning pass: one query, keep/drop + reasons ---
+
+CLEAN_QUALITY_MIN = 0.5  # quality_score floor (textstats weights)
+CLEAN_REP_MAX = 0.2  # duplicate-bigram fraction ceiling
+
+
+@query(
+    "q_corpus_clean",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             length(text) AS doc_len
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             floor(quantile_cont(doc_len, 0.05) * 100 + 0.5) / 100 AS lo,
+             floor(quantile_cont(doc_len, 0.95) * 100 + 0.5) / 100 AS hi
+      FROM w GROUP BY lang
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words), 2)),
+                    i -> array_to_string(words[i:i+1], ' '))) AS gram
+      FROM w
+    ),
+    rep AS (
+      SELECT doc_id,
+             floor((1.0 - count(DISTINCT gram) * 1.0 / count(*)) * 10000 + 0.5)
+               / 10000 AS dup_frac
+      FROM g GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct,
+             list_sum(list_transform(words, x -> length(x))) AS twc
+      FROM w WHERE len(words) > 0
+    ),
+    quality AS (
+      SELECT doc_id,
+             floor(((least(n_words * 1.0 / 100, 1.0)) * 0.5
+                   + (n_distinct * 1.0 / n_words) * 0.3
+                   + (least((twc * 1.0 / n_words) / 10, 1.0)) * 0.2)
+                   * 10000 + 0.5) / 10000 AS quality_score
+      FROM q
+    ),
+    verdicts AS (
+      SELECT w.doc_id, w.lang,
+             concat_ws(',',
+               CASE WHEN w.doc_len < c.lo THEN 'too_short' END,
+               CASE WHEN w.doc_len > c.hi THEN 'too_long' END,
+               CASE WHEN r.dup_frac >= {CLEAN_REP_MAX} THEN 'repetitive' END,
+               CASE WHEN qu.quality_score < {CLEAN_QUALITY_MIN} THEN 'low_quality' END
+             ) AS reasons
+      FROM w
+      JOIN cuts c ON w.lang = c.lang
+      JOIN rep r ON w.doc_id = r.doc_id
+      LEFT JOIN quality qu ON w.doc_id = qu.doc_id
+    )
+    SELECT doc_id, lang, reasons FROM verdicts WHERE reasons <> ''
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass — adaptive per-lang length
+    band, repetition ceiling, quality floor — in ONE query: dropped
+    documents with their comma-joined reason list (reasons as a
+    string, not an array, so the hash is representation-stable
+    across engines). A user runs this single query instead of
+    chaining three filters and reconciling their outputs.
+
+    Scale shape: each signal keeps its own optimal plan (percentile
+    agg → broadcast cutoffs; gram explode → two hash aggs; pure
+    projection for quality) and they meet in doc_id equi-joins —
+    high-cardinality keys, even spread. Nothing is computed twice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split("text", " "), "")
+    w = docs.select(
+        "doc_id", "lang", words.alias("words"), F.length("text").alias("doc_len")
+    )
+    cuts = w.groupBy("lang").agg(
+        rnd(F.percentile("doc_len", F.lit(0.05))).alias("lo"),
+        rnd(F.percentile("doc_len", F.lit(0.95))).alias("hi"),
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(words) - 1, 1)), "
+                "i -> concat_ws(' ', slice(words, i, 2)))"
+            )
+        ).alias("gram"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            rnd(F.lit(1.0) - F.count("*") * 1.0 / F.sum("count"), 4).alias("dup_frac")
+        )
+    )
+    n_words = F.size("words")
+    n_distinct = F.size(F.array_distinct("words"))
+    twc = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    quality = (
+        w.filter(n_words > 0)
+        .select(
+            "doc_id",
+            rnd(
+                F.least(n_words * 1.0 / 100, F.lit(1.0)) * 0.5
+                + (n_distinct * 1.0 / n_words) * 0.3
+                + F.least((twc * 1.0 / n_words) / 10, F.lit(1.0)) * 0.2,
+                4,
+            ).alias("quality_score"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("doc_len") < F.col("lo"), "too_short"),
+        F.when(F.col("doc_len") > F.col("hi"), "too_long"),
+        F.when(F.col("dup_frac") >= CLEAN_REP_MAX, "repetitive"),
+        F.when(F.col("quality_score") < CLEAN_QUALITY_MIN, "low_quality"),
+    )
+    return (
+        w.join(F.broadcast(cuts), "lang")
+        .join(rep, "doc_id")
+        .join(quality, "doc_id", "left")
+        .select("doc_id", "lang", reasons.alias("reasons"))
+        .filter(F.col("reasons") != "")
+    )

@@ -94,6 +94,7 @@ CHECK_PRIORITY = [
     "q_length_filter",
     "q_seq_histogram",
     "q_skew_report",
+    "q_corpus_clean",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -118,6 +119,7 @@ ROTATE_TAIL = [
     "q_odds_flatten",
     "q_first_last_change",
     "q_lag_movement",
+    "q_latest_per_key",
 ]
 
 
