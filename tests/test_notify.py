@@ -124,3 +124,28 @@ def test_odds_lookup_embed_shape(spark):
     assert len(rows2) == 1 and rows2[0]["bookmaker"] is None
     embed2 = odds_lookup_embed(rows2, "1995-06-01T00:00:00")
     assert len(embed2["fields"]) == 1  # kickoff only
+
+
+def test_odds_lookup_no_matching_team(spark):
+    """No team matches the LIKE term → empty result (the reference
+    replies 'No upcoming games found'), and no odds-side work leaks."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.gold import team_odds_lookup
+
+    now = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    fixtures = spark.createDataFrame(
+        [(1, 10, 11, 7, 1995, "1995-06-03 15:00:00")],
+        "id long, home_team_id long, away_team_id long, league_id long, "
+        "season int, k string",
+    ).select("*", F.to_timestamp("k").alias("kickoff_utc")).drop("k")
+    teams = spark.createDataFrame([(10, "Arsenal"), (11, "Chelsea")], "id long, name string")
+    leagues = spark.createDataFrame(
+        [(7, 1995, "PL", "EN")], "id long, season int, name string, country string"
+    )
+    odds = spark.createDataFrame(
+        [], "fixture_id long, bookmaker string, market_type string, home_odds double, "
+        "draw_odds double, away_odds double, collection_phase string, collected_at timestamp",
+    )
+    out = team_odds_lookup(fixtures, teams, leagues, odds, "Nonexistent United", now)
+    assert out.count() == 0
