@@ -200,3 +200,38 @@ def test_streaming_incremental_dedup(spark, tmp_path):
         f"{corpus}/accepted"
     )
     assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 12]
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Crash-restart semantics: re-running a micro-batch with the same
+    batch_id must produce the identical classification — the history
+    read prunes batch_id < current, so the batch cannot classify
+    against its own previous (possibly partial) output."""
+    from football_data_pipeline_spark.streaming.pipeline import dedup_batch_writer
+
+    corpus = str(tmp_path / "corpus")
+    writer = dedup_batch_writer(corpus)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "s", 30)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (11, "novel totally different content here", "en", "s", 36)],
+        schema,
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    first = sorted(
+        (r["doc_id"], r["dup_kind"])
+        for r in spark.read.parquet(f"{corpus}/classification/batch_id=1").collect()
+    )
+    # replay batch 1 (as after a crash between its two writes)
+    writer(b1, 1)
+    second = sorted(
+        (r["doc_id"], r["dup_kind"])
+        for r in spark.read.parquet(f"{corpus}/classification/batch_id=1").collect()
+    )
+    assert first == second == [(10, "exact"), (11, "unique")]
+    accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(f"{corpus}/accepted")
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 11]
