@@ -142,3 +142,92 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+QUALITY_SALT = "qsample-v1"
+
+
+@query(
+    "q_quality_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             floor(((least(len(words) * 1.0 / 100, 1.0)) * 0.5
+                   + (len(list_distinct(words)) * 1.0 / len(words)) * 0.3
+                   + (least((list_sum(list_transform(words, x -> length(x)))
+                             * 1.0 / len(words)) / 10, 1.0)) * 0.2)
+                   * 10000 + 0.5) / 10000 AS quality_score
+      FROM w WHERE len(words) > 0
+    ),
+    tagged AS (
+      SELECT *,
+             CASE WHEN {_bucket_sql('doc_id', QUALITY_SALT)}
+                       < CAST(floor(quality_score * {RESOLUTION}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS kept
+      FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           floor((sum(kept) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS keep_frac,
+           floor((CAST(sum(CASE WHEN kept = 1
+                           THEN CAST(quality_score AS DECIMAL(28,4)) END) AS DOUBLE)
+                  / sum(kept)) * 10000 + 0.5) / 10000 AS kept_avg_quality
+    FROM tagged GROUP BY lang
+    """,
+)
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling (soft filtering): each document's
+    keep PROBABILITY equals its quality score, decided
+    deterministically by id hash — the standard alternative to a
+    hard quality cutoff, preserving some low-quality mass while
+    biasing the corpus toward quality. Summarized per lang: kept
+    count/fraction and the kept documents' mean quality (which must
+    exceed the population mean — the bias the sampler exists to
+    create).
+
+    Pure projection verdicts (hash + score, no shuffle) plus one
+    rollup; reproducible on any engine, retry, or cluster size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split("text", " "), "")
+    w = docs.select("doc_id", "lang", words.alias("words")).filter(F.size("words") > 0)
+    n_words = F.size("words")
+    n_distinct = F.size(F.array_distinct("words"))
+    twc = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    from ..functions.stable import rnd
+
+    quality = rnd(
+        F.least(n_words * 1.0 / 100, F.lit(1.0)) * 0.5
+        + (n_distinct * 1.0 / n_words) * 0.3
+        + F.least((twc * 1.0 / n_words) / 10, F.lit(1.0)) * 0.2,
+        4,
+    )
+    kept = (
+        sample_bucket(F.col("doc_id"), QUALITY_SALT)
+        < F.floor(F.col("quality_score") * RESOLUTION).cast("long")
+    ).cast("int")
+    tagged = w.select("doc_id", "lang", quality.alias("quality_score")).withColumn(
+        "kept", kept
+    )
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        rnd(F.sum("kept") * 1.0 / F.count("*"), 4).alias("keep_frac"),
+        rnd(
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("quality_score")).cast(
+                    "decimal(28,4)"
+                )
+            ).cast("double")
+            / F.sum("kept"),
+            4,
+        ).alias("kept_avg_quality"),
+    )

@@ -95,6 +95,7 @@ CHECK_PRIORITY = [
     "q_seq_histogram",
     "q_skew_report",
     "q_corpus_clean",
+    "q_quality_sample",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -120,6 +121,7 @@ ROTATE_TAIL = [
     "q_first_last_change",
     "q_lag_movement",
     "q_latest_per_key",
+    "q_upsert_latest",
 ]
 
 
