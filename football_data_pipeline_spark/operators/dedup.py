@@ -937,3 +937,99 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(
         new_docs=docs.filter(split == 0), history=docs.filter(split != 0)
     )
+
+
+# --- leakage-free split: near-dup clusters stay on one side ---
+
+LEAK_SALT = "leakfree-v1"
+LEAK_HOLDOUT_BP = 1000  # 10% holdout, in RESOLUTION basis points
+
+
+@query(
+    "q_leakage_split",
+    oracle=f"""
+    WITH RECURSIVE mh_pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    d AS (
+      SELECT doc_id, md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS fp
+      FROM documents
+    ),
+    grp AS (SELECT fp, min(doc_id) AS rid FROM d GROUP BY fp),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    doc_comp AS (
+      SELECT d.doc_id, COALESCE(c.component, g.rid) AS component
+      FROM d JOIN grp g ON d.fp = g.fp
+      LEFT JOIN comp c ON g.rid = c.node
+    ),
+    tagged AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST(('0x' || substr(md5('{LEAK_SALT}:'
+                        || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < {LEAK_HOLDOUT_BP}
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM doc_comp
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM tagged GROUP BY split
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free holdout split: membership is decided by hashing
+    the document's DUPLICATE-CLUSTER id (exact word-set group →
+    near-dup connected component), so a holdout document's exact and
+    near copies land on the same side — the split a naive per-doc
+    hash (q_holdout_split) cannot guarantee, and the one that
+    actually prevents eval contamination in a duplicated corpus.
+
+    Composition of verified pieces: exact-dup grouping, minhash pair
+    graph, connected components, hash splitting — one pipeline,
+    summary grain (split → doc/component counts + id range).
+    """
+    from .sampling import RESOLUTION as _RES
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("fp"),
+    )
+    grp = d.groupBy("fp").agg(F.min("doc_id").alias("rid"))
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    doc_comp = (
+        d.join(grp, "fp")
+        .join(comp, F.col("rid") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("rid")).alias("component")
+        )
+    )
+    split = F.when(
+        sample_bucket(F.col("component"), LEAK_SALT) < LEAK_HOLDOUT_BP, "holdout"
+    ).otherwise("train")
+    return (
+        doc_comp.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

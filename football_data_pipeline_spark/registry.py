@@ -96,6 +96,7 @@ CHECK_PRIORITY = [
     "q_skew_report",
     "q_corpus_clean",
     "q_quality_sample",
+    "q_leakage_split",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -122,6 +123,7 @@ ROTATE_TAIL = [
     "q_lag_movement",
     "q_latest_per_key",
     "q_upsert_latest",
+    "q_dedup_simhash",
 ]
 
 
