@@ -273,3 +273,19 @@ def test_ppm_bmp_roundtrip_and_resize_identity(spark, dims, _b, rng):
     assert len(out) == nw * nh * 3
     pixels = {rgb[i * 3 : i * 3 + 3] for i in range(w * h)}
     assert all(out[i * 3 : i * 3 + 3] in pixels for i in range(nw * nh))
+
+
+def test_connected_components_edges(spark):
+    """Degenerate inputs: empty pair set → empty labels (no crash);
+    max_iter < 1 raises the descriptive convergence error, not a
+    NameError."""
+    import pytest as _pytest
+
+    from football_data_pipeline_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=0)
