@@ -371,3 +371,72 @@ def q_seq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
     )
+
+
+TFIDF_TOP_K = 10
+
+
+@query(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS tf FROM w GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             floor(tf.tf * (floor(ln(n.n_sources * 1.0 / df.df) * 1000000 + 0.5)
+                            / 1000000) * 10000 + 0.5) / 10000 AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT source, rank, term, tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source: top-10 by tf-idf, where tf is
+    the term's occurrence count within the source and idf is
+    ln(#sources / #sources-containing) — the corpus-exploration query
+    behind "what is this dump actually about".
+
+    Engine parity: ln() differs between engines by 1 ulp on some
+    inputs (measured: ln(20/7)), so the idf factor is stable-rounded
+    to 6 dp BEFORE the multiply on both sides; the product rounds to
+    4 dp. Scale shape: two hash aggregations — (source, term) then
+    term — a broadcastable df table joined back, and a per-source
+    window for the top-k cut (each partition sorts only that source's
+    vocabulary; for web-scale vocabularies swap in a per-source
+    TakeOrdered variant).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(_words()).alias("term"))
+    tf = w.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = docs.agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    idf = rnd(F.log(F.col("n_sources") * 1.0 / F.col("df")), 6)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn("tfidf", rnd(F.col("tf") * idf, 4))
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("source", "rank", "term", "tf", "df", "tfidf")
+    )

@@ -97,6 +97,7 @@ CHECK_PRIORITY = [
     "q_corpus_clean",
     "q_quality_sample",
     "q_leakage_split",
+    "q_tfidf_terms",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -124,6 +125,7 @@ ROTATE_TAIL = [
     "q_latest_per_key",
     "q_upsert_latest",
     "q_dedup_simhash",
+    "q_windowed_volatility",
 ]
 
 
