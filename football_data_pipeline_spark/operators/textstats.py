@@ -440,3 +440,75 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("source", "rank", "term", "tf", "df", "tfidf")
     )
+
+
+#: winnowing parameters: k-gram size (words) and window width —
+#: guarantees any shared run of (WINNOW_W + k − 1) words produces at
+#: least one shared fingerprint (the winnowing guarantee)
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(words) - {WINNOW_K - 1}, 1) + 1),
+                 i -> md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' '))) AS hashes
+      FROM w
+    ),
+    fp AS (
+      SELECT doc_id, len(hashes) AS n_grams,
+             list_distinct(list_transform(
+                 range(1, greatest(len(hashes) - {WINNOW_W - 1}, 1) + 1),
+                 i -> list_min(hashes[i:i+{WINNOW_W - 1}]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ' ')) AS fingerprint_digest
+    FROM fp
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS scheme): per
+    document, the distinct window-minimum k-gram hashes — a compact
+    signature with the winnowing GUARANTEE that any shared run of
+    w + k − 1 words between two documents yields at least one shared
+    fingerprint, unlike minhash's probabilistic recall. The digest
+    column pins the exact selected set.
+
+    All inside codegen: k-gram hashes and window minima are array
+    transforms over each row — no explode, no shuffle; the operator
+    is a pure projection whose output is one row per document.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(size(words) - {WINNOW_K - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(words, i, {WINNOW_K}))))"
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
+            f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
+        )
+    )
+    return (
+        docs.select("doc_id", _words().alias("words"))
+        .select("doc_id", F.size("words").alias("__nw"), hashes.alias("hashes"))
+        .select(
+            "doc_id",
+            F.size("hashes").cast("long").alias("n_grams"),
+            fps.alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.concat_ws(" ", F.array_sort("fps"))).alias("fingerprint_digest"),
+        )
+    )

@@ -98,6 +98,7 @@ CHECK_PRIORITY = [
     "q_quality_sample",
     "q_leakage_split",
     "q_tfidf_terms",
+    "q_winnow_fingerprints",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -126,6 +127,7 @@ ROTATE_TAIL = [
     "q_upsert_latest",
     "q_dedup_simhash",
     "q_windowed_volatility",
+    "q_knn_bruteforce",
 ]
 
 

@@ -169,3 +169,47 @@ def test_new_ops_plan_shapes(spark):
     plan2 = overlap._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan2
     assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing property: two documents sharing a contiguous run
+    of w + k − 1 = 6 words must share at least one fingerprint;
+    documents with no shared 3-gram share none."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+
+    shared_run = "one two three four five six"  # exactly w + k - 1 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here {shared_run} suffix tail"),
+            (2, f"other start {shared_run} different ending now"),
+            (3, "completely unrelated vocabulary nothing common whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(size(words) - {WINNOW_K - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(words, i, {WINNOW_K}))))"
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
+            f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
+        )
+    )
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", F.array_remove(F.split("text", " "), "").alias("words")
+        )
+        .select("doc_id", hashes.alias("hashes"))
+        .select("doc_id", fps.alias("fps"))
+        .collect()
+    }
+    assert out[1] & out[2], "shared 6-word run must yield a shared fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
