@@ -512,3 +512,132 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.array_sort("fps"))).alias("fingerprint_digest"),
         )
     )
+
+
+#: containment detection knobs: drop fingerprints shared by more than
+#: STOP_FP_DOCS documents (template/boilerplate "stop fingerprints" —
+#: they generate quadratic candidate pairs and carry no signal), flag
+#: pairs where this fraction of the smaller side's fingerprints occur
+#: in the larger side
+CONTAIN_THRESHOLD = 0.8
+STOP_FP_DOCS = 20
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(words) - {WINNOW_K - 1}, 1) + 1),
+                 i -> md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' '))) AS hashes
+      FROM w
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(hashes) - {WINNOW_W - 1}, 1) + 1),
+                 i -> list_min(hashes[i:i+{WINNOW_W - 1}]))) AS fps
+      FROM h
+    ),
+    x AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS f FROM fp),
+    live AS (
+      SELECT f FROM x GROUP BY f HAVING count(*) <= {STOP_FP_DOCS}
+    ),
+    xl AS (SELECT x.* FROM x JOIN live USING (f)),
+    shared AS (
+      SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+             any_value(a.n_fp) AS inner_fp, any_value(b.n_fp) AS outer_fp,
+             count(*) AS n_shared
+      FROM xl a JOIN xl b
+        ON a.f = b.f
+       AND (a.n_fp < b.n_fp OR (a.n_fp = b.n_fp AND a.doc_id < b.doc_id))
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT inner_doc, outer_doc,
+           CAST(inner_fp AS BIGINT) AS inner_fp,
+           CAST(outer_fp AS BIGINT) AS outer_fp,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           floor(n_shared * 1.0 / inner_fp * 10000 + 0.5) / 10000 AS containment
+    FROM shared
+    WHERE n_shared * 1.0 / inner_fp >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: pairs where ≥ 80% of the
+    SMALLER document's winnowing fingerprints occur in the larger
+    one — the quote/extract/subset duplicate class that symmetric
+    Jaccard misses (a paragraph inside a book has near-zero Jaccard
+    but full containment).
+
+    Scale shape: candidates come only from shared-fingerprint
+    co-occurrence, after dropping "stop fingerprints" shared by more
+    than {STOP_FP_DOCS} documents (template boilerplate — the
+    quadratic-pair generators, exactly analogous to stopword removal
+    before an inverted-index join). The pair aggregation is keyed on
+    (inner, outer) — high-cardinality, skew-bounded by the stop-
+    fingerprint cut.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(size(words) - {WINNOW_K - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(words, i, {WINNOW_K}))))"
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
+            f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
+        )
+    )
+    x = (
+        docs.select("doc_id", _words().alias("words"))
+        .select("doc_id", hashes.alias("hashes"))
+        .select("doc_id", fps.alias("fps"))
+        .select("doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("f"))
+    )
+    live = x.groupBy("f").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= STOP_FP_DOCS
+    ).select("f")
+    xl = x.join(live, "f")
+    a = xl.select(
+        F.col("f"), F.col("doc_id").alias("inner_doc"), F.col("n_fp").alias("inner_fp")
+    )
+    b = xl.select(
+        F.col("f").alias("__bf"),
+        F.col("doc_id").alias("outer_doc"),
+        F.col("n_fp").alias("outer_fp"),
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("f") == F.col("__bf"))
+            & (
+                (F.col("inner_fp") < F.col("outer_fp"))
+                | (
+                    (F.col("inner_fp") == F.col("outer_fp"))
+                    & (F.col("inner_doc") < F.col("outer_doc"))
+                )
+            ),
+        )
+        .groupBy("inner_doc", "outer_doc")
+        .agg(
+            F.first("inner_fp").alias("inner_fp"),
+            F.first("outer_fp").alias("outer_fp"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    return (
+        shared.filter(
+            F.col("n_shared") * 1.0 / F.col("inner_fp") >= CONTAIN_THRESHOLD
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.col("inner_fp").cast("long").alias("inner_fp"),
+            F.col("outer_fp").cast("long").alias("outer_fp"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            rnd(F.col("n_shared") * 1.0 / F.col("inner_fp"), 4).alias("containment"),
+        )
+    )

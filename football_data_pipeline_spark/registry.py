@@ -99,6 +99,7 @@ CHECK_PRIORITY = [
     "q_leakage_split",
     "q_tfidf_terms",
     "q_winnow_fingerprints",
+    "q_containment",
 ]
 ROTATE_TAIL = [
     # simple relational-pack queries, hash-green in both r1 and r2,
@@ -128,6 +129,7 @@ ROTATE_TAIL = [
     "q_dedup_simhash",
     "q_windowed_volatility",
     "q_knn_bruteforce",
+    "q_knn_ivf",
 ]
 
 

@@ -213,3 +213,27 @@ def test_winnowing_guarantee(spark):
     }
     assert out[1] & out[2], "shared 6-word run must yield a shared fingerprint"
     assert not (out[1] & out[3]) and not (out[2] & out[3])
+
+
+def test_containment_catches_quoted_paragraph(spark, tmp_path, monkeypatch):
+    """A short doc quoted verbatim inside a much larger one has low
+    Jaccard but full containment — the asymmetric class
+    q_containment exists to catch."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    para = " ".join(f"quoted{i}" for i in range(12))
+    big = " ".join(f"filler{i}" for i in range(80)) + " " + para + " " + " ".join(
+        f"more{i}" for i in range(80)
+    )
+    docs = spark.createDataFrame(
+        [(1, para, "en", "s", len(para)), (2, big, "en", "s", len(big)),
+         (3, "unrelated totally different words entirely", "en", "s", 42)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = QUERIES["q_containment"].fn(spark, out).collect()
+    pairs = {(r["inner_doc"], r["outer_doc"]): r["containment"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert not any(3 in p for p in pairs)
