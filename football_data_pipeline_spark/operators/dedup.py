@@ -780,6 +780,42 @@ INCR_SALT = "incr-v1"
 INCR_MOD = 5
 
 
+def batch_near_dup_drops(docs: DataFrame, verify: float = JACCARD_VERIFY) -> DataFrame:
+    """doc_ids that LOSE a within-batch near-dup collapse: minhash
+    band-bucketed self-pairs (``doc_a < doc_b``), exact-Jaccard
+    verify, connected components, keep the min doc_id per component.
+
+    Built for the streaming dedup writer (streaming/pipeline.py):
+    two non-identical near-copies arriving in the SAME micro-batch
+    would otherwise both classify against history only and both be
+    accepted. The input is one micro-batch, so the component loop
+    runs over a batch-sized edge set — bounded by arrival rate, not
+    corpus size.
+    """
+    ws_df = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
+    with_mh = ws_df.select(
+        "doc_id",
+        "ws",
+        *[m.alias(f"mh{i}") for i, m in enumerate(minhash_signature(F.col("ws")))],
+    )
+    sig = with_mh.select("doc_id", "ws", F.explode(_band_sigs()).alias("sig"))
+    left = sig.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"), "sig")
+    right = sig.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"), "sig")
+    cand = (
+        left.join(right, "sig")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ws_a", "doc_b", "ws_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("ws_a", "ws_b")) / F.size(F.array_union("ws_a", "ws_b"))
+    pairs = cand.withColumn("jac", jac).filter(F.col("jac") >= verify).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame, history: DataFrame, verify: float = JACCARD_VERIFY
 ) -> DataFrame:

@@ -9,23 +9,29 @@ without a shuffle.
 
 Decode support is tiered by what this environment can honestly do:
 
-- REAL pixel kernels for uncompressed formats a pure-Python codec
-  covers completely: binary PPM (P6) and 24-bit BI_RGB BMP.
-  ``decode_pixels`` → RGB bytes, ``resize_nearest`` does actual
-  nearest-neighbor resampling, ``image_stats`` computes true
-  per-channel statistics. No native deps; the same kernels run
-  unchanged under ``mapInPandas`` at any scale.
-- compressed formats (PNG/JPEG/...) still require PIL and stay
+- REAL pixel kernels for formats a pure-Python codec covers
+  completely: binary PPM (P6), 24-bit BI_RGB BMP, and
+  non-interlaced 8-bit PNG (grayscale/RGB/RGBA via stdlib ``zlib``
+  + full filter reconstruction incl. Paeth). ``decode_pixels`` →
+  RGB bytes, ``resize_nearest`` does actual nearest-neighbor
+  resampling, ``image_stats`` computes true per-channel statistics.
+  No native deps; the same kernels run unchanged under
+  ``mapInPandas`` at any scale.
+- other compressed formats (JPEG/...) still require PIL and stay
   gated behind the import probe — ``decode_image`` raises
   ``NotImplementedError`` when no decoder is importable.
 - non-image payloads keep the deterministic byte-level fallback in
   ``extract_features``/``resize_images`` so the plumbing remains
-  exercised end-to-end on the synthetic text corpus.
+  exercised end-to-end on the synthetic text corpus. A payload that
+  merely *starts* with an image magic but fails to parse takes the
+  same fallback (``try_decode_pixels``) instead of killing the
+  mapInPandas stage on one bad row.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -93,6 +99,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("only uncompressed 24-bit BMP supported")
     bottom_up, h = h_raw > 0, abs(h_raw)
     stride = (w * 3 + 3) & ~3
+    # sanity-bound the allocation BEFORE building the output buffer:
+    # an uncompressed raster can never exceed the payload, so a header
+    # promising more is malformed (and would otherwise let a 26-byte
+    # payload demand a multi-GB bytearray)
+    if w <= 0 or h <= 0 or data_off < 0 or data_off + stride * h > len(b):
+        raise ValueError("BMP header dimensions exceed payload")
     out = bytearray(w * h * 3)
     for y in range(h):
         src_y = (h - 1 - y) if bottom_up else y
@@ -106,16 +118,155 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: allocation guard for decode_png — a malformed IHDR must not be able
+#: to demand an arbitrarily large buffer (16M pixels = 48 MB RGB)
+MAX_PNG_PIXELS = 1 << 24
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal non-interlaced 8-bit truecolor PNG from top-down RGB
+    bytes (every scanline filter-type 0); stdlib zlib only."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0-4 incl. Paeth) into a
+    contiguous top-down pixel buffer."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(h * stride)
+    prev_row = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev_row[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev_row[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b_ = prev_row[i]
+                c = prev_row[i - ch] if i >= ch else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev_row = line
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG decode (stdlib zlib + unfilter) → top-down RGB.
+
+    Covers the common still-image profile: 8-bit depth, color types
+    0/2/6 (grayscale replicated to RGB; alpha dropped), no interlace.
+    Anything else raises ValueError — callers route to the PIL-gated
+    path or the byte fallback via ``try_decode_pixels``.
+    """
+    b = bytes(payload)
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w = h = ctype = None
+    idat = bytearray()
+    idx = 8
+    while idx + 8 <= len(b):
+        length, tag = struct.unpack_from(">I4s", b, idx)
+        data = b[idx + 8 : idx + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError("only 8-bit gray/RGB/RGBA PNG supported")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            if w <= 0 or h <= 0 or w * h > MAX_PNG_PIXELS:
+                raise ValueError("PNG dimensions out of bounds")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        idx += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    px = _png_unfilter(raw, w, h, ch)
+    if ch == 3:
+        return w, h, bytes(px)
+    out = bytearray(w * h * 3)
+    if ch == 1:  # grayscale → replicate
+        out[0::3] = px
+        out[1::3] = px
+        out[2::3] = px
+    else:  # RGBA → drop alpha
+        out[0::3] = px[0::4]
+        out[1::3] = px[1::4]
+        out[2::3] = px[2::4]
+    return w, h, bytes(out)
+
+
 def decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     """Magic-sniffing dispatch to the pure codecs; None when the
     payload is not a format they cover (caller picks the fallback or
-    the PIL-gated path)."""
-    head = bytes(payload[:2])
-    if head == b"P6":
+    the PIL-gated path). Raises on a payload that matches a magic but
+    fails to parse — use ``try_decode_pixels`` in batch kernels."""
+    b = bytes(payload[:8])
+    if b[:2] == b"P6":
         return decode_ppm(payload)
-    if head == b"BM":
+    if b[:2] == b"BM":
         return decode_bmp(payload)
+    if b == PNG_MAGIC:
+        return decode_png(payload)
     return None
+
+
+def try_decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """decode_pixels that treats ANY parse failure as "not an image"
+    (None) instead of raising — a payload that merely starts with
+    'P6'/'BM'/the PNG magic (e.g. text beginning 'BMW') must take the
+    fallback path, not kill a whole mapInPandas stage."""
+    try:
+        return decode_pixels(payload)
+    except (ValueError, struct.error, IndexError, MemoryError, OverflowError):
+        return None
 
 
 def resize_nearest(
@@ -168,9 +319,10 @@ def _try_import_decoder():
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode to (width, height, top-down RGB bytes).
 
-    PPM/BMP decode via the pure-Python codecs above — REAL in every
-    environment. Compressed formats need PIL; without it they raise
-    ``NotImplementedError`` (honest gating, not a fake decode).
+    PPM/BMP/PNG decode via the pure-Python codecs above — REAL in
+    every environment. Other compressed formats (JPEG/...) need PIL;
+    without it they raise ``NotImplementedError`` (honest gating,
+    not a fake decode).
     """
     direct = decode_pixels(payload)
     if direct is not None:
@@ -253,7 +405,7 @@ RESIZED_SCHEMA = "asset_id long, payload binary, mime string, width int, height 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Binary-in/binary-out Arrow-batched decode→resize→re-encode.
 
-    PPM/BMP payloads take the REAL pixel path: decode to RGB,
+    PPM/BMP/PNG payloads take the REAL pixel path: decode to RGB,
     nearest-neighbor resample to width×height, re-encode as PPM
     (mime becomes ``image/ppm``). Payloads the pure codecs don't
     cover keep the deterministic byte-truncation fallback (original
@@ -263,7 +415,7 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     target = width * height
 
     def one(b, mime):
-        decoded = decode_pixels(b)
+        decoded = try_decode_pixels(b)
         if decoded is None:
             return bytes(b)[:target].ljust(target, b"\0"), mime
         w0, h0, rgb = decoded
@@ -306,7 +458,7 @@ def image_stats(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = decode_pixels(b)
+                decoded = try_decode_pixels(b)
                 if decoded is None:
                     rows.append((aid, None, None, None, None, None, False))
                     continue

@@ -87,18 +87,28 @@ def simple_embed(title: str, description: str, now_iso: str, color: int = COLOR_
     }
 
 
-def odds_lookup_embed(rows: list, now_iso: str) -> dict:
+def odds_lookup_embed(rows: list, now_iso: str) -> dict | None:
     """The ``!odds`` command response embed
     (discord_integration.py:161-177): one embed per lookup, a Kickoff
-    field, then one field per odds snapshot row. ``rows`` is
-    team_odds_lookup's output (≤ n_snapshots rows, all sharing the
-    game context; a no-odds game yields one row with NULL bookmaker
-    → zero odds fields, like the reference's empty loop)."""
+    field rendered as Discord timestamp markup ``<t:unix:F>``
+    (discord_integration.py:166-167), then one field per odds
+    snapshot row. ``rows`` is team_odds_lookup's output
+    (≤ n_snapshots rows, all sharing the game context; a no-odds
+    game yields one row with NULL bookmaker → zero odds fields, like
+    the reference's empty loop). An EMPTY ``rows`` means no upcoming
+    game matched — return None so the caller can send the
+    reference's "No upcoming games found" text reply
+    (discord_integration.py:152-154) instead of an embed."""
+    if not rows:
+        return None
+    import calendar
+
     game = rows[0]
+    kickoff_unix = calendar.timegm(game["kickoff_utc"].timetuple())
     fields = [
         {
             "name": "⏰ Kickoff",
-            "value": game["kickoff_utc"].isoformat(sep=" "),
+            "value": f"<t:{kickoff_unix}:F>",
             "inline": False,
         }
     ]

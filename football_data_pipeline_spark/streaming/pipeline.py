@@ -234,13 +234,18 @@ def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
     output as 'history' (which would classify the whole batch as
     duplicate of itself).
 
-    Within-batch duplicates are collapsed first (exact canonical
-    fingerprint, min doc_id wins) so two copies arriving in one
-    micro-batch cannot both be accepted.
+    Within-batch duplicates are collapsed first — EXACT copies by
+    canonical fingerprint (min doc_id wins), then NEAR copies by the
+    same minhash-band + Jaccard-verify + min-per-component pass the
+    batch path uses (dedup.batch_near_dup_drops) — so two copies of
+    a document arriving in one micro-batch cannot both be accepted,
+    whether or not they are byte-identical. The near pass runs over
+    one micro-batch, so its component loop is bounded by arrival
+    rate, not corpus size.
     """
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import dedup_against_corpus, word_set
+    from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, word_set
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -251,8 +256,10 @@ def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__fp", "__rn")
-            .cache()
         )
+        batch = batch.join(
+            batch_near_dup_drops(batch), "doc_id", "left_anti"
+        ).cache()
         try:
             try:
                 history = (

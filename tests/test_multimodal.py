@@ -55,8 +55,9 @@ def test_extract_features_partition_invariant(spark):
 
 
 def test_decode_stub_gated():
+    # JPEG has no pure-Python codec here → gated behind PIL probe
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
 
 
 def test_resize_images_shapes_payloads(spark):
@@ -213,3 +214,161 @@ def test_image_stats_and_resize_end_to_end(spark):
     assert resized[2]["mime"] == "image/ppm"
     # non-image fallback: byte truncation, original mime
     assert len(resized[3]["payload"]) == 2 and resized[3]["mime"] == "image/ppm"
+
+
+# --- PNG pure-Python codec (zlib + unfilter) ---
+
+
+def _png_forward_filter(rgb_rows: list[bytes], ch: int, ftypes: list[int]) -> bytes:
+    """Independent FORWARD PNG filter implementation (the codec only
+    unfilters) — used to craft streams exercising filter types 1-4."""
+    out = bytearray()
+    prev = bytes(len(rgb_rows[0]))
+    for row, ft in zip(rgb_rows, ftypes):
+        out.append(ft)
+        line = bytearray(row)
+        if ft == 1:
+            for i in range(len(line) - 1, ch - 1, -1):
+                line[i] = (line[i] - row[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(len(line)):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(line)):
+                a = row[i - ch] if i >= ch else 0
+                line[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(line)):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] - pred) & 0xFF
+        out += line
+        prev = row
+    return bytes(out)
+
+
+def _png_wrap(w: int, h: int, ctype: int, raw: bytes) -> bytes:
+    import struct
+    import zlib
+
+    from football_data_pipeline_spark.operators.multimodal import PNG_MAGIC
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_exact_pixels():
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(bytearray((7 * i) % 256 for i in range(4 * 3 * 3)))
+    png = encode_png(4, 3, rgb)
+    assert decode_png(png) == (4, 3, rgb)
+    assert decode_image(png) == (4, 3, rgb)  # dispatch, no PIL needed
+
+
+def test_png_all_filter_types_exact():
+    """A 4-row image written with filter types 1,2,3,4 must unfilter
+    back to the exact original pixels."""
+    from football_data_pipeline_spark.operators.multimodal import decode_png
+
+    w, h = 5, 4
+    rows = [
+        bytes(bytearray(((13 * x + 31 * y + c) % 251) for x in range(w) for c in range(3)))
+        for y in range(h)
+    ]
+    raw = _png_forward_filter(rows, 3, [1, 2, 3, 4])
+    assert decode_png(_png_wrap(w, h, 2, raw)) == (w, h, b"".join(rows))
+
+
+def test_png_grayscale_and_rgba():
+    from football_data_pipeline_spark.operators.multimodal import decode_png
+
+    # grayscale 3×1: values replicate to RGB
+    raw = _png_forward_filter([bytes([0, 128, 255])], 1, [0])
+    assert decode_png(_png_wrap(3, 1, 0, raw)) == (
+        3, 1, bytes([0, 0, 0, 128, 128, 128, 255, 255, 255])
+    )
+    # RGBA 2×1: alpha dropped
+    raw = _png_forward_filter([bytes([1, 2, 3, 9, 4, 5, 6, 9])], 4, [0])
+    assert decode_png(_png_wrap(2, 1, 6, raw)) == (2, 1, bytes([1, 2, 3, 4, 5, 6]))
+
+
+def test_png_property_random_images_random_filters():
+    """Property: any 8-bit RGB image, any per-row filter choice →
+    exact pixel recovery through the full chunk/zlib/unfilter path."""
+    import random
+
+    from football_data_pipeline_spark.operators.multimodal import decode_png
+
+    rng = random.Random(42)
+    for _ in range(25):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+        ftypes = [rng.randint(0, 4) for _ in range(h)]
+        raw = _png_forward_filter(rows, 3, ftypes)
+        assert decode_png(_png_wrap(w, h, 2, raw)) == (w, h, b"".join(rows)), (
+            w, h, ftypes,
+        )
+
+
+def test_bad_magic_payloads_take_fallback_not_crash(spark):
+    """ADVICE r3: payloads that merely START with an image magic must
+    route to the fallback path, not kill the mapInPandas stage."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        image_stats,
+        resize_images,
+        try_decode_pixels,
+    )
+
+    bad = [
+        (1, b"BMW is a bavarian car maker, not a bitmap"),
+        (2, b"P6 but then total garbage \xff\xff"),
+        (3, PNG_MAGIC + b"corrupt chunk soup"),
+        (4, b"BM" + b"\x00" * 60),  # zero-dim header
+    ]
+    for _, payload in bad:
+        assert try_decode_pixels(payload) is None
+    assets = spark.createDataFrame(bad, "asset_id long, payload binary").withColumn(
+        "meta", F.struct(F.lit("application/octet-stream").alias("mime"))
+    )
+    stats = image_stats(assets).collect()
+    assert len(stats) == 4 and all(not r["decoded"] for r in stats)
+    resized = resize_images(assets, width=4, height=2).collect()
+    assert all(len(r["payload"]) == 8 for r in resized)
+
+
+def test_bmp_allocation_guard():
+    """A tiny payload whose header promises huge dimensions must be
+    rejected before the output buffer is allocated."""
+    import struct
+
+    import pytest
+
+    from football_data_pipeline_spark.operators.multimodal import decode_bmp
+
+    evil = (
+        b"BM"
+        + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 50000, 50000, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        decode_bmp(evil)

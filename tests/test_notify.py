@@ -113,6 +113,12 @@ def test_odds_lookup_embed_shape(spark):
     assert embed["title"] == "🎲 Odds: Liverpool vs Arsenal FC"
     assert embed["description"] == "**Premier League**"
     assert embed["fields"][0]["name"] == "⏰ Kickoff"
+    # reference renders Discord timestamp markup (<t:unix:F>),
+    # discord_integration.py:166-167; kickoff is UTC
+    from datetime import datetime, timezone
+
+    unix = int(datetime(1995, 6, 3, 15, 0, tzinfo=timezone.utc).timestamp())
+    assert embed["fields"][0]["value"] == f"<t:{unix}:F>"
     assert len(embed["fields"]) == 4  # kickoff + 3 snapshots
     assert embed["fields"][1]["name"] == "📊 Beta (final_data)"
     assert "**Arsenal FC**: 4.3" in embed["fields"][1]["value"]
@@ -149,3 +155,7 @@ def test_odds_lookup_no_matching_team(spark):
     )
     out = team_odds_lookup(fixtures, teams, leagues, odds, "Nonexistent United", now)
     assert out.count() == 0
+    # and the embed builder signals "no game" instead of raising
+    from football_data_pipeline_spark.streaming.notify import odds_lookup_embed
+
+    assert odds_lookup_embed([], "1995-06-01T00:00:00") is None

@@ -170,10 +170,13 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     )
     b1.coalesce(1).write.parquet(src)
     time.sleep(1.1)
+    # doc 10 is exact-dup of accepted 2; doc 11 is NEAR-dup of
+    # accepted 1 (and of nothing in its own batch — a batch-mate near
+    # pair would collapse within-batch before classification)
     b2 = spark.createDataFrame(
         [
-            (10, base, "en", "s", len(base)),                   # exact dup of accepted 1
-            (11, base + " extraword", "en", "s", 60),           # near dup (jaccard 10/11)
+            (10, "totally different words here about football and odds", "en", "s", 50),
+            (11, base + " extraword", "en", "s", 60),           # near dup of 1 (jaccard 10/11)
             (12, "completely novel content nothing shared at all", "en", "s", 46),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -191,7 +194,7 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert 3 not in rows
     assert rows[1]["dup_kind"] == "unique" and rows[2]["dup_kind"] == "unique"
     # batch 2 vs accepted history
-    assert rows[10]["dup_kind"] == "exact" and rows[10]["matched_doc"] == 1
+    assert rows[10]["dup_kind"] == "exact" and rows[10]["matched_doc"] == 2
     assert rows[11]["dup_kind"] == "near" and rows[11]["matched_doc"] == 1
     assert rows[11]["jaccard"] >= 0.9
     assert rows[12]["dup_kind"] == "unique"
@@ -235,3 +238,66 @@ def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     assert first == second == [(10, "exact"), (11, "unique")]
     accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(f"{corpus}/accepted")
     assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 11]
+
+
+def test_incremental_dedup_crash_between_classify_and_accept(spark, tmp_path):
+    """VERDICT r3 item 8: a crash AFTER the classification write but
+    BEFORE the accepted write (the window between the two outputs)
+    must replay to the same state — no duplicate accepted docs, no
+    self-classification against the batch's own partial output."""
+    import shutil
+
+    from football_data_pipeline_spark.streaming.pipeline import dedup_batch_writer
+
+    corpus = str(tmp_path / "corpus")
+    writer = dedup_batch_writer(corpus)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "s", 30)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (11, "novel totally different content here", "en", "s", 36)],
+        schema,
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    # simulate the crash window: classification/batch_id=1 landed,
+    # accepted/batch_id=1 did not
+    shutil.rmtree(f"{corpus}/accepted/batch_id=1")
+    writer(b1, 1)  # restart replays the batch
+    cls = sorted(
+        (r["doc_id"], r["dup_kind"])
+        for r in spark.read.parquet(f"{corpus}/classification/batch_id=1").collect()
+    )
+    assert cls == [(10, "exact"), (11, "unique")]
+    accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(
+        f"{corpus}/accepted"
+    )
+    docs = sorted(r["doc_id"] for r in accepted.collect())
+    assert docs == [1, 11]  # exactly once: no duplicates, nothing lost
+
+
+def test_incremental_dedup_within_batch_near_dups(spark, tmp_path):
+    """ADVICE r3: two NON-identical near-copies arriving in the same
+    micro-batch must not both be accepted — the within-batch near
+    pass keeps the min doc_id per component."""
+    from football_data_pipeline_spark.streaming.pipeline import dedup_batch_writer
+
+    corpus = str(tmp_path / "corpus")
+    writer = dedup_batch_writer(corpus)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = spark.createDataFrame(
+        [
+            (20, base, "en", "s", len(base)),
+            (21, base + " extraword", "en", "s", 60),  # near copy of 20 (jac 10/11)
+            (22, "unrelated fresh text about something else entirely", "en", "s", 50),
+        ],
+        schema,
+    )
+    writer(batch, 0)
+    accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(
+        f"{corpus}/accepted"
+    )
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [20, 22]
