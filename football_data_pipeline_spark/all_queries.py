@@ -11,6 +11,8 @@ from .operators import (  # noqa: F401
     embedsearch,
     er_queries,
     etl,
+    events,
+    form,
     multimodal,
     prep,
     profiling,
@@ -21,4 +23,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, multimodal, prep, profiling, relational, sampling, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, events, form, multimodal, prep, profiling, relational, sampling, textstats, timeseries, windows]

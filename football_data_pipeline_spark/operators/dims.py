@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 from .flatten import extract_fixtures, extract_leagues, extract_teams, flatten_odds
-from .gold import team_odds_lookup, upcoming_games_with_odds
+from .gold import odds_trends, team_odds_lookup, upcoming_games_with_odds
 from .reports import validate_counts
 
 #: (phase index, collection_type, data.odds_<key> slot) per document
@@ -401,6 +401,94 @@ def q_team_odds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixtures=extract_fixtures(bronze),
         teams=extract_teams(bronze),
         leagues=extract_leagues(bronze),
+        odds_history=flatten_odds(bronze),
+        team_like="T10",
+        now=now,
+    )
+
+
+@query(
+    "q_odds_trends",
+    oracle=_DOC_CTES
+    + """,
+    odds AS (
+      SELECT fid, bookmaker,
+             CASE phase WHEN 0 THEN 'early_odds' ELSE 'final_data' END
+               AS collection_phase,
+             'h2h' AS market_type,
+             (fid % 250 + phase * 7 + bd) / 100.0 + 1.1 AS home_odds,
+             (fid % 170 + phase * 7 + bd) / 100.0 + 2.5 AS draw_odds,
+             (fid % 310 + phase * 7 + bd) / 100.0 + 1.3 AS away_odds,
+             cat AS collected_at
+      FROM docs CROSS JOIN (VALUES ('Alpha', 0), ('Beta', 3)) b(bookmaker, bd)
+      WHERE fid % 2 = 0
+    ),
+    matched AS (SELECT id FROM teams_dim WHERE name LIKE '%T10%'),
+    next_game AS (
+      SELECT f.id, f.kickoff_utc, ht.name AS home_team, ta.name AS away_team
+      FROM fixtures_dim f
+      JOIN teams_dim ht ON f.home_team_id = ht.id
+      JOIN teams_dim ta ON f.away_team_id = ta.id
+      WHERE (f.home_team_id IN (SELECT id FROM matched)
+             OR f.away_team_id IN (SELECT id FROM matched))
+        AND f.kickoff_utc > TIMESTAMP '1998-06-01 00:00:00'
+      ORDER BY f.kickoff_utc, f.id
+      LIMIT 1
+    ),
+    trail AS (
+      SELECT o.*, g.kickoff_utc, g.home_team, g.away_team
+      FROM odds o JOIN next_game g ON o.fid = g.id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bookmaker, market_type
+                                ORDER BY collected_at, collection_phase) AS rn_asc,
+             row_number() OVER (PARTITION BY bookmaker, market_type
+                                ORDER BY collected_at DESC, collection_phase DESC)
+               AS rn_desc
+      FROM trail
+    ),
+    movement AS (
+      SELECT bookmaker, market_type,
+             count(*) AS n_snapshots,
+             max(CASE WHEN rn_asc = 1 THEN home_odds END) AS first_home,
+             max(CASE WHEN rn_desc = 1 THEN home_odds END) AS last_home,
+             max(CASE WHEN rn_asc = 1 THEN away_odds END) AS first_away,
+             max(CASE WHEN rn_desc = 1 THEN away_odds END) AS last_away
+      FROM ranked GROUP BY bookmaker, market_type
+    )
+    SELECT t.fid AS fixture_id, t.kickoff_utc, t.home_team, t.away_team,
+           t.market_type, t.bookmaker, t.collection_phase,
+           t.home_odds, t.draw_odds, t.away_odds, t.collected_at,
+           m.n_snapshots, m.first_home, m.last_home,
+           floor(((m.last_home - m.first_home) / m.first_home * 100.0) * 100 + 0.5) / 100
+             AS home_change_pct,
+           m.first_away, m.last_away,
+           floor(((m.last_away - m.first_away) / m.first_away * 100.0) * 100 + 0.5) / 100
+             AS away_change_pct
+    FROM trail t
+    JOIN movement m USING (bookmaker, market_type)
+    """,
+)
+def q_odds_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Discord ``!trends`` read path
+    (/root/reference/discord_integration.py:183-230 +
+    database_integration.py:358-367) end-to-end over the engine's own
+    silver tables: '%T10%' resolution → next fixture after the
+    1998-06-01 replay now → its full odds trail joined with the
+    per-(bookmaker, market) first-vs-last movement summary.
+
+    What the hash proves: the trail point-lookup (4 snapshots: 2
+    bookmakers × 2 phases), and that the W3 min_by/max_by summary
+    picks the early_odds snapshot as first and final_data as last
+    per bookmaker — with the exact percent-moved values replicated
+    onto every trail row.
+    """
+    bronze = _game_bronze(load(spark, sf_dir, "orders"))
+    now = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    return odds_trends(
+        fixtures=extract_fixtures(bronze),
+        teams=extract_teams(bronze),
         odds_history=flatten_odds(bronze),
         team_like="T10",
         now=now,

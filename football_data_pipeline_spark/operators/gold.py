@@ -89,6 +89,239 @@ def upcoming_games_with_odds(
     )
 
 
+def team_form(
+    teams: DataFrame,
+    team_statistics: DataFrame,
+    fixtures: DataFrame,
+    team_like: str,
+    now: Column,
+    n_recent: int = 5,
+) -> DataFrame:
+    """The Discord ``!form`` command read path
+    (/root/reference/discord_integration.py:232-301 +
+    database_integration.py:370-415 ``get_team_form_analysis``),
+    composed end-to-end: LIKE team resolution (LIMIT 1) → the team's
+    latest team_statistics snapshot (W1) → its last ``n_recent``
+    completed fixtures (``kickoff_utc <= now AND status !=
+    'scheduled'``) with the venue CASE, the opponent name, and a
+    W/D/L result string — one output row per recent fixture, each
+    carrying the full team + season-stats context the embed renders.
+
+    Differences from the reference, all deliberate:
+    - the LIKE ``LIMIT 1`` and both DESC LIMIT cuts carry explicit
+      tie-breaks (team id; collection_date/created_at;
+      kickoff_utc/fixture id) where SQLite relies on scan order;
+    - the W/D/L derivation the embed needs (the reference renders
+      venue icon + opponent and leaves the result implicit in the
+      fixture row) is made explicit from home/away scores;
+    - a resolved team with stats but zero completed fixtures still
+      yields one context row with NULL fixture columns (the
+      reference renders the stats-only embed) — same right-outer
+      pattern as team_odds_lookup; an unresolved team yields zero
+      rows ("Team not found").
+
+    Scale shape: the resolved team and its stats snapshot are 1-row
+    broadcasts; the only full scans are one pass of team_statistics
+    (broadcast-semi probe → 1-row max_by aggregate, no sort) and one
+    pass of fixtures (two broadcast probes → union →
+    TakeOrderedAndProject top-``n_recent``). Nothing shuffles more
+    than the candidate set at any corpus size.
+    """
+    team = (
+        teams.filter(F.col("name").like(f"%{team_like}%"))
+        .orderBy("id")
+        .limit(1)
+        .select(F.col("id").alias("__t_id"), F.col("name").alias("team_name"))
+    )
+    # latest stats snapshot as a 1-row AGGREGATE (max_by over a total
+    # ordering key) rather than orderBy+limit: an aggregate still
+    # yields its row (all-NULL) when the team has no stats yet, which
+    # is exactly the reference's "embed without the stats field"
+    stats = team_statistics.join(
+        F.broadcast(team.select("__t_id")),
+        team_statistics.team_id == F.col("__t_id"),
+        "left_semi",
+    )
+    ordkey = F.struct(F.col("collection_date"), F.col("created_at"), F.col("league_id"))
+    snap = stats.agg(
+        F.max_by(
+            F.struct("matches_played", "win_percentage", "goals_for", "goals_against"),
+            ordkey,
+        ).alias("s")
+    ).select(
+        F.col("s.matches_played").alias("matches_played"),
+        F.col("s.win_percentage").alias("win_percentage"),
+        F.col("s.goals_for").alias("goals_for"),
+        F.col("s.goals_against").alias("goals_against"),
+    )
+    context = team.crossJoin(F.broadcast(snap))  # 1 row iff team resolved
+
+    def arm(side: str) -> DataFrame:
+        other = "away" if side == "home" else "home"
+        hit = fixtures.join(
+            F.broadcast(team.select("__t_id")),
+            fixtures[f"{side}_team_id"] == F.col("__t_id"),
+        )
+        return hit.select(
+            F.col("__t_id").alias("__r_id"),
+            F.col("id").alias("fixture_id"),
+            "kickoff_utc",
+            F.lit(side).alias("venue"),
+            F.col(f"{other}_team_id").alias("__opp_id"),
+            F.col(f"{side}_score").alias("team_score"),
+            F.col(f"{other}_score").alias("opp_score"),
+            "status",
+        )
+
+    opp = teams.select(F.col("id").alias("__o_id"), F.col("name").alias("opponent"))
+    recent = (
+        arm("home")
+        .unionByName(arm("away"))
+        .filter((F.col("kickoff_utc") <= now) & (F.col("status") != "scheduled"))
+        .orderBy(F.desc("kickoff_utc"), F.desc("fixture_id"))
+        .limit(n_recent)
+        .join(F.broadcast(opp), F.col("__opp_id") == F.col("__o_id"))
+        .select(
+            "__r_id",
+            "fixture_id",
+            "kickoff_utc",
+            "venue",
+            "opponent",
+            "team_score",
+            "opp_score",
+            F.when(F.col("team_score") > F.col("opp_score"), "W")
+            .when(F.col("team_score") == F.col("opp_score"), "D")
+            .when(F.col("team_score") < F.col("opp_score"), "L")
+            .alias("result"),
+        )
+    )
+    return (
+        F.broadcast(recent)
+        .join(context, recent.__r_id == context.__t_id, "right")
+        .select(
+            F.col("__t_id").alias("team_id"),
+            "team_name",
+            "matches_played",
+            "win_percentage",
+            "goals_for",
+            "goals_against",
+            "fixture_id",
+            "kickoff_utc",
+            "venue",
+            "opponent",
+            "team_score",
+            "opp_score",
+            "result",
+        )
+    )
+
+
+def odds_trends(
+    fixtures: DataFrame,
+    teams: DataFrame,
+    odds_history: DataFrame,
+    team_like: str,
+    now: Column,
+) -> DataFrame:
+    """The Discord ``!trends`` command read path
+    (/root/reference/discord_integration.py:183-230 +
+    database_integration.py:358-367 ``get_odds_trends``), composed:
+    LIKE team resolution → the team's next upcoming fixture → that
+    fixture's full odds trail (every market/bookmaker snapshot, the
+    reference's ``ORDER BY market_type, collected_at`` point query)
+    joined with the per-(bookmaker, market) first-vs-last movement
+    summary (W3 — the chart the reference draws from the trail) into
+    one response document: one row per trail snapshot carrying
+    first/last/percent-moved columns for its series.
+
+    The reference's "Not enough odds data" guard (< 2 h2h snapshots,
+    discord_integration.py:211-213) maps to ``n_snapshots`` in every
+    row — the caller checks it instead of a driver-side count.
+
+    Scale shape: identical to team_odds_lookup — dim-sized broadcast
+    resolution, one fixtures scan → top-1, one odds_history point
+    scan; the trail and its movement summary are fixture-local (a
+    few dozen rows) so their join broadcasts. The first/last summary
+    is min_by/max_by — a single hash aggregate, no window sort.
+    """
+    matched = teams.filter(F.col("name").like(f"%{team_like}%")).select(
+        F.col("id").alias("__m_id")
+    )
+    home_hit = fixtures.join(
+        F.broadcast(matched), fixtures.home_team_id == matched.__m_id, "left_semi"
+    )
+    away_hit = fixtures.join(
+        F.broadcast(matched), fixtures.away_team_id == matched.__m_id, "left_semi"
+    )
+    ht = teams.select(F.col("id").alias("__ht_id"), F.col("name").alias("home_team"))
+    at = teams.select(F.col("id").alias("__at_id"), F.col("name").alias("away_team"))
+    next_game = (
+        home_hit.unionByName(away_hit)
+        .dropDuplicates(["id"])
+        .filter(F.col("kickoff_utc") > now)
+        .orderBy("kickoff_utc", "id")
+        .limit(1)
+        .join(F.broadcast(ht), F.col("home_team_id") == F.col("__ht_id"))
+        .join(F.broadcast(at), F.col("away_team_id") == F.col("__at_id"))
+        .select(F.col("id").alias("__fx_id"), "kickoff_utc", "home_team", "away_team")
+    )
+    trail = odds_history.join(
+        F.broadcast(next_game), odds_history.fixture_id == next_game.__fx_id
+    ).drop("__fx_id")
+    # W3 over the fixture-local trail: deterministic first/last per
+    # (bookmaker, market) series via min_by/max_by on a total order
+    sordkey = F.struct(F.col("collected_at"), F.col("collection_phase"))
+    movement = (
+        trail.groupBy("bookmaker", "market_type")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.min_by("home_odds", sordkey).alias("first_home"),
+            F.max_by("home_odds", sordkey).alias("last_home"),
+            F.min_by("away_odds", sordkey).alias("first_away"),
+            F.max_by("away_odds", sordkey).alias("last_away"),
+        )
+        .select(
+            F.col("bookmaker").alias("__mb"),
+            F.col("market_type").alias("__mm"),
+            "n_snapshots",
+            "first_home",
+            "last_home",
+            "first_away",
+            "last_away",
+        )
+    )
+    from ..functions.stable import rnd
+
+    from .windows import pct_change
+
+    return (
+        trail.join(
+            F.broadcast(movement),
+            (trail.bookmaker == movement.__mb) & (trail.market_type == movement.__mm),
+        )
+        .select(
+            "fixture_id",
+            "kickoff_utc",
+            "home_team",
+            "away_team",
+            "market_type",
+            "bookmaker",
+            "collection_phase",
+            "home_odds",
+            "draw_odds",
+            "away_odds",
+            "collected_at",
+            "n_snapshots",
+            "first_home",
+            "last_home",
+            rnd(pct_change(F.col("last_home"), F.col("first_home"))).alias("home_change_pct"),
+            "first_away",
+            "last_away",
+            rnd(pct_change(F.col("last_away"), F.col("first_away"))).alias("away_change_pct"),
+        )
+    )
+
+
 def team_odds_lookup(
     fixtures: DataFrame,
     teams: DataFrame,

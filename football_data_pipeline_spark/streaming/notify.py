@@ -138,6 +138,103 @@ def odds_lookup_embed(rows: list, now_iso: str) -> dict | None:
     }
 
 
+COLOR_FORM = 0x00AAFF  # discord_integration.py:279
+
+
+def team_form_embed(rows: list, now_iso: str) -> dict | None:
+    """The ``!form`` command response embed
+    (discord_integration.py:276-299): a Season Stats field from the
+    latest statistics snapshot and a Recent Games field of venue
+    icon + opponent lines. ``rows`` is team_form's output (≤ n_recent
+    rows sharing the team/stats context; a stats-less team skips the
+    stats field, a fixture-less team skips Recent Games — both like
+    the reference's conditionals). Empty ``rows`` → None (the
+    reference replies "Team not found"). The W/D/L ``result`` column
+    is in every row for richer consumers; the reference's embed
+    renders only icon + opponent, so this stays faithful to it."""
+    if not rows:
+        return None
+    t = rows[0]
+    fields = []
+    if t["matches_played"] is not None:
+        fields.append(
+            {
+                "name": "📈 Season Stats",
+                "value": (
+                    f"**Played**: {t['matches_played']}\n"
+                    f"**Win Rate**: {t['win_percentage']:.1f}%\n"
+                    f"**Goals**: {t['goals_for']}-{t['goals_against']}"
+                ),
+                "inline": True,
+            }
+        )
+    recent = [r for r in rows if r["fixture_id"] is not None]
+    if recent:
+        lines = []
+        for r in sorted(
+            recent, key=lambda r: (r["kickoff_utc"], r["fixture_id"]), reverse=True
+        ):
+            icon = "🏠" if r["venue"] == "home" else "✈️"
+            lines.append(f"{icon} vs {r['opponent']}")
+        fields.append(
+            {"name": "🏃 Recent Games", "value": "\n".join(lines), "inline": True}
+        )
+    return {
+        "title": f"📊 {t['team_name']} - Team Form",
+        "color": COLOR_FORM,
+        "fields": fields,
+        "timestamp": now_iso,
+    }
+
+
+#: discord_integration.py:74-78 — severity → embed color
+SEVERITY_COLORS = {"minor": 0xFFFF00, "major": 0xFF9900, "season_ending": 0xFF0000}
+COLOR_UNKNOWN_SEVERITY = 0x808080
+
+
+def injury_alert_embed(event: dict, team_name: str, now_iso: str) -> dict:
+    """The injury/suspension alert embed
+    (discord_integration.py:72-98): severity-colored, optional
+    player and expected-return fields. ``event`` is a
+    detect_lineup_changes / team_events row (operators/events.py);
+    ``team_name`` is the resolved team dim name (the reference's
+    event rows carry it pre-joined)."""
+    fields = []
+    if event.get("player_name") or event.get("player_id") is not None:
+        fields.append(
+            {
+                "name": "👤 Player",
+                "value": event.get("player_name") or f"#{event['player_id']}",
+                "inline": True,
+            }
+        )
+    fields.append(
+        {
+            "name": "📝 Details",
+            "value": event.get("event_description") or "No details available",
+            "inline": False,
+        }
+    )
+    fields.append(
+        {
+            "name": "⚠️ Severity",
+            "value": event.get("severity") or "Unknown",
+            "inline": True,
+        }
+    )
+    if event.get("end_date"):
+        fields.append(
+            {"name": "📅 Expected Return", "value": str(event["end_date"]), "inline": True}
+        )
+    return {
+        "title": f"🚑 {event['event_type'].replace('_', ' ').title()} Alert",
+        "description": f"**{team_name}**",
+        "color": SEVERITY_COLORS.get(event.get("severity"), COLOR_UNKNOWN_SEVERITY),
+        "fields": fields,
+        "timestamp": now_iso,
+    }
+
+
 def notification_sink(
     send: Callable[[dict], None], now_iso: str
 ) -> Callable[[DataFrame, int], None]:

@@ -267,3 +267,51 @@ def test_head_to_head_flatten(bronze):
     assert (h2h[555].home_score, h2h[555].away_score) == (5, 0)
     assert str(h2h[556].match_date) == "2023-10-21"  # Z-suffix parsed
     assert h2h[556].home_team_id == 49
+
+
+def test_detect_lineup_changes_crafted(spark):
+    """Crafted 3-fixture sequence: the dropped starter (and only the
+    dropped starter) yields an event; captain drops are major; the
+    team's first fixture and unchanged lineups yield nothing."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.events import detect_lineup_changes
+
+    def lu(fx, team, pid, starter, captain, ts):
+        return (fx, team, "4-4-2", pid, "M", starter, captain, ts, f"P-{pid}")
+
+    lineups = spark.createDataFrame(
+        [
+            # fixture 1 (team 5): starters 1,2,3 (1 is captain); sub 9
+            lu(1, 5, 1, True, True, "1995-05-01 12:00:00"),
+            lu(1, 5, 2, True, False, "1995-05-01 12:00:00"),
+            lu(1, 5, 3, True, False, "1995-05-01 12:00:00"),
+            lu(1, 5, 9, False, None, "1995-05-01 12:00:00"),
+            # fixture 2: captain 1 missing, 9 promoted → ONE major event for 1
+            lu(2, 5, 2, True, False, "1995-05-08 12:00:00"),
+            lu(2, 5, 3, True, False, "1995-05-08 12:00:00"),
+            lu(2, 5, 9, True, False, "1995-05-08 12:00:00"),
+            # fixture 3: 3 dropped → ONE minor event for 3
+            lu(3, 5, 2, True, False, "1995-05-15 12:00:00"),
+            lu(3, 5, 9, True, False, "1995-05-15 12:00:00"),
+            lu(3, 5, 1, True, True, "1995-05-15 12:00:00"),
+        ],
+        "fixture_id long, team_id long, formation string, player_id long, "
+        "position string, is_starter boolean, is_captain boolean, c string, "
+        "player_name string",
+    ).select("*", F.to_timestamp("c").alias("collected_at")).drop("c")
+    fixtures = spark.createDataFrame(
+        [(1, "1995-05-01 15:00:00"), (2, "1995-05-08 15:00:00"), (3, "1995-05-15 15:00:00")],
+        "id long, k string",
+    ).select("id", F.to_timestamp("k").alias("kickoff_utc"))
+
+    events = {
+        (r["player_id"], r["start_date"].isoformat()): r
+        for r in detect_lineup_changes(lineups, fixtures).collect()
+    }
+    assert set(events) == {(1, "1995-05-08"), (3, "1995-05-15")}
+    assert events[(1, "1995-05-08")]["severity"] == "major"  # captain
+    assert events[(3, "1995-05-15")]["severity"] == "minor"
+    e = events[(1, "1995-05-08")]
+    assert e["event_type"] == "lineup_change" and e["source"] == "lineup_analysis"
+    assert "P-1" in e["event_description"] and e["end_date"] is None

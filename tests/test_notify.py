@@ -159,3 +159,124 @@ def test_odds_lookup_no_matching_team(spark):
     from football_data_pipeline_spark.streaming.notify import odds_lookup_embed
 
     assert odds_lookup_embed([], "1995-06-01T00:00:00") is None
+
+
+def _form_silver(spark):
+    from pyspark.sql import functions as F
+
+    teams = spark.createDataFrame(
+        [(10, "Arsenal FC"), (11, "Chelsea"), (12, "Liverpool")], "id long, name string"
+    )
+    fixtures = spark.createDataFrame(
+        # 1: Arsenal home win 2-1; 2: Arsenal away loss 3-0; 3: draw 1-1 (home);
+        # 4: future (excluded); 5: scheduled status (excluded)
+        [(1, 10, 11, "1995-05-20 15:00:00", "finished", 2, 1),
+         (2, 12, 10, "1995-05-13 15:00:00", "finished", 3, 0),
+         (3, 10, 12, "1995-05-06 15:00:00", "finished", 1, 1),
+         (4, 10, 11, "1995-06-10 15:00:00", "finished", 9, 9),
+         (5, 11, 10, "1995-05-27 15:00:00", "scheduled", None, None)],
+        "id long, home_team_id long, away_team_id long, k string, status string, "
+        "home_score int, away_score int",
+    ).select("*", F.to_timestamp("k").alias("kickoff_utc")).drop("k")
+    stats = spark.createDataFrame(
+        [(10, 7, "1995-05-01", 30, 18, 55, 20, 60.0, "1995-05-01 00:00:00"),
+         (10, 7, "1995-05-21", 32, 20, 60, 21, 62.5, "1995-05-21 00:00:00"),
+         (11, 7, "1995-05-21", 32, 10, 30, 40, 31.25, "1995-05-21 00:00:00")],
+        "team_id long, league_id long, collection_date string, matches_played long, "
+        "wins long, goals_for long, goals_against long, win_percentage double, c string",
+    ).select("*", F.to_timestamp("c").alias("created_at")).drop("c")
+    return teams, stats, fixtures
+
+
+def test_team_form_and_embed_shape(spark):
+    """!form end-to-end on crafted silver: LIKE resolution → latest
+    stats → last-5 completed with venue/W-D-L → the reference's embed
+    (discord_integration.py:232-301)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.gold import team_form
+    from football_data_pipeline_spark.streaming.notify import COLOR_FORM, team_form_embed
+
+    teams, stats, fixtures = _form_silver(spark)
+    now = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    rows = [
+        r.asDict()
+        for r in team_form(teams, stats, fixtures, "Arsenal", now).collect()
+    ]
+    # three completed fixtures, newest first by kickoff in the embed;
+    # every row carries the LATEST stats snapshot (May 21, not May 1)
+    assert len(rows) == 3
+    assert all(r["matches_played"] == 32 and r["win_percentage"] == 62.5 for r in rows)
+    by_fx = {r["fixture_id"]: r for r in rows}
+    assert (by_fx[1]["venue"], by_fx[1]["result"], by_fx[1]["opponent"]) == ("home", "W", "Chelsea")
+    assert (by_fx[2]["venue"], by_fx[2]["result"], by_fx[2]["opponent"]) == ("away", "L", "Liverpool")
+    assert (by_fx[3]["venue"], by_fx[3]["result"], by_fx[3]["opponent"]) == ("home", "D", "Liverpool")
+
+    embed = team_form_embed(rows, "1995-06-01T00:00:00")
+    assert embed["title"] == "📊 Arsenal FC - Team Form"
+    assert embed["color"] == COLOR_FORM
+    assert embed["fields"][0]["name"] == "📈 Season Stats"
+    assert "**Win Rate**: 62.5%" in embed["fields"][0]["value"]
+    # venue icons, newest game first (kickoff DESC like the reference query)
+    assert embed["fields"][1]["value"].splitlines() == [
+        "🏠 vs Chelsea", "✈️ vs Liverpool", "🏠 vs Liverpool"
+    ]
+
+    # unresolved team → zero rows → None embed ("Team not found")
+    assert team_form(teams, stats, fixtures, "Nonexistent", now).count() == 0
+    assert team_form_embed([], "1995-06-01T00:00:00") is None
+
+
+def test_team_form_stats_only_and_fixtures_only(spark):
+    """A resolved team with no completed fixtures still yields its
+    stats context row; one with fixtures but no stats yields NULL
+    stats columns — both render (reference's conditional fields)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.gold import team_form
+    from football_data_pipeline_spark.streaming.notify import team_form_embed
+
+    teams, stats, fixtures = _form_silver(spark)
+    now = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    # Chelsea: stats row exists; only completed game is fixture 1 (away)
+    rows = [r.asDict() for r in team_form(teams, stats, fixtures, "Chelsea", now).collect()]
+    assert len(rows) == 1 and rows[0]["venue"] == "away" and rows[0]["result"] == "L"
+    # Liverpool: fixtures but NO stats row → NULL stats, embed skips the field
+    rows = [r.asDict() for r in team_form(teams, stats, fixtures, "Liverpool", now).collect()]
+    assert len(rows) == 2 and all(r["matches_played"] is None for r in rows)
+    embed = team_form_embed(rows, "1995-06-01T00:00:00")
+    assert [f["name"] for f in embed["fields"]] == ["🏃 Recent Games"]
+
+
+def test_injury_alert_embed_shape():
+    """Severity-colored injury alert embed
+    (discord_integration.py:72-98) over a team_events row."""
+    from football_data_pipeline_spark.streaming.notify import (
+        SEVERITY_COLORS,
+        injury_alert_embed,
+    )
+
+    event = {
+        "event_type": "lineup_change",
+        "player_id": 105,
+        "player_name": "P-105",
+        "event_description": "Starter P-105 absent from lineup vs previous fixture",
+        "severity": "major",
+        "end_date": None,
+    }
+    embed = injury_alert_embed(event, "Arsenal FC", "1995-06-01T00:00:00")
+    assert embed["title"] == "🚑 Lineup Change Alert"
+    assert embed["description"] == "**Arsenal FC**"
+    assert embed["color"] == SEVERITY_COLORS["major"]
+    names = [f["name"] for f in embed["fields"]]
+    assert names == ["👤 Player", "📝 Details", "⚠️ Severity"]  # no end_date → no return field
+    # unknown severity → gray; end_date present → Expected Return field
+    embed2 = injury_alert_embed(
+        {"event_type": "injury", "severity": None, "end_date": "1995-07-01",
+         "event_description": None, "player_id": None},
+        "Chelsea", "1995-06-01T00:00:00",
+    )
+    assert embed2["color"] == 0x808080
+    assert embed2["fields"][0]["name"] == "📝 Details"
+    assert embed2["fields"][0]["value"] == "No details available"
+    assert embed2["fields"][-1]["name"] == "📅 Expected Return"
