@@ -22,6 +22,15 @@ regression. Trials share one JVM deliberately: the warm-up pass
 already isolates JIT/codegen effects, and a fresh JVM per trial
 would re-measure startup, not the plans.
 
+Two queries (NOISY_QUERIES) showed spread ≈ median at trials=3 in
+round 3 — box-load spikes, not plan variance. They get
+max(NOISY_TRIALS, N_TRIALS) samples, and when a query has ≥5
+samples its single slowest sample is dropped before computing the
+median and spread (a one-sided trim: transient load only ever ADDS
+time, so trimming the max removes spike contamination without
+biasing the center — the median of the remaining ≥4 samples still
+covers the steady-state distribution).
+
 Expected stderr: one benign ``WindowExec: No Partition Defined``
 warning from q_fuzzy_join — resolution.rank_candidates's deliberate
 global sort of the DIM-SIZED candidate universe (never the pair
@@ -62,6 +71,19 @@ HEADLINE = [
     "q_text_stats",
 ]
 
+#: spread ≈ median at trials=3 in BENCH_r03 — needs more samples
+NOISY_QUERIES = {"q_fuzzy_join", "q_star_join"}
+NOISY_TRIALS = 5
+
+
+def _trimmed(s: list[float]) -> list[float]:
+    """Drop the single slowest sample when we have ≥5 (one-sided
+    spike trim — see module docstring)."""
+    if len(s) < 5:
+        return s
+    out = sorted(s)
+    return out[:-1]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,16 +101,25 @@ def main() -> None:
                 "noop"
             ).save()
 
+    def run_one(name: str) -> float:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_trials):
         for name in HEADLINE:
-            fn = QUERIES[name].fn
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples[name].append(time.perf_counter() - t0)
+            samples[name].append(run_one(name))
+    # extra interleaved passes for the high-variance pair only
+    for _ in range(max(NOISY_TRIALS, n_trials) - n_trials):
+        for name in HEADLINE:
+            if name in NOISY_QUERIES:
+                samples[name].append(run_one(name))
 
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    trimmed = {n: _trimmed(s) for n, s in samples.items()}
+    timings = {n: round(statistics.median(s), 3) for n, s in trimmed.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in trimmed.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +130,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "trials": n_trials,
+                "noisy_trials": {n: len(samples[n]) for n in sorted(NOISY_QUERIES)},
                 "sf": sf,
             }
         )

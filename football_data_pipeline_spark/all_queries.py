@@ -13,9 +13,11 @@ from .operators import (  # noqa: F401
     etl,
     events,
     form,
+    mixing,
     multimodal,
     prep,
     profiling,
+    redact,
     relational,
     sampling,
     textstats,
@@ -23,4 +25,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, events, form, multimodal, prep, profiling, relational, sampling, textstats, timeseries, windows]
+MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, redact, relational, sampling, textstats, timeseries, windows]

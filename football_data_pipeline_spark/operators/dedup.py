@@ -127,6 +127,102 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: C4-style line-level dedup. The synthetic corpus has no newlines,
+#: so a "line" is a fixed-width chunk of LINE_WORDS consecutive words
+#: — same granularity trade-off C4 makes with real newlines: small
+#: enough to isolate boilerplate, large enough that chance collisions
+#: are rare. A line repeated across >= BOILER_DF distinct documents
+#: is boilerplate and removed from every document that carries it.
+LINE_WORDS = 3
+BOILER_DF = 5
+
+
+def doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, idx, line): 0-indexed LINE_WORDS-word chunks, in
+    document order. Pure projection + explode — linear, no shuffle."""
+    ws = F.array_remove(F.split("text", " "), "")
+    n_lines = F.ceil(F.size(ws) / LINE_WORDS).cast("int")
+    chunks = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * LINE_WORDS + 1, LINE_WORDS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.posexplode(chunks).alias("idx", "line"))
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """Remove corpus-frequent lines from every document (C4's line
+    dedup, the standard web-boilerplate pass).
+
+    Plan shape for 100 TB: one shuffle of the exploded (line, doc_id)
+    stream keyed on the line text to compute document frequency —
+    partial aggregation spreads hot boilerplate lines because the
+    (line, doc_id) pairs being counted are themselves distinct-spread
+    — then the small df>=BOILER_DF survivor set broadcasts back onto
+    the exploded stream (AQE falls back to a shuffle join if the
+    boilerplate set is ever large), and one groupBy(doc_id)
+    reassembles the kept lines in order. Nothing quadratic; the only
+    wide exchanges are keyed on high-cardinality line text / doc_id.
+    """
+    lines = doc_lines(docs)
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct(F.col("idx"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "q_line_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(list_slice(ws, i*{LINE_WORDS}+1, i*{LINE_WORDS}+{LINE_WORDS}), ' ') AS line
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws)/{LINE_WORDS}.0) AS INT))) AS t(i)
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {BOILER_DF}
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.idx, l.line, b.line IS NOT NULL AS is_boiler
+      FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT is_boiler), '')
+             AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal report: per document, total /
+    boilerplate line counts and the reassembled cleaned text."""
+    return line_dedup(load(spark, sf_dir, "documents"))
+
+
 def _minhash_oracle() -> str:
     mh_cols = ", ".join(
         f"list_min(list_transform(ws, t -> md5('{i}:' || t))) AS mh{i}"

@@ -113,10 +113,15 @@ CHECK_PRIORITY = [
     "q_windowed_volatility",
     "q_knn_bruteforce",
     "q_knn_ivf",
-    # --- new in round 4 (the !form / !trends / team_events read paths):
+    # --- new in round 4 (the !form / !trends / team_events read
+    # paths, plus the line-dedup / PII-redaction / target-mixture
+    # corpus passes):
     "q_team_form",
     "q_odds_trends",
     "q_team_events",
+    "q_line_dedup",
+    "q_pii_redact",
+    "q_target_mixture",
     # --- r3-green but their module changed in r4 (gold.py grew the
     # form/trends compositions → dims.py re-registers; dedup.py grew
     # batch_near_dup_drops; multimodal.py decode hardening):
@@ -138,7 +143,11 @@ CHECK_PRIORITY = [
 ROTATE_TAIL = [
     # r3-green (CORRECTNESS_r03.json), modules untouched in r4:
     # timeseries / jobs / textstats / prep / profiling / sampling /
-    # embedsearch pack
+    # embedsearch / resolution pack. The three resolution rows keep
+    # q_fuzzy_join checked as the family representative.
+    "q_learned_mapping",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
     "q_job_expiry",
     "q_kpi_ratio",
     "q_weighted_sum",

@@ -1,0 +1,91 @@
+"""Crafted-corpus tests for the round-4 corpus passes: C4-style
+line dedup, PII redaction, and target-mixture rebalancing — the
+behaviors the sf-level oracle run can't isolate (chunking edges,
+actual replacement spans, waterfilling's binding stratum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.operators.dedup import (
+    BOILER_DF,
+    LINE_WORDS,
+    doc_lines,
+    line_dedup,
+)
+from football_data_pipeline_spark.operators.mixing import (
+    TARGET_PM,
+    mixture_rates,
+    target_mixture_sample,
+)
+from football_data_pipeline_spark.operators.redact import redact_pii
+from football_data_pipeline_spark.operators.sampling import RESOLUTION
+
+DOC_SCHEMA = "doc_id long, lang string, source string, text string"
+
+
+def test_doc_lines_chunking_edges(spark):
+    rows = [
+        (1, "en", "w", "a b c d e f g"),  # 7 words → 3 lines, last short
+        (2, "en", "w", "a b c"),  # exactly one line
+        (3, "en", "w", "  a   b  "),  # repeated spaces collapse
+    ]
+    out = doc_lines(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.idx, r.line))
+    assert sorted(by_doc[1]) == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    assert by_doc[2] == [(0, "a b c")]
+    assert by_doc[3] == [(0, "a b")]
+
+
+def test_line_dedup_removes_boilerplate_preserving_order(spark):
+    assert LINE_WORDS == 3
+    boiler = "subscribe to our newsletter"  # 4 words → lines 'subscribe to our' + 'newsletter'
+    rows = [
+        (i, "en", "w", f"{boiler} unique{i} payload{i} tail{i}")
+        for i in range(BOILER_DF)
+    ] + [(99, "en", "w", "entirely fresh words nobody repeats here")]
+    out = {r.doc_id: r for r in line_dedup(spark.createDataFrame(rows, DOC_SCHEMA)).collect()}
+    # 'subscribe to our' hits BOILER_DF docs → removed everywhere;
+    # the second chunk starts with 'newsletter' but continues into
+    # each doc's unique words, so it differs per doc and survives
+    r0 = out[0]
+    assert r0.n_boiler == 1
+    assert r0.clean_text == "newsletter unique0 payload0 tail0"
+    assert out[99].n_boiler == 0
+    assert out[99].clean_text == "entirely fresh words nobody repeats here"
+    # every document appears in the report exactly once
+    assert len(out) == BOILER_DF + 1
+
+
+def test_redact_replaces_both_kinds(spark):
+    rows = [
+        (1, "en", "w", "mail me at a.person@example.org or call 555-123-4567 now"),
+        (2, "en", "w", "no pii at all"),
+    ]
+    out = {r.doc_id: r for r in redact_pii(spark.createDataFrame(rows, DOC_SCHEMA)).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[1].redacted_text == "mail me at <EMAIL> or call <PHONE> now"
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    assert out[2].redacted_text == "no pii at all"
+
+
+def test_mixture_waterfilling_binding_stratum(spark):
+    # en is 10x over-represented vs its target; zh is the binding
+    # stratum (least data relative to target) and must keep 100%
+    rows = [(i, "en" if i < 200 else "zh", "w", "x") for i in range(220)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    rates = {r.lang: r for r in mixture_rates(docs).collect()}
+    assert rates["zh"].rate_bp == RESOLUTION  # binding → kept whole
+    assert rates["en"].rate_bp < RESOLUTION
+    # achieved mixture ≈ target ratio en:zh = 350:250 → n_en ≈ 28
+    t_total = min(
+        (r.n_docs * 1000) // TARGET_PM[lang] for lang, r in rates.items()
+    )
+    expect_en = TARGET_PM["en"] * t_total // 1000
+    sampled = target_mixture_sample(docs, rates=None)
+    n = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert n["zh"] == 20
+    # hash sampling is binomial around the rate; allow wide slack
+    assert abs(n.get("en", 0) - expect_en) <= 15

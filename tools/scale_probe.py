@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""10× dedup-density scale probe (VERDICT r3 item 5).
+
+Builds the probe corpus the r3 docstring describes — 10 perturbed
+copies of every sf0.1 document, so every doc gains ~10 near-copies
+and the TRUE pair count grows ~19.5× — then times the dedup family
+at 1× and 10× with interleaved trials and prints one JSON line.
+
+Why this corpus: a plain 10× scale-up keeps pair density constant
+and only proves linear scan cost. Duplicating every doc 10× is
+deliberately HARSHER — it makes every LSH bucket ~10× heavier, which
+is exactly the failure mode (template mega-buckets) the salted
+banded plan exists to survive. Cost tracking OUTPUT pairs — not
+candidate pairs or the doc count squared — is the pass criterion.
+
+Perturbation: copy i of doc d gets ``doc_id = d*16 + i`` and one
+extra distinct token appended (" probecopyN"). The word-set Jaccard
+between copies of a doc with W distinct words is ≥ (W-1)/(W+1), so
+for typical W≥40 every copy pair verifies as a near-dup at the 0.9
+threshold, while cross-doc pairs stay dissimilar.
+
+Usage: python tools/scale_probe.py [--trials 3]
+Writes the probe corpus under $TMPDIR (scratch, removed on exit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import football_data_pipeline_spark.all_queries  # noqa: F401
+from football_data_pipeline_spark.registry import QUERIES
+from football_data_pipeline_spark.session import get_spark
+
+PROBED = [
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_incremental",
+    "q_containment",
+]
+
+BASE_SF = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def build_probe_corpus(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+    perturbed = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") * 16 + F.col("copy_i")).alias("doc_id"),
+            F.when(F.col("copy_i") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" probecopy"), F.col("copy_i")))
+            .alias("text"),
+            "lang",
+            "source",
+            (F.length(F.col("text")) + F.when(F.col("copy_i") == 0, F.lit(0)).otherwise(F.lit(11))).alias("n_chars"),
+        )
+    )
+    # single parquet file to mirror the testdata layout
+    tmp = f"{out_dir}/_docs_build"
+    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{out_dir}/documents.parquet", exist_ok=True)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{out_dir}/documents.parquet/{f}")
+    shutil.rmtree(tmp)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="fdps-scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    probe_dir = tempfile.mkdtemp(prefix="fdps-probe-")
+    try:
+        build_probe_corpus(spark, probe_dir)
+        n10 = spark.read.parquet(f"{probe_dir}/documents.parquet").count()
+        print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr)
+
+        # warm codegen on the tiny SF first
+        for name in PROBED:
+            QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        samples: dict[str, dict[str, list[float]]] = {
+            n: {"1x": [], "10x": []} for n in PROBED
+        }
+        rows: dict[str, dict[str, int]] = {n: {} for n in PROBED}
+        for _ in range(args.trials):
+            for name in PROBED:
+                for label, d in (("1x", BASE_SF), ("10x", probe_dir)):
+                    t0 = time.perf_counter()
+                    QUERIES[name].fn(spark, d).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    samples[name][label].append(time.perf_counter() - t0)
+        for name in PROBED:
+            for label, d in (("1x", BASE_SF), ("10x", probe_dir)):
+                rows[name][label] = QUERIES[name].fn(spark, d).count()
+
+        out = {
+            name: {
+                "sec_1x": round(statistics.median(s["1x"]), 2),
+                "sec_10x": round(statistics.median(s["10x"]), 2),
+                "rows_1x": rows[name]["1x"],
+                "rows_10x": rows[name]["10x"],
+            }
+            for name, s in samples.items()
+        }
+        print(json.dumps({"probe": "dedup10x", "copies": COPIES, "trials": args.trials, "queries": out}))
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
