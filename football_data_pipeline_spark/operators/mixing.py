@@ -55,7 +55,11 @@ def _target_pm_sql(stratum: str) -> str:
 
 def mixture_rates(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
     """(stratum, target_pm, n_docs, rate_bp): waterfilled keep-rates
-    in bucket units. The binding stratum gets rate_bp = RESOLUTION."""
+    in bucket units. The binding stratum's rate_bp is exactly
+    RESOLUTION whenever its target_pm divides 1000*n_docs (always
+    true for the test corpus; at real corpus sizes the floor
+    granularity shaves at most RESOLUTION*target_pm/(1000*n_docs)
+    bucket units — vanishing as n grows)."""
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
     counts = counts.withColumn("target_pm", _target_pm_col(F.col(stratum_col)))
     t_total = counts.agg(

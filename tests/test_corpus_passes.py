@@ -89,3 +89,35 @@ def test_mixture_waterfilling_binding_stratum(spark):
     assert n["zh"] == 20
     # hash sampling is binomial around the rate; allow wide slack
     assert abs(n.get("en", 0) - expect_en) <= 15
+
+
+def test_mixture_rates_properties(spark):
+    """Spec invariants of the waterfilled rates, over several corpus
+    shapes in ONE DataFrame pass each: no rate exceeds RESOLUTION,
+    rates reproduce the integer formula from the returned counts, and
+    T is maximal (T+1 would need some rate above RESOLUTION)."""
+    shapes = [
+        {"en": 1, "zh": 1},                   # tiny, floor-heavy
+        {"en": 200, "zh": 20},                # the unit test's shape
+        {"en": 218, "zh": 75, "es": 73, "fr": 64, "de": 70},  # sf0.01
+        {"en": 7, "zh": 13, "es": 997},       # primes
+    ]
+    for counts in shapes:
+        rows, i = [], 0
+        for lang, n in counts.items():
+            for _ in range(n):
+                rows.append((i, lang, "w", "x"))
+                i += 1
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        got = {r.lang: r for r in mixture_rates(docs).collect()}
+        t = min((r.n_docs * 1000) // r.target_pm for r in got.values())
+        for r in got.values():
+            assert r.rate_bp <= RESOLUTION
+            expect = min(
+                RESOLUTION, (r.target_pm * t * RESOLUTION) // (1000 * r.n_docs)
+            )
+            assert r.rate_bp == expect, (r.lang, r.rate_bp, expect)
+        # maximality: at T+1 some stratum would need rate > 1
+        assert any(
+            r.target_pm * (t + 1) > 1000 * r.n_docs for r in got.values()
+        )
