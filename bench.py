@@ -69,6 +69,9 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_knn_bruteforce",
     "q_text_stats",
+    # added in round 4 (set was 14 queries through BENCH_r03 — compare
+    # totals across rounds on the common prefix, not the grand total)
+    "q_line_dedup",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples

@@ -24,24 +24,34 @@ Engine/oracle parity: all hashing goes through md5 (stable in both
 engines); minima over hex strings are lexicographic; Jaccard ratios
 are exact small-int divisions — no float-summation drift anywhere.
 
-Scale probe (2026-08-13, local[16], 10× corpus = 50k docs built as
-10 perturbed copies of sf0.1 — every doc gains ~10 near-copies, so
-TRUE pair count grows ~19.5× (25.7k → 502k), a deliberately harsher
-density than a plain scale-up):
-- q_dedup_minhash: 6.6s → ~55s. Time tracks OUTPUT pairs (≈ linear
-  in the 19.5× pair growth, sublinear in nothing): pair generation
-  is inherently quadratic per cluster, and the banded+salted plan
-  keeps everything else linear. PAIR_SALT sweep at this density
-  (interleaved trials): salt=1 ~25% slower than salted; 4/8/16/32
-  indistinguishable within box noise (medians 55.7s vs 55.4s for
-  8 vs 16). Default stays 8 — enough to spread template
-  mega-buckets, no measurable cost.
-- q_ngram_jaccard: 2.5s → 6.0s on 10× docs (sublinear: the
-  (lang, source, band) buckets spread the growth).
-- q_dedup_components: 11.5s → 120s — label propagation is
-  iteration-bound; bigger star clusters add rounds over a 500k-edge
-  graph. Linear-ish in edges, the expected shape for min-label
-  propagation without a hash-to-min shortcut.
+Scale probe (2026-08-14, round 4, local[32], reproducible via
+``tools/scale_probe.py``; 10× corpus = 50k docs, 10 perturbed
+copies of every sf0.1 doc, so every doc gains ~10 near-copies and
+TRUE minhash pair count grows 35.9× (25.7k → 922k) — deliberately
+harsher density than a plain scale-up; r3's probe numbers were
+measured on a one-off corpus and are superseded by these):
+- q_dedup_minhash: 4.6s → 116s while output pairs grew 35.9×
+  (25,735 → 922,481) — time tracks OUTPUT pairs sublinearly, the
+  correct asymptote for pair-emitting dedup (generation is
+  inherently quadratic per cluster; banding+salting keeps
+  everything else linear). r3's PAIR_SALT sweep conclusion stands:
+  default 8.
+- q_ngram_jaccard: 3.4s → 12s while output rows grew 4 → 223,988
+  (the probe's copy families are shingle-level near-dups, unlike
+  the word-shuffled sf duplicates).
+- q_dedup_components: 9.2s → 180s on a 922k-edge graph (36× edges
+  for ~20× time — linear-ish in edges × pointer-jumped rounds; the
+  r3 docstring's "120s" predates pointer jumping and its "6.6s"
+  was the 1× figure).
+- q_dedup_incremental: 2.9s → 57s (5k new vs 45k history at 10×).
+  Was 13.4s → 325s before round 4's sliding-window fix — see
+  functions/sliding.py for the O(len²) lambda-capture blowup this
+  module's shingle/chunk kernels previously hit, found by jstack
+  on exactly this probe.
+- q_line_dedup: 1.2s → 5.1s. Linear: explode + one count shuffle.
+- q_containment (textstats.py): 5.4s → 37s, 0 rows at 10× — the
+  absolute stop-fingerprint cut saturates on the density-inflated
+  corpus; see its docstring's relative-cut note.
 """
 
 from __future__ import annotations
@@ -50,6 +60,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.sliding import chunked_join, sliding_join
 from ..functions.stable import rnd
 from ..registry import query
 from .sampling import sample_bucket
@@ -141,14 +152,7 @@ def doc_lines(docs: DataFrame) -> DataFrame:
     """(doc_id, idx, line): 0-indexed LINE_WORDS-word chunks, in
     document order. Pure projection + explode — linear, no shuffle."""
     ws = F.array_remove(F.split("text", " "), "")
-    n_lines = F.ceil(F.size(ws) / LINE_WORDS).cast("int")
-    chunks = F.when(
-        n_lines > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(ws, i * LINE_WORDS + 1, LINE_WORDS), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    chunks = chunked_join(ws, LINE_WORDS)
     return docs.select("doc_id", F.posexplode(chunks).alias("idx", "line"))
 
 
@@ -514,12 +518,11 @@ def ngram_dedup_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     level but rarely at shingle level).
     """
     words = F.array_remove(F.split(F.col("text"), " "), "")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(size(words) - 2, 1)), "
-            "i -> concat_ws(' ', slice(words, i, 3)))"
-        )
-    )
+    # sliding_join, NOT transform-over-sequence-with-slice: the naive
+    # lambda captures `words`, whose definition CollapseProject inlines
+    # into the body — re-evaluated per window index, O(len²) per doc
+    # (functions/sliding.py has the measured blowup)
+    shingles = F.array_distinct(sliding_join(F.col("words"), 3))
     sh = (
         docs.select("doc_id", "lang", "source", words.alias("words"))
         .select("doc_id", "lang", "source", shingles.alias("shingles"))
@@ -829,13 +832,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     words = F.array_remove(F.split(F.col("text"), " "), "")
-    grams_expr = (
-        "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
-        "i -> concat_ws(' ', slice(words, i, 3))))"
-    )
+    grams = F.array_distinct(sliding_join(F.col("words"), 3))
     g = (
         docs.select("source", words.alias("words"))
-        .select("source", F.explode(F.expr(grams_expr)).alias("gram"))
+        .select("source", F.explode(grams).alias("gram"))
         .distinct()
     )
     sigs = g.groupBy("source").agg(
@@ -930,11 +930,20 @@ def dedup_against_corpus(
     in q_dedup_minhash, and only the (tiny) verified pair set is
     re-joined for tie-broken match selection. History pairs never
     form; cost is O(new × bands) plus verification.
+
+    ``prep`` repartitions by doc_id BEFORE the fingerprint/minhash
+    projections (10× probe finding, same as q_containment): the
+    word-set and 18-hash signature expressions are interpreted
+    higher-order functions costing ~ms/doc, so their parallelism
+    must follow cores, not scan byte-splits — and the exchange
+    makes each side's prep a ReusedExchange instead of being
+    recomputed by the exact-join and band-join branches separately.
     """
 
     def prep(docs: DataFrame) -> DataFrame:
+        n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         ws = word_set(F.col("text"))
-        return docs.select(
+        return docs.repartition(n_part, "doc_id").select(
             "doc_id",
             ws.alias("ws"),
             F.md5(F.concat_ws(" ", F.array_sort(ws))).alias("fp"),

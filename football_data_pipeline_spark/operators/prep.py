@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.stable import rnd
+from ..functions.sliding import sliding_join
 from ..registry import query
 from .sampling import RESOLUTION, sample_bucket
 
@@ -150,18 +151,16 @@ DECON_HOLDOUT_MOD = 50
 #: eval set before the doc is flagged contaminated
 DECON_THRESHOLD = 0.5
 
-#: word-3-gram shingles, identical construction (and engine parity)
-#: to dedup.ngram_dedup_pairs
-_SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), "
-    "i -> concat_ws(' ', slice(words, i, 3))))"
-)
-
-
 def _with_shingles(docs: DataFrame) -> DataFrame:
+    """word-3-gram shingles, identical construction (and engine
+    parity) to dedup.ngram_dedup_pairs — capture-free sliding_join,
+    not transform-over-sequence-with-slice (functions/sliding.py
+    documents the O(len²) inlining blowup of the naive form)."""
     words = F.array_remove(F.split(F.col("text"), " "), "")
     return docs.select("doc_id", "source", words.alias("words")).select(
-        "doc_id", "source", F.expr(_SHINGLES_EXPR).alias("shingles")
+        "doc_id",
+        "source",
+        F.array_distinct(sliding_join(F.col("words"), 3)).alias("shingles"),
     )
 
 
@@ -358,12 +357,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = w.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(words) - 1, 1)), "
-                "i -> concat_ws(' ', slice(words, i, 2)))"
-            )
-        ).alias("gram"),
+        F.explode(sliding_join(F.col("words"), 2)).alias("gram"),
     )
     rep = (
         grams.groupBy("doc_id", "gram")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.stable import rnd
+from ..functions.sliding import sliding_join, sliding_min
 from ..registry import query
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -246,10 +247,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: duplicate 2-grams)
 REPETITION_THRESHOLD = 0.2
 
-_BIGRAMS_EXPR = (
-    "transform(sequence(1, greatest(size(words) - 1, 1)), "
-    "i -> concat_ws(' ', slice(words, i, 2)))"
-)
+#: built with sliding_join, NOT transform-over-sequence-with-slice —
+#: the naive lambda captures `words` and CollapseProject inlines its
+#: definition into the body, re-evaluated per window: O(len²)/doc
+#: (functions/sliding.py documents the measured blowup)
+def _bigrams() -> Column:
+    return sliding_join(F.col("words"), 2)
 
 
 @query(
@@ -300,7 +303,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", _words().alias("words")
-    ).select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("gram"))
+    ).select("doc_id", F.explode(_bigrams()).alias("gram"))
     per_gram = grams.groupBy("doc_id", "gram").count()
     per_doc = per_gram.groupBy("doc_id").agg(
         F.sum("count").alias("n_bigrams"),
@@ -482,21 +485,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, unlike minhash's probabilistic recall. The digest
     column pins the exact selected set.
 
-    All inside codegen: k-gram hashes and window minima are array
-    transforms over each row — no explode, no shuffle; the operator
-    is a pure projection whose output is one row per document.
+    One pass, no explode, no shuffle: k-gram hashes and window
+    minima are per-row array kernels (interpreted higher-order
+    functions — Spark does not codegen them — built capture-free via
+    functions/sliding.py so they stay O(len) per document).
     """
     docs = load(spark, sf_dir, "documents")
-    hashes = F.expr(
-        f"transform(sequence(1, greatest(size(words) - {WINNOW_K - 1}, 1)), "
-        f"i -> md5(concat_ws(' ', slice(words, i, {WINNOW_K}))))"
+    hashes = F.transform(
+        sliding_join(F.col("words"), WINNOW_K), lambda g: F.md5(g)
     )
-    fps = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
-            f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
-        )
-    )
+    fps = F.array_distinct(sliding_min(F.col("hashes"), WINNOW_W))
     return (
         docs.select("doc_id", _words().alias("words"))
         .select("doc_id", F.size("words").alias("__nw"), hashes.alias("hashes"))
@@ -579,23 +577,47 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     before an inverted-index join). The pair aggregation is keyed on
     (inner, outer) — high-cardinality, skew-bounded by the stop-
     fingerprint cut.
+
+    Known scale limitation (measured on the 10× probe): the stop cut
+    is an ABSOLUTE document frequency, like a fixed stopword list.
+    On the density-inflated probe corpus the median fingerprint df
+    rises to ~40 and the cut swallows nearly all fingerprints —
+    0 verdicts survive. At real corpus growth the cut should become
+    RELATIVE (df/N, mirroring how stopwords are corpus-fraction
+    concepts); kept absolute here so the DuckDB oracle stays
+    byte-stable across SFs.
+
+    Two exchanges are deliberate, found by the 10× probe (jstack
+    showed single-task stages re-evaluating the winnowing expression
+    interpreted, once per consumer branch):
+    - ``repartition(P, doc_id)`` BEFORE the fingerprint projection:
+      the kernel is CPU-bound (~ms/doc of interpreted higher-order
+      exprs — Spark never codegens transform/array_min), so task
+      parallelism must follow cores, not scan bytes — a 20 MB input
+      is one file split and would serialize the whole corpus through
+      one task;
+    - ``repartition(P, f)`` AFTER the explode: aligns the exploded
+      stream with the f-keyed consumers (stop-fingerprint count and
+      inverted-index self-join). NB the self-join's attribute
+      deduplication clones the lineage per branch, so the static
+      plan shows four scans — the fingerprint kernel being O(len)
+      per doc (functions/sliding.py) is what makes that affordable;
+      before the sliding fix the cloned branches were the dominant
+      cost.
     """
     docs = load(spark, sf_dir, "documents")
-    hashes = F.expr(
-        f"transform(sequence(1, greatest(size(words) - {WINNOW_K - 1}, 1)), "
-        f"i -> md5(concat_ws(' ', slice(words, i, {WINNOW_K}))))"
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hashes = F.transform(
+        sliding_join(F.col("words"), WINNOW_K), lambda g: F.md5(g)
     )
-    fps = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(hashes) - {WINNOW_W - 1}, 1)), "
-            f"i -> array_min(slice(hashes, i, {WINNOW_W})))"
-        )
-    )
+    fps = F.array_distinct(sliding_min(F.col("hashes"), WINNOW_W))
     x = (
-        docs.select("doc_id", _words().alias("words"))
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", _words().alias("words"))
         .select("doc_id", hashes.alias("hashes"))
         .select("doc_id", fps.alias("fps"))
         .select("doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("f"))
+        .repartition(n_part, "f")
     )
     live = x.groupBy("f").agg(F.count("*").alias("__df")).filter(
         F.col("__df") <= STOP_FP_DOCS

@@ -247,3 +247,61 @@ def write_bronze(df: DataFrame, path: str) -> None:
     (yml:330-339); Parquet + partitionBy replaces filename encoding.
     """
     df.write.mode("append").partitionBy("collection_type").parquet(path)
+
+
+# --- documents-corpus JSONL source -------------------------------------
+#
+# Raw training corpora arrive as JSON-lines dumps (one document per
+# line, millions of files). At 100 TB some lines WILL be truncated or
+# malformed; failing the job on one bad line is not an option, and
+# silently dropping them is worse. PERMISSIVE mode with an explicit
+# corrupt-record column keeps the scan schema-pinned (no inference
+# pass over 100 TB) while quarantining unparseable lines with their
+# raw bytes for replay.
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField(CORRUPT_COL, T.StringType()),
+    ]
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned JSONL scan of a documents dump: text scan +
+    ``from_json`` per line, NOT ``spark.read.json``. Two reasons this
+    is the right 100 TB shape: (a) the quarantine branch keeps the
+    ORIGINAL line bytes verbatim (the json reader's corrupt column is
+    a reconstruction, and Spark refuses plans that reference only the
+    corrupt column — UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN — forcing a cache); (b) one text scan serves both the good
+    and bad branches with ordinary column pruning. Malformed lines
+    get ``_corrupt_record`` set; well-formed lines leave it NULL."""
+    parsed = F.from_json(
+        F.col("value"),
+        DOCUMENTS_JSONL_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return spark.read.text(path).select(
+        F.col("value").alias("raw_line"), parsed.alias("doc")
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): parsed rows with the corrupt marker
+    dropped, and the verbatim text of every unparseable line for
+    replay/audit."""
+    bad_mark = F.col("doc")[CORRUPT_COL]
+    good = (
+        df.filter(bad_mark.isNull())
+        .select("doc.*")
+        .drop(CORRUPT_COL)
+    )
+    bad = df.filter(bad_mark.isNotNull()).select("raw_line")
+    return good, bad

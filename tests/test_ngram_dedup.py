@@ -99,7 +99,7 @@ def test_repetition_flags_template_spam(spark):
     words = F.array_remove(F.split("text", " "), "")
     grams = docs.select("doc_id", words.alias("words")).select(
         "doc_id",
-        F.explode(F.expr(textstats._BIGRAMS_EXPR)).alias("gram"),
+        F.explode(textstats._bigrams()).alias("gram"),
     )
     per_gram = grams.groupBy("doc_id", "gram").count()
     per_doc = per_gram.groupBy("doc_id").agg(

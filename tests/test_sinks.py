@@ -81,3 +81,30 @@ def test_json_sinks_roundtrip(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{report}/part-*.json")) == 1
+
+
+def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: good lines parse against the pinned
+    schema, malformed lines are quarantined whole (raw bytes kept for
+    replay), and nothing is silently dropped."""
+    from football_data_pipeline_spark.sources.ingest import (
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "dump.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}',
+        '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web", "n_chars": 4}',
+        '{"doc_id": 3, "text": "truncated...',  # cut mid-record
+        "not json at all",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = split_corrupt(read_documents_jsonl(spark, str(p)))
+    good_rows = {r.doc_id: r for r in good.collect()}
+    bad_rows = sorted(r.raw_line for r in bad.collect())
+    assert set(good_rows) == {1, 2}
+    assert good_rows[1].text == "hello world" and good_rows[1].n_chars == 11
+    assert bad_rows == ["not json at all", '{"doc_id": 3, "text": "truncated...']
+    # accounting: every input line is either parsed or quarantined
+    assert good.count() + bad.count() == len(lines)

@@ -19,8 +19,12 @@ between copies of a doc with W distinct words is ≥ (W-1)/(W+1), so
 for typical W≥40 every copy pair verifies as a near-dup at the 0.9
 threshold, while cross-doc pairs stay dissimilar.
 
-Usage: python tools/scale_probe.py [--trials 3]
-Writes the probe corpus under $TMPDIR (scratch, removed on exit).
+Usage: python tools/scale_probe.py [--trials 3] [--queries a,b,...]
+       [--corpus DIR]
+Writes the probe corpus under $TMPDIR (scratch, removed on exit)
+unless --corpus names a directory to build-once/reuse across runs.
+Per-run timings stream to stderr so a pathological query is
+identifiable mid-flight.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ PROBED = [
     "q_dedup_components",
     "q_dedup_incremental",
     "q_containment",
+    "q_line_dedup",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -82,36 +87,48 @@ def build_probe_corpus(spark, out_dir: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--queries", default=",".join(PROBED))
+    ap.add_argument("--corpus", default=None, help="build-once/reuse dir")
     args = ap.parse_args()
+    probed = [q.strip() for q in args.queries.split(",") if q.strip()]
 
     spark = get_spark(app_name="fdps-scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    probe_dir = tempfile.mkdtemp(prefix="fdps-probe-")
+    keep = args.corpus is not None
+    probe_dir = args.corpus or tempfile.mkdtemp(prefix="fdps-probe-")
     try:
-        build_probe_corpus(spark, probe_dir)
+        if not os.path.isdir(f"{probe_dir}/documents.parquet"):
+            os.makedirs(probe_dir, exist_ok=True)
+            build_probe_corpus(spark, probe_dir)
         n10 = spark.read.parquet(f"{probe_dir}/documents.parquet").count()
-        print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr)
+        print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr, flush=True)
 
         # warm codegen on the tiny SF first
-        for name in PROBED:
+        for name in probed:
             QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.mode(
                 "overwrite"
             ).format("noop").save()
 
         samples: dict[str, dict[str, list[float]]] = {
-            n: {"1x": [], "10x": []} for n in PROBED
+            n: {"1x": [], "10x": []} for n in probed
         }
-        rows: dict[str, dict[str, int]] = {n: {} for n in PROBED}
-        for _ in range(args.trials):
-            for name in PROBED:
+        rows: dict[str, dict[str, int]] = {n: {} for n in probed}
+        for t in range(args.trials):
+            for name in probed:
                 for label, d in (("1x", BASE_SF), ("10x", probe_dir)):
                     t0 = time.perf_counter()
                     QUERIES[name].fn(spark, d).write.mode("overwrite").format(
                         "noop"
                     ).save()
-                    samples[name][label].append(time.perf_counter() - t0)
-        for name in PROBED:
+                    dt = time.perf_counter() - t0
+                    samples[name][label].append(dt)
+                    print(
+                        f"trial {t} {name} {label}: {dt:.2f}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+        for name in probed:
             for label, d in (("1x", BASE_SF), ("10x", probe_dir)):
                 rows[name][label] = QUERIES[name].fn(spark, d).count()
 
@@ -126,7 +143,8 @@ def main() -> None:
         }
         print(json.dumps({"probe": "dedup10x", "copies": COPIES, "trials": args.trials, "queries": out}))
     finally:
-        shutil.rmtree(probe_dir, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(probe_dir, ignore_errors=True)
         spark.stop()
 
 
