@@ -43,11 +43,18 @@ measured on a one-off corpus and are superseded by these):
   for ~20× time — linear-ish in edges × pointer-jumped rounds; the
   r3 docstring's "120s" predates pointer jumping and its "6.6s"
   was the 1× figure).
-- q_dedup_incremental: 2.9s → 57s (5k new vs 45k history at 10×).
+- q_dedup_incremental: 2.9s → 57s (10k new vs 40k history at 10×).
   Was 13.4s → 325s before round 4's sliding-window fix — see
   functions/sliding.py for the O(len²) lambda-capture blowup this
   module's shingle/chunk kernels previously hit, found by jstack
-  on exactly this probe.
+  on exactly this probe. Post-fix the cost is candidate-bound:
+  stage profile shows 57.3M distinct band-collision pairs verified
+  down to 0.94M at J≥0.9 (prep 2.4s, exact 1.8s, pair ids 7.5s,
+  verify 28.5s). That candidate rate is a property of the probe's
+  density (40-word vocab → any two docs share J≈0.5-0.7, and
+  P(band collision) = J^6 per band) — rows-per-band is the
+  recall/cost dial for real corpora, and candidates (not docs²)
+  is the correct LSH asymptote.
 - q_line_dedup: 1.2s → 5.1s. Linear: explode + one count shuffle.
 - q_containment (textstats.py): 5.4s → 37s, 0 rows at 10× — the
   absolute stop-fingerprint cut saturates on the density-inflated
@@ -965,21 +972,25 @@ def dedup_against_corpus(
     def sigs(df: DataFrame, id_alias: str) -> DataFrame:
         with_mh = df.select(
             F.col("doc_id").alias(id_alias),
-            "ws",
             *[m.alias(f"mh{i}") for i, m in enumerate(minhash_signature(F.col("ws")))],
         )
-        return with_mh.select(
-            id_alias, "ws", F.explode(_band_sigs()).alias("sig")
-        )
+        return with_mh.select(id_alias, F.explode(_band_sigs()).alias("sig"))
 
-    cand = (
+    # candidate pairs as IDS ONLY: the sig equi-join and the distinct
+    # shuffle (sig, id) / (id, id) rows — never the word-set arrays,
+    # which attach afterwards for verification. On the 10× probe the
+    # wall-clock is verify-bound either way (57M candidates), but at
+    # real document lengths the array payload dominates shuffle bytes
+    # and this ordering is the difference between shuffling ids and
+    # shuffling the corpus.
+    pair_ids = (
         sigs(remaining, "doc_id")
-        .join(
-            sigs(h, "h_doc").select("h_doc", F.col("ws").alias("h_ws"), "sig"),
-            "sig",
-        )
-        .select("doc_id", "ws", "h_doc", "h_ws")
+        .join(sigs(h, "h_doc"), "sig")
+        .select("doc_id", "h_doc")
         .distinct()
+    )
+    cand = pair_ids.join(remaining.select("doc_id", "ws"), "doc_id").join(
+        h.select(F.col("doc_id").alias("h_doc"), F.col("ws").alias("h_ws")), "h_doc"
     )
     inter = F.size(F.array_intersect("ws", "h_ws"))
     union = F.size(F.array_union("ws", "h_ws"))
