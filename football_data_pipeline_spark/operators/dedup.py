@@ -1185,3 +1185,132 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- LSH blocking-quality measurement -----------------------------------
+
+REC_SALT = "lshrecall-v1"
+REC_SAMPLE_BP = 2000  # 20% doc sample, in RESOLUTION basis points
+
+
+def _lsh_recall_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(ws, t -> md5('{i}:' || t))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    band_exprs = ", ".join(
+        "'{}' || '|' || {}".format(
+            b,
+            " || '|' || ".join(f"mh{ROWS_PER_BAND * b + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    jac = (
+        "len(list_intersect(a.ws, b.ws)) * 1.0"
+        " / len(list_distinct(list_concat(a.ws, b.ws)))"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {_WORD_SET_SQL} AS ws FROM documents
+      WHERE CAST(('0x' || substr(md5('{REC_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < {REC_SAMPLE_BP}
+    ),
+    reps AS (
+      SELECT md5(array_to_string(list_sort(ws), ' ')) AS fp,
+             min(doc_id) AS rid, arg_min(ws, doc_id) AS ws
+      FROM s GROUP BY fp
+    ),
+    truth AS (
+      SELECT a.rid AS ra, b.rid AS rb
+      FROM reps a JOIN reps b ON a.rid < b.rid
+      WHERE {jac} >= {JACCARD_VERIFY}
+    ),
+    mh AS (SELECT rid, ws, {mh_cols} FROM reps),
+    sigs AS (SELECT rid, ws, unnest([{band_exprs}]) AS sig FROM mh),
+    found AS (
+      SELECT DISTINCT a.rid AS ra, b.rid AS rb
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.rid < b.rid
+      WHERE {jac} >= {JACCARD_VERIFY}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s)      AS n_sample_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM reps)   AS n_reps,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth)  AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM found)  AS n_found,
+           floor((SELECT count(*) FROM found) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1) * 10000 + 0.5) / 10000
+             AS recall
+    """
+
+
+@query("q_lsh_recall", oracle=_lsh_recall_oracle())
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the minhash LSH parameters: on a
+    deterministic 20% doc-hash sample, compare the banded candidate
+    pipeline (same 18-sig / 3×6-band construction as
+    q_dedup_minhash, Jaccard-verified) against BRUTE-FORCE ground
+    truth, reporting recall — the measured answer to "are 3 bands of
+    6 rows enough at this corpus's similarity distribution?", the
+    dial a 100 TB dedup run tunes before committing the full pass.
+
+    The brute-force truth join is quadratic BY DESIGN and therefore
+    runs only on the bounded sample (the rate is a basis-point
+    constant here; a production harness would size it to a fixed
+    absolute pair budget). Identical word sets collapse to one rep
+    first, exactly as the production path does, so recall measures
+    the probabilistic band behavior, not the trivial identical-set
+    collisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sample = docs.filter(sample_bucket(F.col("doc_id"), REC_SALT) < REC_SAMPLE_BP)
+    ws = word_set(F.col("text"))
+    d = sample.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.md5(F.concat_ws(" ", F.array_sort(ws))).alias("fp"),
+    )
+    reps = d.groupBy("fp").agg(
+        F.min("doc_id").alias("rid"), F.min_by("ws", "doc_id").alias("ws")
+    )
+    a = reps.select(F.col("rid").alias("ra"), F.col("ws").alias("wsa"))
+    b = reps.select(F.col("rid").alias("rb"), F.col("ws").alias("wsb"))
+    jac = F.size(F.array_intersect("wsa", "wsb")) / F.size(F.array_union("wsa", "wsb"))
+    truth = (
+        a.join(b, F.col("ra") < F.col("rb"))
+        .filter(jac >= JACCARD_VERIFY)
+        .select("ra", "rb")
+    )
+    with_mh = reps.select(
+        "rid",
+        "ws",
+        *[m.alias(f"mh{i}") for i, m in enumerate(minhash_signature(F.col("ws")))],
+    )
+    sigs = with_mh.select("rid", "ws", F.explode(_band_sigs()).alias("sig"))
+    sa = sigs.select(F.col("sig"), F.col("rid").alias("ra"), F.col("ws").alias("wsa"))
+    sb = sigs.select(
+        F.col("sig").alias("__sb"), F.col("rid").alias("rb"), F.col("ws").alias("wsb")
+    )
+    found = (
+        sa.join(sb, (F.col("sig") == F.col("__sb")) & (F.col("ra") < F.col("rb")))
+        .select("ra", "rb", "wsa", "wsb")
+        .distinct()
+        .filter(jac >= JACCARD_VERIFY)
+        .select("ra", "rb")
+    )
+    n_sample = sample.agg(F.count("*").alias("n_sample_docs"))
+    n_reps = reps.agg(F.count("*").alias("n_reps"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    return (
+        n_sample.crossJoin(F.broadcast(n_reps))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_sample_docs",
+            "n_reps",
+            "n_truth",
+            "n_found",
+            rnd(
+                F.col("n_found") / F.greatest(F.col("n_truth"), F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )

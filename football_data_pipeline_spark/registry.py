@@ -150,28 +150,38 @@ CHECK_PRIORITY = [
     # tail; the five below fit under the cap this round:
     "q_containment",
     "q_winnow_fingerprints",  # shares WINNOW_K/W with q_containment
-    "q_tfidf_terms",
-    "q_seq_histogram",
     "q_repetition",
+    "q_decontaminate",  # prep.py shingles rewritten (sliding_join)
+    # --- new late in r4:
+    "q_lsh_recall",
 ]
 
-#: CAP OVERFLOW IOU — these queries' module (textstats.py) changed
-#: in r4 but the 50-row driver cap is exhausted by higher-risk
-#: re-checks. They are re-verified at HEAD by the local all-queries
-#: oracle gate (tests/test_queries_oracle.py) this round and MUST
-#: head CHECK_PRIORITY in r5. The rule update: cap overflow carries
-#: forward loudly instead of silently bending "untouched since".
+#: CAP OVERFLOW IOU — these queries' modules (textstats.py, prep.py)
+#: changed in r4 but the 50-row driver cap is exhausted by
+#: higher-risk re-checks (plan-changed queries got the slots; these
+#: are file-changed with code untouched, except q_corpus_clean whose
+#: bigram projection was rewritten). All are re-verified at HEAD by
+#: the local all-queries oracle gate (tests/test_queries_oracle.py)
+#: this round and MUST head CHECK_PRIORITY in r5. The rule update:
+#: cap overflow carries forward loudly instead of silently bending
+#: "untouched since".
 CARRY_TO_NEXT_ROUND = [
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
     "q_token_count",
+    "q_seq_histogram",  # displaced by q_lsh_recall; code unchanged in r4
+    "q_tfidf_terms",
+    "q_corpus_clean",  # plan changed (sliding bigrams) — first in r5
+    "q_pii_scan",
+    "q_token_packing",
 ]
 ROTATE_TAIL = [
-    # r3-green (CORRECTNESS_r03.json), modules untouched in r4 —
-    # timeseries / jobs / prep / profiling / sampling / embedsearch /
-    # resolution / relational packs — plus the four textstats rows in
-    # CARRY_TO_NEXT_ROUND (module changed; cap exhausted; see IOU).
+    # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
+    # (timeseries / jobs / profiling / sampling / embedsearch /
+    # resolution / relational); the textstats/prep rows listed in
+    # CARRY_TO_NEXT_ROUND had their module change — cap exhausted,
+    # carried loudly per the IOU rule above.
     "q_learned_mapping",
     "q_difflib_ratio",
     "q_resolve_alternatives",
@@ -187,7 +197,8 @@ ROTATE_TAIL = [
     "q_before_after",
     "q_doc_fingerprint",
     "q_token_count",
-    "q_decontaminate",
+    "q_seq_histogram",
+    "q_tfidf_terms",
     "q_ivf_centroids",
     "q_ivf_reassign",
     "q_length_filter",
