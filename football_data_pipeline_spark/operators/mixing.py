@@ -129,7 +129,7 @@ def q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
     )
     return (
-        rates.join(sampled, "lang", "left")
+        rates.join(F.broadcast(sampled), "lang", "left")
         .select(
             "lang",
             "target_pm",

@@ -121,3 +121,44 @@ def test_mixture_rates_properties(spark):
         assert any(
             r.target_pm * (t + 1) > 1000 * r.n_docs for r in got.values()
         )
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Scale-guard plan asserts for the round-4 corpus passes:
+    line_dedup broadcasts the boilerplate set back onto the exploded
+    stream (never a sort-merge join of it); pii_redact is a single
+    scan-stage projection (no exchange at all); target_mixture's
+    per-stratum rates reach the corpus via broadcast."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    ld = QUERIES["q_line_dedup"].fn(spark, SF_DIR)
+    plan = ld._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    rd = QUERIES["q_pii_redact"].fn(spark, SF_DIR)
+    plan2 = rd._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2 and "Join" not in plan2
+
+    tm = QUERIES["q_target_mixture"].fn(spark, SF_DIR)
+    plan3 = tm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3 or "BroadcastNestedLoopJoin" in plan3
+    assert "SortMergeJoin" not in plan3
+
+
+def test_lsh_recall_found_is_subset_of_truth(spark):
+    """q_lsh_recall invariant: found pairs verify at the same
+    threshold as truth pairs, so n_found <= n_truth and recall <= 1
+    — on the real table at the test SF."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    row = QUERIES["q_lsh_recall"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_reps <= row.n_sample_docs
+    assert row.n_found <= row.n_truth
+    assert 0.0 <= row.recall <= 1.0
