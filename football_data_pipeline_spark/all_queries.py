@@ -6,6 +6,7 @@ fully-populated registry.
 
 from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
+    chunking,
     dedup,
     dims,
     embedsearch,
@@ -17,12 +18,14 @@ from .operators import (  # noqa: F401
     multimodal,
     prep,
     profiling,
+    quality,
     redact,
     relational,
     sampling,
+    semdedup,
     textstats,
     timeseries,
     windows,
 )
 
-MODULES = [windowed, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, redact, relational, sampling, textstats, timeseries, windows]
+MODULES = [windowed, chunking, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]

@@ -1,0 +1,277 @@
+"""Semantic deduplication and product-quantization encoding over the
+embedding column — the two vector-side passes a training-data
+pipeline runs between embedding and indexing.
+
+- ``q_semdedup`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  restrict pairwise cosine comparison to within-cluster pairs, then
+  greedily keep one representative per near-duplicate group. The
+  coarse cluster bounds the quadratic blow-up: with k ∝ N clusters
+  the expected cluster size is a CONSTANT, so total pair work is
+  O(N·c̄) — linear in corpus size — instead of O(N²). ``label``
+  stands in for the k-means cell id, the same convention as
+  ``q_knn_ivf`` (embedsearch.py); the real index build is
+  ``q_ivf_centroids``/``q_ivf_reassign``.
+- ``q_pq_encode`` — product quantization (Jégou et al. 2011): split
+  each vector into M contiguous subvectors and replace each with the
+  id of its nearest codebook entry, compressing a 64-dim float
+  vector to M small codes. With the IVF cells above this is the
+  IVF-PQ layout — the standard billion-scale ANN index.
+
+Reference parity: the reference has no vector operators at all —
+these extend the engine for the LLM-data-pipeline brief (SURVEY.md
+§2 extension block), alongside embedsearch.py.
+
+Float parity with the DuckDB oracle: dot products / squared
+distances are strict left-to-right folds over double-cast elements
+on BOTH engines (embedsearch.py convention), so the doubles being
+thresholded or argmin-packed are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import rnd
+from ..registry import query
+from .embedsearch import DIMS, _oracle_dot, _oracle_norm, dot, norm
+
+#: SemDeDup near-duplicate threshold — same value as embedsearch's
+#: COSINE_VERIFY so the LSH pass and the cluster pass agree on what
+#: "near" means.
+SEMDEDUP_TAU = 0.3
+
+#: Plan-embedded guard: within-cluster pairing is O(c²) per cluster
+#: BY DESIGN (the paper's trade — k is chosen so c̄ stays small). A
+#: cluster this hot means the index build is mis-sized, and the scan
+#: fails loudly instead of silently going quadratic.
+MAX_CLUSTER = 100_000
+
+# --- product quantization geometry ---
+PQ_M = 8  # subspaces
+PQ_SUB = DIMS // PQ_M  # dims per subspace
+PQ_K = 16  # codebook entries per subspace (a 4-bit code)
+#: d2 over PQ_SUB dims of unit-ish floats is < 8; ×1e8 < 8e8, ×K
+#: fits BIGINT with ~9 orders of headroom. The pack is
+#: floor(d2·1e8 + 0.5)·K + code, so BIGINT min == (d2 asc, code asc)
+#: argmin — one HashAggregate, no sort, no struct min_by.
+PQ_PACK_SCALE = 100_000_000
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_oracle_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    near AS (
+      SELECT b.vec_id AS vec_id,
+             {_oracle_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_oracle_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT v.vec_id, v.label AS cluster,
+           CAST(count(n.sim) AS BIGINT) AS n_near,
+           floor(max(n.sim) * 1000000 + 0.5) / 1000000 AS max_sim,
+           count(n.sim) = 0 AS kept
+    FROM e v LEFT JOIN near n ON n.vec_id = v.vec_id
+    GROUP BY v.vec_id, v.label
+    """
+
+
+def semdedup_report(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup sweep over (vec_id, label, embedding): drop any
+    vector whose cosine similarity to a LOWER-id member of its own
+    coarse cluster is ≥ τ; the lowest id of each near-dup group
+    survives as the representative.
+
+    The greedy keep-lowest-id rule is the deterministic variant used
+    in production semantic-dedup passes (NeMo-Curator's semdedup
+    does the same "drop if near an earlier item" sweep); the paper's
+    keep-farthest-from-centroid tie-break changes WHICH member
+    survives, never how many groups there are.
+
+    Scale shape: one shuffle of (cluster, vec) keyed on the cluster
+    id feeds a sort-merge self-join — pair generation is cluster-
+    local, O(c²) per cluster with c̄ held constant by k ∝ N (the
+    SemDeDup contract). A plan-embedded raise_error trips if any
+    cluster exceeds MAX_CLUSTER (mis-sized index ⇒ fail loudly, the
+    resolution.py guard pattern). The near-pair stream then
+    aggregates by the HIGHER vec_id (map-side combine; output is one
+    row per vector) and left-joins back so kept vectors appear with
+    n_near = 0.
+    """
+    e = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    # 1-row lazy guard, folded into a kept expression below (the
+    # resolution.py pattern — a dropped guard column would be pruned
+    # away along with its raise_error)
+    guard = (
+        e.groupBy("label")
+        .agg(F.count("*").alias("__csize"))
+        .agg(F.max("__csize").alias("__max_c"))
+        .select(
+            F.when(F.col("__max_c") <= MAX_CLUSTER, F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("semdedup: hottest cluster has "),
+                        F.col("__max_c").cast("string"),
+                        F.lit(
+                            f" members, over the MAX_CLUSTER={MAX_CLUSTER} cap"
+                            " — re-size the coarse index (k ∝ N) before the"
+                            " O(c²) within-cluster pass"
+                        ),
+                    )
+                )
+            )
+            .alias("__guard_ok")
+        )
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    near = (
+        a.join(b, ["label"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")),
+        )
+        .filter(F.col("sim") >= tau)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_near"), F.max("sim").alias("__max_sim"))
+    )
+    return (
+        e.select("vec_id", F.col("label").alias("cluster"))
+        .join(near, "vec_id", "left")
+        .crossJoin(F.broadcast(guard))
+        .select(
+            "vec_id",
+            "cluster",
+            (
+                F.coalesce(F.col("n_near"), F.lit(0)).cast("long")
+                + F.lit(0) * F.col("__guard_ok")
+            ).cast("long").alias("n_near"),
+            rnd(F.col("__max_sim"), 6).alias("max_sim"),
+            F.col("n_near").isNull().alias("kept"),
+        )
+    )
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`semdedup_report` over the embeddings
+    table (see that docstring for semantics and the 100 TB shape)."""
+    return semdedup_report(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_oracle() -> str:
+    sub_slice = "list_slice({v}, m * {s} + 1, m * {s} + {s})"
+    d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+        "i -> (CAST(vs[i] AS DOUBLE) - CAST(cs[i] AS DOUBLE))"
+        " * (CAST(vs[i] AS DOUBLE) - CAST(cs[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    sub AS (
+      SELECT vec_id, m, {sub_slice.format(v='embedding', s=PQ_SUB)} AS vs
+      FROM embeddings CROSS JOIN ms
+    ),
+    cb AS (
+      SELECT vec_id AS code, m,
+             {sub_slice.format(v='embedding', s=PQ_SUB)} AS cs
+      FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_K}
+    ),
+    packed AS (
+      SELECT s.vec_id, s.m,
+             min(CAST(floor({d2} * {PQ_PACK_SCALE} + 0.5) AS BIGINT)
+                 * {PQ_K} + c.code) AS pk
+      FROM sub s JOIN cb c ON c.m = s.m
+      GROUP BY s.vec_id, s.m
+    )
+    SELECT vec_id, m AS sub_idx,
+           CAST(pk % {PQ_K} AS BIGINT) AS code,
+           floor((pk // {PQ_K}) / {PQ_PACK_SCALE}.0 * 1000000 + 0.5) / 1000000
+             AS sq_dist
+    FROM packed
+    """
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """Product-quantization encoding: each vector's M contiguous
+    subvectors are replaced by the id of the nearest codebook entry
+    (squared-L2, code-asc tie-break). The codebook is training-free
+    and deterministic — subspace m's entries are the subvectors of
+    the PQ_K lowest vec_ids — so both engines regenerate it from the
+    data; a production build would swap in per-subspace k-means
+    centroids from q_ivf_centroids without touching the plan.
+
+    Scale shape: codebook = K·M tiny rows → broadcast. The vector
+    side posexplodes into (vec_id, m, subvec) — a codegen generator,
+    M rows per vector — joins the broadcast codebook on m, folds the
+    squared distance left-to-right in codegen, and argmins via the
+    packed-BIGINT min (resolution.py's sort-free trick): ONE
+    HashAggregate with map-side combine, no window, no min_by
+    struct sort. Output is the flat (vec_id, sub_idx) grain —
+    N·M rows, 4-bit codes ready to bit-pack at write time.
+    """
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    sub = emb.select(
+        "vec_id", F.posexplode(subs).alias("m", "vs")
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), F.posexplode(subs).alias("m", "cs"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "vs",
+            "cs",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pack = (
+        F.floor(d2 * PQ_PACK_SCALE + F.lit(0.5)).cast("long") * PQ_K
+        + F.col("code")
+    )
+    packed = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", pack.alias("pk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("pk").alias("pk"))
+    )
+    return packed.select(
+        "vec_id",
+        F.col("m").alias("sub_idx"),
+        (F.col("pk") % PQ_K).cast("long").alias("code"),
+        rnd(
+            (F.col("pk") / PQ_K).cast("long") / float(PQ_PACK_SCALE), 6
+        ).alias("sq_dist"),
+    )
+
+
+@query("q_pq_encode", oracle=_pq_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`pq_encode` over the embeddings table
+    (see that docstring for semantics and the 100 TB shape)."""
+    return pq_encode(load(spark, sf_dir, "embeddings"))

@@ -91,14 +91,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # --- the 25 queries rotated out of r3's cap (their last driver
+    # --- never-checked first: new in round 4 (vector passes +
+    # retrieval prep + model-based quality scoring):
+    "q_semdedup",
+    "q_pq_encode",
+    "q_chunking",
+    "q_quality_classifier",
+    # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
-    # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py):
-    "q_scalar_agg",
-    "q_count_distinct",
-    "q_group_multi",
+    # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
+    # Four of the simplest single-module relational aggregates
+    # (q_scalar_agg, q_count_distinct, q_group_multi,
+    # q_conditional_agg — relational.py untouched in r3 AND r4) were
+    # displaced to CARRY_TO_NEXT_ROUND by the four never-checked
+    # queries above:
     "q_topk_group",
-    "q_conditional_agg",
     "q_date_trunc_trend",
     "q_semi_join",
     "q_anti_join",
@@ -166,6 +173,12 @@ CHECK_PRIORITY = [
 #: cap overflow carries forward loudly instead of silently bending
 #: "untouched since".
 CARRY_TO_NEXT_ROUND = [
+    # displaced by round 4's four never-checked queries; relational.py
+    # untouched in r3/r4 so these carry at the lowest risk tier
+    "q_scalar_agg",
+    "q_count_distinct",
+    "q_group_multi",
+    "q_conditional_agg",
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
@@ -177,6 +190,12 @@ CARRY_TO_NEXT_ROUND = [
     "q_token_packing",
 ]
 ROTATE_TAIL = [
+    # displaced to the carry ledger by round 4's new queries (see
+    # CARRY_TO_NEXT_ROUND — must head r5's CHECK_PRIORITY):
+    "q_scalar_agg",
+    "q_count_distinct",
+    "q_group_multi",
+    "q_conditional_agg",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

@@ -1,0 +1,178 @@
+"""Crafted-input tests for the round-4 vector/text operators:
+SemDeDup keep/drop semantics, PQ code correctness on a hand-checkable
+codebook, chunk-window geometry edges, and classifier determinism —
+plus the scale-guard plan asserts (broadcasts where broadcasts
+belong, no stray shuffles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.operators.chunking import (
+    CHUNK_WORDS,
+    STRIDE_WORDS,
+    chunk_documents,
+)
+from football_data_pipeline_spark.operators.quality import classify_quality
+from football_data_pipeline_spark.operators.semdedup import (
+    PQ_K,
+    PQ_M,
+    PQ_SUB,
+    pq_encode,
+    semdedup_report,
+)
+
+EMB_SCHEMA = "vec_id long, label int, embedding array<float>"
+DOC_SCHEMA = "doc_id long, lang string, source string, text string"
+
+
+def _vec(*front):
+    """64-dim float vector with the given leading components."""
+    v = list(front) + [0.0] * (64 - len(front))
+    return [float(x) for x in v]
+
+
+def test_semdedup_greedy_keep_lowest_id(spark):
+    rows = [
+        # cluster 0: 1 and 2 are near-identical; 3 is orthogonal.
+        (1, 0, _vec(1.0, 0.0)),
+        (2, 0, _vec(0.99, 0.01)),
+        (3, 0, _vec(0.0, 1.0)),
+        # cluster 1: a COPY of vector 1 — different cluster, so it
+        # must NOT pair with it.
+        (4, 1, _vec(1.0, 0.0)),
+        # chain a~b, b~c with a!~c: greedy drops BOTH b and c
+        (10, 2, _vec(1.0, 0.0, 0.0)),
+        (11, 2, _vec(0.8, 0.6, 0.0)),  # cos(10,11)=0.8, cos(11,12)≈0.83
+        (12, 2, _vec(0.4, 0.9, 0.0)),  # cos(10,12)≈0.41 ≥ τ=0.3 too
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup_report(
+            spark.createDataFrame(rows, EMB_SCHEMA), tau=0.7
+        ).collect()
+    }
+    assert out[1].kept and out[1].n_near == 0
+    assert not out[2].kept and out[2].n_near == 1
+    assert out[3].kept  # orthogonal survives
+    assert out[4].kept  # same vector, different cluster → no pair
+    # the chain at tau=0.7: 10~11 (0.8), 11~12 (~0.834), 10!~12 (~0.41)
+    assert out[10].kept
+    assert not out[11].kept
+    assert not out[12].kept and out[12].n_near == 1  # near 11 only
+
+
+def test_semdedup_guard_trips_on_hot_cluster(spark):
+    import football_data_pipeline_spark.operators.semdedup as sd
+
+    rows = [(i, 0, _vec(1.0)) for i in range(5)]
+    df = semdedup_report(spark.createDataFrame(rows, EMB_SCHEMA))
+    orig = sd.MAX_CLUSTER
+    sd.MAX_CLUSTER = 3
+    try:
+        small = semdedup_report(spark.createDataFrame(rows, EMB_SCHEMA))
+        with pytest.raises(Exception, match="MAX_CLUSTER"):
+            small.collect()
+    finally:
+        sd.MAX_CLUSTER = orig
+    assert df.count() == 5  # default cap untouched
+
+
+def test_pq_encode_matches_hand_computation(spark):
+    # codebook = vec_ids 0..PQ_K-1. Vector 100 is an exact copy of
+    # codebook entry 7 → every subspace code 7, sq_dist 0. Vector 101
+    # copies entry 3 in its first subspace only.
+    base = [
+        (i, 0, [float(i)] * 64) for i in range(PQ_K)
+    ]
+    v101 = [3.0] * PQ_SUB + [2.2] * (64 - PQ_SUB)
+    rows = base + [(100, 0, [7.0] * 64), (101, 0, v101)]
+    out = pq_encode(spark.createDataFrame(rows, EMB_SCHEMA))
+    r100 = {r.sub_idx: r for r in out.filter(F.col("vec_id") == 100).collect()}
+    assert len(r100) == PQ_M
+    assert all(r.code == 7 and r.sq_dist == 0.0 for r in r100.values())
+    r101 = {r.sub_idx: r for r in out.filter(F.col("vec_id") == 101).collect()}
+    assert r101[0].code == 3 and r101[0].sq_dist == 0.0
+    # 2.2 is nearest to codebook entry 2 (0.2² vs 0.8² per dim)
+    assert all(r101[m].code == 2 for m in range(1, PQ_M))
+    assert r101[1].sq_dist == pytest.approx(PQ_SUB * 0.2**2, abs=1e-4)
+
+
+def test_chunking_geometry_edges(spark):
+    n_long = CHUNK_WORDS + STRIDE_WORDS + 5  # → 3 chunks
+    rows = [
+        (1, "en", "w", " ".join(f"w{i}" for i in range(n_long))),
+        (2, "en", "w", " ".join(f"w{i}" for i in range(CHUNK_WORDS))),  # 1 chunk
+        (3, "en", "w", "solo"),  # 1 tiny chunk
+        (4, "en", "w", "   "),  # whitespace only → no chunks
+    ]
+    out = chunk_documents(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [c.start_word for c in chunks] == [0, STRIDE_WORDS, 2 * STRIDE_WORDS]
+    assert chunks[0].n_words == CHUNK_WORDS
+    # the last window reaches the final word
+    assert chunks[-1].chunk_text.endswith(f"w{n_long - 1}")
+    assert chunks[-1].n_words == n_long - 2 * STRIDE_WORDS
+    # overlap: stride < chunk ⇒ consecutive windows share words
+    assert chunks[0].chunk_text.split()[-1] in chunks[1].chunk_text.split()
+    assert [r.n_words for r in by_doc[2]] == [CHUNK_WORDS]
+    assert by_doc[3][0].chunk_text == "solo" and by_doc[3][0].n_words == 1
+    assert 4 not in by_doc
+
+
+def test_quality_classifier_deterministic_and_balanced(spark):
+    rows = [
+        (1, "en", "w", "alpha beta gamma delta epsilon"),
+        (2, "en", "w", "alpha beta gamma delta epsilon"),  # same text
+        (3, "en", "w", "alpha"),
+    ]
+    out = classify_quality(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # identical text → identical score and decision
+    assert by_doc[1].score == by_doc[2].score
+    assert by_doc[1].keep == by_doc[2].keep
+    assert by_doc[1].n_tokens == 5
+    # single-token doc: score is that token's weight, in [-1, 1]
+    assert -1.0 <= by_doc[3].score <= 1.0
+    # keep is exactly (score sign) — decision thresholds the sum
+    for r in out:
+        assert r.keep == (r.score > 0) or r.score == 0
+
+
+def test_round4_vector_text_plan_shapes(spark):
+    """pq_encode: codebook reaches the vector stream via BROADCAST,
+    argmin is a HashAggregate (no sort-based fallback, no window).
+    chunking: no exchange at all. classifier: exactly one
+    aggregation-induced exchange, no join."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    pq = QUERIES["q_pq_encode"].fn(spark, SF_DIR)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+
+    ch = QUERIES["q_chunking"].fn(spark, SF_DIR)
+    plan2 = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2 and "Join" not in plan2
+
+    qc = QUERIES["q_quality_classifier"].fn(spark, SF_DIR)
+    plan3 = qc._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan3
+    assert plan3.count("Exchange hashpartitioning") == 1
+
+    sd = QUERIES["q_semdedup"].fn(spark, SF_DIR)
+    plan4 = sd._jdf.queryExecution().executedPlan().toString()
+    # the only broadcasts are the 1-row guard and the per-vector
+    # near-aggregate join; pair generation must be the cluster-keyed
+    # equi-join (shuffle or broadcast — never a cartesian product)
+    assert "CartesianProduct" not in plan4
