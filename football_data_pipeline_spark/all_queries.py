@@ -7,6 +7,7 @@ fully-populated registry.
 from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
     chunking,
+    datacard,
     dedup,
     dims,
     embedsearch,
@@ -28,4 +29,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, chunking, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]
+MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]

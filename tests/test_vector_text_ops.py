@@ -176,3 +176,26 @@ def test_round4_vector_text_plan_shapes(spark):
     # near-aggregate join; pair generation must be the cluster-keyed
     # equi-join (shuffle or broadcast — never a cartesian product)
     assert "CartesianProduct" not in plan4
+
+
+def test_dataset_card_dup_attribution_and_totals(spark):
+    from football_data_pipeline_spark.operators.datacard import dataset_card
+
+    rows = [
+        (1, "en", "a", "alpha beta gamma"),
+        (2, "en", "a", "alpha beta gamma"),  # exact dup of 1 → is_dup
+        (3, "en", "a", "gamma beta alpha"),  # same word SET → dup of 1 too
+        (4, "fr", "b", "un deux trois quatre"),
+    ]
+    out = {(r.source, r.lang): r for r in dataset_card(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()}
+    a = out[("a", "en")]
+    assert a.n_docs == 3
+    # canonical keeps doc 1; docs 2 and 3 are attributed as dups
+    assert a.exact_dup_docs == 2 and a.dup_rate == pytest.approx(0.6667)
+    assert a.total_tokens == 9 and a.avg_tokens == 3.0
+    b = out[("b", "fr")]
+    assert b.exact_dup_docs == 0 and b.n_docs == 1 and b.total_tokens == 4
+    # classifier columns are populated and consistent
+    assert 0 <= a.keep_rate <= 1 and -1 <= a.avg_score <= 1
