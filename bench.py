@@ -74,9 +74,14 @@ HEADLINE = [
     "q_line_dedup",
 ]
 
-#: spread ≈ median at trials=3 in BENCH_r03 — needs more samples
-NOISY_QUERIES = {"q_fuzzy_join", "q_star_join"}
-NOISY_TRIALS = 5
+#: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.
+#: q_dedup_minhash joined in r4: its cached signature table makes
+#: the first trials re-computation-heavy and later ones cache-warm
+#: (measured solo: 5.6, 4.0, 7.0, 4.4, 2.7, 2.9 s), so 3 samples
+#: straddle the two regimes; more samples + the max-trim converge on
+#: the steady state.
+NOISY_QUERIES = {"q_fuzzy_join", "q_star_join", "q_dedup_minhash"}
+NOISY_TRIALS = 6
 
 
 def _trimmed(s: list[float]) -> list[float]:

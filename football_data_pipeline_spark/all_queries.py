@@ -17,6 +17,7 @@ from .operators import (  # noqa: F401
     form,
     mixing,
     multimodal,
+    ordering,
     prep,
     profiling,
     quality,
@@ -29,4 +30,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]
+MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]

@@ -523,3 +523,143 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
             ),
         )
     )
+
+
+# --- perceptual near-duplicate hashing (dHash) -----------------------
+
+#: 4 bands × 16 bits. Pigeonhole: two hashes within Hamming
+#: distance 3 differ in ≤3 bands, so at least one band matches —
+#: band-equality blocking has PERFECT recall at the verify
+#: threshold below (same argument as the SimHash banding in
+#: dedup.py, here exact rather than probabilistic).
+DHASH_BANDS = 4
+DHASH_BITS_PER_BAND = 16
+DHASH_MAX_HAMMING = 3
+
+PHASH_SCHEMA = "asset_id long, decoded boolean, " + ", ".join(
+    f"band{i} int" for i in range(DHASH_BANDS)
+)
+
+
+def _gray_resize(width: int, height: int, gray: bytes, nw: int, nh: int) -> bytes:
+    """Nearest-neighbor resample of a single-channel top-down image
+    (the gray twin of resize_nearest)."""
+    out = bytearray(nw * nh)
+    xs = [(x * width) // nw for x in range(nw)]
+    for y in range(nh):
+        sy = (y * height) // nh
+        row = sy * width
+        dst = y * nw
+        for i, sx in enumerate(xs):
+            out[dst + i] = gray[row + sx]
+    return bytes(out)
+
+
+def dhash64(width: int, height: int, rgb: bytes) -> int:
+    """Difference hash (dHash): luma, downsample to 9×8, emit one
+    bit per horizontal neighbor pair (left < right). 64 bits total;
+    robust to re-encoding, mild noise, and resizing — the standard
+    cheap perceptual fingerprint."""
+    gray = bytes(
+        (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
+        for i in range(0, len(rgb), 3)
+    )
+    g = _gray_resize(width, height, gray, 9, 8)
+    h = 0
+    for y in range(8):
+        row = y * 9
+        for x in range(8):
+            h = (h << 1) | (1 if g[row + x] < g[row + x + 1] else 0)
+    return h
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash extraction: decodable payloads
+    (PPM/BMP/PNG) get their dHash split into DHASH_BANDS 16-bit
+    bands; undecodable payloads fall back to md5-derived bands
+    (byte-exact duplicates still collide; decoded=false marks the
+    weaker semantics). The Python kernel touches each payload once;
+    everything pair-shaped happens in DataFrame land."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = try_decode_pixels(b)
+                if decoded is None:
+                    h = int.from_bytes(
+                        hashlib.md5(bytes(b)).digest()[:8], "big"
+                    )
+                    ok = False
+                else:
+                    h = dhash64(*decoded)
+                    ok = True
+                bands = [
+                    (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
+                    for i in range(DHASH_BANDS)
+                ]
+                rows.append((aid, ok, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "decoded"]
+                + [f"band{i}" for i in range(DHASH_BANDS)],
+            )
+
+    return assets.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    assets: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: band-equality blocking over
+    the 4×16-bit dHash bands, then an exact Hamming verify — the
+    image twin of the SimHash text pass.
+
+    Scale shape: hashes are one narrow kernel pass; candidates come
+    ONLY from (band_idx, band_value) bucket equi-joins (4 shuffles'
+    worth of keys in one exploded join — never all-pairs); the
+    pigeonhole guarantee above makes blocking recall exact, so the
+    verify is a per-candidate popcount filter, no second pass.
+    """
+    hashes = image_phash(assets)
+    bands = hashes.select(
+        "asset_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{i}") for i in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"), F.col("b.asset_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("asset_id").alias("id_a"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(DHASH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("asset_id").alias("id_b"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(DHASH_BANDS)],
+    )
+    hamming = None
+    for i in range(DHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"a{i}").cast("long").bitwiseXOR(F.col(f"b{i}").cast("long"))
+        )
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

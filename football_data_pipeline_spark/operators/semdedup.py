@@ -25,6 +25,20 @@ Float parity with the DuckDB oracle: dot products / squared
 distances are strict left-to-right folds over double-cast elements
 on BOTH engines (embedsearch.py convention), so the doubles being
 thresholded or argmin-packed are bit-identical.
+
+Scale probe (2026-08-14, round 4, local[32], reproducible via
+``tools/scale_probe.py --queries q_semdedup,q_pq_encode``; 10×
+embeddings = 50k vectors with labels re-spread so cluster count
+grows 10× and expected cluster size stays ~50 — the k ∝ N SemDeDup
+contract):
+- q_semdedup: 4.2s → 16.4s for 10× vectors (output rows 2k → 20k).
+  Linear in N as the contract promises — per-cluster pair work is
+  O(c̄²) with c̄ held constant; only cluster COUNT grew. The same
+  probe with labels NOT re-spread would grow pairs 100× — that is
+  the mis-sizing the MAX_CLUSTER guard exists to catch.
+- q_pq_encode: 0.9s → 3.3s for 10× vectors (rows 16k → 160k) —
+  plainly linear; the broadcast codebook and packed-BIGINT argmin
+  have no pair stage at all.
 """
 
 from __future__ import annotations

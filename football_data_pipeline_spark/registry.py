@@ -98,16 +98,16 @@ CHECK_PRIORITY = [
     "q_chunking",
     "q_quality_classifier",
     "q_dataset_card",
+    "q_epoch_order",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
     # Four of the simplest single-module relational aggregates
     # (q_scalar_agg, q_count_distinct, q_group_multi,
     # q_conditional_agg — relational.py untouched in r3 AND r4) were
-    # displaced to CARRY_TO_NEXT_ROUND by the five never-checked
-    # queries above (q_topk_group joined them when q_dataset_card
-    # took its slot):
-    "q_date_trunc_trend",
+    # displaced to CARRY_TO_NEXT_ROUND by the six never-checked
+    # queries above (q_topk_group and q_date_trunc_trend joined them
+    # when q_dataset_card / q_epoch_order took their slots):
     "q_semi_join",
     "q_anti_join",
     "q_or_join",
@@ -181,6 +181,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_group_multi",
     "q_conditional_agg",
     "q_topk_group",
+    "q_date_trunc_trend",
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
@@ -199,6 +200,7 @@ ROTATE_TAIL = [
     "q_group_multi",
     "q_conditional_agg",
     "q_topk_group",
+    "q_date_trunc_trend",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

@@ -372,3 +372,71 @@ def test_bmp_allocation_guard():
     )
     with pytest.raises(ValueError, match="exceed"):
         decode_bmp(evil)
+
+
+def _seeded_image(w=32, h=24, seed=7):
+    """Deterministic pseudo-random RGB image."""
+    import hashlib as _h
+
+    rgb = bytearray()
+    i = 0
+    while len(rgb) < w * h * 3:
+        rgb += _h.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return bytes(rgb[: w * h * 3])
+
+
+def test_dhash_invariant_to_reencode_and_sensitive_to_content():
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        dhash64,
+        encode_png,
+        encode_ppm,
+    )
+
+    rgb = _seeded_image()
+    h_ppm = dhash64(32, 24, rgb)
+    # PNG round-trip preserves exact pixels → identical hash
+    w, h, rgb2 = decode_png(encode_png(32, 24, rgb))
+    assert (w, h, rgb2) == (32, 24, rgb)
+    assert dhash64(w, h, rgb2) == h_ppm
+    # a different image gets a far-away hash
+    other = _seeded_image(seed=99)
+    d = bin(h_ppm ^ dhash64(32, 24, other)).count("1")
+    assert d > 10
+    # mild noise: flip a handful of pixels → small Hamming distance
+    noisy = bytearray(rgb)
+    for px in (5, 200, 700):
+        noisy[px] = (noisy[px] + 40) % 256
+    dn = bin(h_ppm ^ dhash64(32, 24, bytes(noisy))).count("1")
+    assert dn <= 3
+    assert 0 <= h_ppm < (1 << 64)
+    assert encode_ppm(32, 24, rgb)  # ppm encoder still happy
+
+
+def test_phash_near_dup_finds_perturbed_copy_only(spark):
+    from football_data_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        phash_near_dup,
+    )
+    import pyspark.sql.functions as F
+
+    base = _seeded_image()
+    noisy = bytearray(base)
+    for px in (10, 300, 900):
+        noisy[px] = (noisy[px] + 30) % 256
+    other = _seeded_image(seed=42)
+    rows = [
+        (1, encode_ppm(32, 24, base)),
+        (2, encode_ppm(32, 24, bytes(noisy))),  # near-dup of 1
+        (3, encode_ppm(32, 24, other)),  # unrelated
+        (4, b"not an image at all"),  # undecodable, unique
+        (5, b"not an image at all"),  # byte-identical to 4
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary").select(
+        "asset_id", "payload", F.struct(F.lit("image/ppm").alias("mime")).alias("meta")
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_dup(assets).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (4, 5) in pairs and pairs[(4, 5)] == 0  # md5-fallback exact dup
+    assert all(p in {(1, 2), (4, 5)} for p in pairs)

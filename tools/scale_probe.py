@@ -53,6 +53,14 @@ PROBED = [
     "q_line_dedup",
 ]
 
+#: vector-side probes (round 4) — need the 10× embeddings build too.
+#: Labels are re-spread as label·COPIES + copy_i, so the cluster
+#: count grows with the corpus (k ∝ N, the SemDeDup contract) and
+#: expected cluster size stays constant: a linear-time result at 10×
+#: is the PASS criterion for q_semdedup. q_pq_encode has no pair
+#: stage at all — it must be plainly linear.
+VEC_PROBED = ["q_semdedup", "q_pq_encode"]
+
 BASE_SF = "/root/testdata/sf0.1"
 COPIES = 10
 
@@ -84,6 +92,42 @@ def build_probe_corpus(spark, out_dir: str) -> None:
     shutil.rmtree(tmp)
 
 
+def build_probe_embeddings(spark, out_dir: str) -> None:
+    """10× embeddings: copy i of vector v gets vec_id = v·16 + i, a
+    tiny deterministic per-copy rotation of the first component
+    (keeps copies near-identical — realistic near-dup families), and
+    label = label·COPIES + i, so each copy family spreads across
+    COPIES distinct clusters: cluster count ∝ corpus size (k ∝ N),
+    expected cluster size constant — the contract under which the
+    within-cluster pass must stay linear."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+    jiggled = F.zip_with(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(i == 1, F.col("copy_i").cast("float") * 0.001)
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ),
+        lambda x, d: (x + d).cast("float"),
+    )
+    perturbed = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * 16 + F.col("copy_i")).alias("vec_id"),
+        jiggled.alias("embedding"),
+        (F.col("label") * COPIES + F.col("copy_i")).cast("int").alias("label"),
+    )
+    tmp = f"{out_dir}/_emb_build"
+    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{out_dir}/embeddings.parquet", exist_ok=True)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{out_dir}/embeddings.parquet/{f}")
+    shutil.rmtree(tmp)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
@@ -101,6 +145,10 @@ def main() -> None:
         if not os.path.isdir(f"{probe_dir}/documents.parquet"):
             os.makedirs(probe_dir, exist_ok=True)
             build_probe_corpus(spark, probe_dir)
+        if any(q in VEC_PROBED for q in probed) and not os.path.isdir(
+            f"{probe_dir}/embeddings.parquet"
+        ):
+            build_probe_embeddings(spark, probe_dir)
         n10 = spark.read.parquet(f"{probe_dir}/documents.parquet").count()
         print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr, flush=True)
 
