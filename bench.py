@@ -72,6 +72,8 @@ HEADLINE = [
     # added in round 4 (set was 14 queries through BENCH_r03 — compare
     # totals across rounds on the common prefix, not the grand total)
     "q_line_dedup",
+    "q_semdedup",
+    "q_quality_classifier",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

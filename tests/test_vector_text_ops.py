@@ -234,3 +234,25 @@ def test_epoch_order_is_a_permutation_and_epoch_dependent(spark):
     # determinism: a re-run reproduces the identical order
     again = epoch_order(spark.createDataFrame(rows, DOC_SCHEMA), epochs=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_epoch_order_and_datacard_plan_shapes(spark):
+    """epoch_order must never global-sort: the only exchange is the
+    (epoch, shard) hash partitioning feeding shard-local sorts. The
+    dataset card's stitching joins run on doc_id — no cartesian
+    products, no broadcast of fact-sized sides."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    eo = QUERIES["q_epoch_order"].fn(spark, SF_DIR)
+    plan = eo._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "Exchange hashpartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+    dc = QUERIES["q_dataset_card"].fn(spark, SF_DIR)
+    plan2 = dc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "Exchange rangepartitioning" not in plan2
