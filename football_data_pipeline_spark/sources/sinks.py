@@ -100,3 +100,64 @@ def compact_partitions(spark: SparkSession, path: str, keep_predicate: Column, t
     ).parquet(tmp_path)
     final = spark.read.parquet(tmp_path)
     final.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    epoch: int = 0,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Materialize a training epoch as ordered shard files — the
+    production write path whose queryable twin is
+    ``operators/ordering.epoch_order`` (same md5 shard membership and
+    shuffle keys; that module's docstring explains the determinism
+    contract).
+
+    Plan shape: ONE hash exchange (`repartition` on the shard id —
+    each task owns exactly one shard) followed by
+    ``sortWithinPartitions`` on the shuffle key: no window, no rank,
+    no global sort. ``partitionBy("shard")`` maps tasks to shard
+    directories, and ``maxRecordsPerFile`` splits each shard into
+    bounded files WITHOUT breaking order (Spark rolls to the next
+    file sequentially within the task). At 100 TB this is the
+    small-files fix and the ordering guarantee in one write:
+    shard count scales with the corpus, every file lands
+    memory-bounded, and a training loader replaying (shard, file,
+    row) order sees the exact epoch_order permutation.
+    """
+    from ..operators.ordering import N_SHARDS  # shared geometry
+
+    keyed = docs.select(
+        "*",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % N_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(
+                F.lit(f"ep{epoch}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    # sort key starts with the partition column: FileFormatWriter
+    # requires output ordered by partition columns and ADDS ITS OWN
+    # (order-destroying) sort when they are not a prefix of the
+    # existing ordering — with the prefix in place it reuses ours
+    (
+        keyed.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )

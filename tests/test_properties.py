@@ -289,3 +289,58 @@ def test_connected_components_edges(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=0)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=130),  # word counts incl. edges
+        min_size=1,
+        max_size=12,
+    )
+)
+@FAST
+def test_chunking_covers_and_reconstructs(spark, lens):
+    """Chunk-geometry invariants for every document length: (a) every
+    word index is covered by at least one window; (b) taking the
+    first STRIDE words of each chunk plus the tail of the last
+    reconstructs the document; (c) starts advance by exactly STRIDE
+    and the final window reaches the last word."""
+    from football_data_pipeline_spark.operators.chunking import (
+        CHUNK_WORDS,
+        STRIDE_WORDS,
+        chunk_documents,
+    )
+
+    rows = [
+        (i, "en", "w", " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [c.start_word for c in chunks] == [
+            k * STRIDE_WORDS for k in range(len(chunks))
+        ]
+        covered = set()
+        for c in chunks:
+            words = c.chunk_text.split()
+            assert len(words) == c.n_words <= CHUNK_WORDS
+            covered.update(range(c.start_word, c.start_word + c.n_words))
+        assert covered == set(range(n))  # (a) full coverage, no gaps
+        last = chunks[-1]
+        assert last.start_word + last.n_words == n  # (c) reaches the end
+        # (b) reconstruction from stride-disjoint prefixes
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split()[:STRIDE_WORDS])
+        rebuilt.extend(chunks[-1].chunk_text.split())
+        assert rebuilt == [f"w{i}x{j}" for j in range(n)]

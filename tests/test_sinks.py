@@ -108,3 +108,40 @@ def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
     assert bad_rows == ["not json at all", '{"doc_id": 3, "text": "truncated...']
     # accounting: every input line is either parsed or quarantined
     assert good.count() + bad.count() == len(lines)
+
+
+def test_write_training_shards_matches_epoch_order(spark, tmp_path):
+    """The shard writer's (shard, file-order) sequence must equal the
+    queryable epoch_order permutation — the determinism contract a
+    training loader relies on."""
+    import glob
+
+    from football_data_pipeline_spark.operators.ordering import epoch_order
+    from football_data_pipeline_spark.sources.sinks import write_training_shards
+
+    rows = [(i, "en", "w", f"doc number {i}") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = str(tmp_path / "shards")
+    # max_records_per_file=2 forces every shard to roll across
+    # multiple files — the order guarantee must survive the rolls
+    write_training_shards(docs, out, epoch=1, max_records_per_file=2)
+
+    expected = {}
+    for r in epoch_order(docs, epochs=2).filter("epoch = 1").collect():
+        expected.setdefault(r.shard, []).append((r.pos, r.doc_id))
+
+    import pandas as pd
+
+    for shard, pairs in expected.items():
+        files = sorted(glob.glob(f"{out}/shard={shard}/*.parquet"))
+        assert files, f"shard {shard} missing"
+        if len(pairs) > 2:
+            assert len(files) >= 2  # the roll actually happened
+        got = pd.concat([pd.read_parquet(f) for f in files])
+        # (file, row) order == shuffle_key order == epoch_order pos
+        assert list(got["doc_id"]) == [d for _, d in sorted(pairs)]
+    # every shard directory belongs to a real shard
+    dirs = glob.glob(f"{out}/shard=*")
+    assert len(dirs) == len(expected)
