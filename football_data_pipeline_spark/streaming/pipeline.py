@@ -248,45 +248,119 @@ def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
     from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, word_set
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        fp = F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text")))))
-        w = Window.partitionBy("__fp").orderBy("doc_id")
-        batch = (
-            batch.withColumn("__fp", fp)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__fp", "__rn")
-        )
-        batch = batch.join(
-            batch_near_dup_drops(batch), "doc_id", "left_anti"
-        ).cache()
+        _dedup_one_batch(batch, batch_id, corpus_root)
+
+    return write_batch
+
+
+def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
+    """The dedup stage shared by dedup_batch_writer and
+    curation_batch_writer — see dedup_batch_writer's docstring for
+    semantics and the exactly-once argument."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, word_set
+
+    spark = batch.sparkSession
+    fp = F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text")))))
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    batch = (
+        batch.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+    batch = batch.join(
+        batch_near_dup_drops(batch), "doc_id", "left_anti"
+    ).cache()
+    try:
         try:
-            try:
-                history = (
-                    spark.read.option("basePath", f"{corpus_root}/accepted")
-                    .parquet(f"{corpus_root}/accepted")
-                    .filter(F.col("batch_id") < batch_id)
-                    .drop("batch_id")
-                )
-            except AnalysisException:
-                history = spark.createDataFrame([], batch.schema)
-            classified = dedup_against_corpus(batch, history)
-            classified.write.mode("overwrite").parquet(
+            history = (
+                spark.read.option("basePath", f"{corpus_root}/accepted")
+                .parquet(f"{corpus_root}/accepted")
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+        except AnalysisException:
+            history = spark.createDataFrame([], batch.schema)
+        classified = dedup_against_corpus(batch, history)
+        classified.write.mode("overwrite").parquet(
+            f"{corpus_root}/classification/batch_id={batch_id}"
+        )
+        accepted = batch.join(
+            spark.read.parquet(
                 f"{corpus_root}/classification/batch_id={batch_id}"
             )
-            accepted = batch.join(
-                spark.read.parquet(
-                    f"{corpus_root}/classification/batch_id={batch_id}"
-                )
-                .filter(F.col("dup_kind") == "unique")
-                .select("doc_id"),
-                "doc_id",
-            )
-            accepted.write.mode("overwrite").parquet(
-                f"{corpus_root}/accepted/batch_id={batch_id}"
-            )
-        finally:
-            batch.unpersist()
+            .filter(F.col("dup_kind") == "unique")
+            .select("doc_id"),
+            "doc_id",
+        )
+        accepted.write.mode("overwrite").parquet(
+            f"{corpus_root}/accepted/batch_id={batch_id}"
+        )
+    finally:
+        batch.unpersist()
+
+
+def curation_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for the FULL curation funnel — the
+    streaming form of the batch cleaning pass (prep.corpus_clean),
+    run stage by stage per micro-batch:
+
+    1. quality gate: ``quality.classify_quality``; rejects land in
+       ``{root}/rejected/batch_id=N`` with their score (audit trail —
+       a corpus release must account for what it dropped, not just
+       what it kept);
+    2. PII redaction: ``redact.redact_pii`` rewrites survivor text
+       in place (emails before phones; pure projection);
+    3. incremental dedup against the accepted corpus — the shared
+       stage above, so accepted output is exactly the dedup
+       pipeline's corpus layout and downstream consumers cannot tell
+       which writer produced it.
+
+    Exactly-once: every write (rejected, classification, accepted)
+    is a batchId-keyed partition overwrite, and the dedup history
+    read prunes to ``batch_id < this`` — a crash between ANY two
+    stage writes replays to the identical state because each stage
+    recomputes from the (deterministic) batch input, not from the
+    partial outputs.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import classify_quality
+    from ..operators.redact import redact_pii
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        scored = classify_quality(batch).select("doc_id", "score", "keep")
+        batch = batch.join(scored, "doc_id", "left")
+        # docs with no tokens never reach the classifier: reject them
+        # too (keep NULL → false), with a NULL score
+        batch.filter(~F.coalesce(F.col("keep"), F.lit(False))).select(
+            "doc_id", "lang", "source", "score"
+        ).write.mode("overwrite").parquet(
+            f"{corpus_root}/rejected/batch_id={batch_id}"
+        )
+        survivors = batch.filter(
+            F.coalesce(F.col("keep"), F.lit(False))
+        ).drop("score", "keep")
+        redacted = redact_pii(survivors).join(
+            survivors.drop("text", "lang", "source"), "doc_id"
+        )
+        cleaned = redacted.select(
+            "doc_id",
+            F.col("redacted_text").alias("text"),
+            "lang",
+            "source",
+            *[
+                c
+                for c in survivors.columns
+                if c not in ("doc_id", "text", "lang", "source", "n_chars")
+            ],
+        )
+        if "n_chars" in survivors.columns:
+            # redaction changes the text; keep the metadata honest
+            cleaned = cleaned.withColumn("n_chars", F.length("text").cast("long"))
+        _dedup_one_batch(cleaned, batch_id, corpus_root)
 
     return write_batch
 

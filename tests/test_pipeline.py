@@ -301,3 +301,71 @@ def test_incremental_dedup_within_batch_near_dups(spark, tmp_path):
         f"{corpus}/accepted"
     )
     assert sorted(r["doc_id"] for r in accepted.collect()) == [20, 22]
+
+
+def test_curation_writer_gates_redacts_dedups_and_replays(spark, tmp_path):
+    """The full streaming curation funnel: low-quality docs land in
+    rejected/ with scores; survivors get PII-redacted before entering
+    the dedup stage; duplicates of accepted history are refused; and
+    replaying a batch (crash-restart) reproduces the identical state.
+
+    Token weights are the classifier's deterministic md5 weights:
+    'alpha beta delta' sums +1.304 (keep), 'gamma epsilon theta'
+    sums -2.451 (reject)."""
+    from football_data_pipeline_spark.streaming.pipeline import curation_batch_writer
+
+    corpus = str(tmp_path / "corpus")
+    writer = curation_batch_writer(corpus)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    good = "alpha beta delta mango grape lime peach"  # strongly positive
+    b0 = spark.createDataFrame(
+        [
+            (1, good + " reach user@example.com now", "en", "s", 0),
+            (2, "gamma epsilon theta kiwi cherry contact", "en", "s", 0),  # negative
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            # same word SET as accepted doc 1 (order differs) → exact dup.
+            # NB the dup is against the REDACTED text: the raw email
+            # token was rewritten before doc 1 entered the corpus, so
+            # the copy must carry the placeholder to collide.
+            (10, "now reach <EMAIL> " + good, "en", "s", 0),
+            (11, "omega sigma plum lemon write totally novel", "en", "s", 0),
+        ],
+        schema,
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+
+    rejected = spark.read.option("basePath", f"{corpus}/rejected").parquet(
+        f"{corpus}/rejected"
+    )
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert set(rej) == {2}
+    assert rej[2].score < 0
+
+    accepted = spark.read.option("basePath", f"{corpus}/accepted").parquet(
+        f"{corpus}/accepted"
+    )
+    acc = {r.doc_id: r for r in accepted.collect()}
+    assert set(acc) == {1, 11}
+    # the accepted text is the REDACTED form, with metadata recomputed
+    assert "<EMAIL>" in acc[1].text and "user@example.com" not in acc[1].text
+    assert acc[1].n_chars == len(acc[1].text)
+    cls1 = {
+        r.doc_id: r.dup_kind
+        for r in spark.read.parquet(f"{corpus}/classification/batch_id=1").collect()
+    }
+    assert cls1 == {10: "exact", 11: "unique"}
+
+    # crash-restart: replaying batch 1 reproduces the identical state
+    writer(b1, 1)
+    acc2 = sorted(
+        r.doc_id
+        for r in spark.read.option("basePath", f"{corpus}/accepted")
+        .parquet(f"{corpus}/accepted")
+        .collect()
+    )
+    assert acc2 == [1, 11]
