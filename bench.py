@@ -117,6 +117,15 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    # the noisy queries' big plans keep JIT-warming through the first
+    # measured pass (solo probe: q_fuzzy_join 8.3 → 4.5 → 4.0s on
+    # consecutive runs) — one UNMEASURED pass at the TARGET sf takes
+    # that drift out of their medians; the sf0.001 warm-up above only
+    # compiles code paths, it cannot warm scale-dependent codegen
+    for name in HEADLINE:
+        if name in NOISY_QUERIES:
+            run_one(name)
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_trials):
         for name in HEADLINE:

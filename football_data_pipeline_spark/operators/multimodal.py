@@ -616,14 +616,42 @@ def phash_near_dup(
     the 4×16-bit dHash bands, then an exact Hamming verify — the
     image twin of the SimHash text pass.
 
-    Scale shape: hashes are one narrow kernel pass; candidates come
-    ONLY from (band_idx, band_value) bucket equi-joins (4 shuffles'
-    worth of keys in one exploded join — never all-pairs); the
-    pigeonhole guarantee above makes blocking recall exact, so the
-    verify is a per-candidate popcount filter, no second pass.
+    Scale shape: hashes are one narrow kernel pass. IDENTICAL hashes
+    collapse to a min-id representative FIRST and re-expand as star
+    pairs (rep, member) afterwards — real image corpora have huge
+    sets of byte- or hash-identical assets (logos, spacer graphics,
+    solid frames) whose bucket would otherwise pair quadratically;
+    this is the same star-pair design as the minhash dedup
+    (dedup.py). Cross-hash candidates then come ONLY from
+    (band_idx, band_value) bucket equi-joins over the
+    REPRESENTATIVES (never all-pairs), and the pigeonhole guarantee
+    above makes blocking recall exact, so the verify is a
+    per-candidate popcount filter with no second pass. Completeness
+    note: members of an identical-hash group inherit their rep's
+    cross-group matches transitively (hamming is hash-determined);
+    the star + rep-pair output encodes the full pair set without
+    materializing its quadratic closure.
     """
-    hashes = image_phash(assets)
-    bands = hashes.select(
+    hashes = image_phash(assets).cache()
+    grp = hashes.groupBy(*[f"band{i}" for i in range(DHASH_BANDS)]).agg(
+        F.min("asset_id").alias("rid")
+    )
+    # star pairs: every non-representative is an exact dup (Hamming 0)
+    # of its group's min id
+    stars = (
+        hashes.join(grp, [f"band{i}" for i in range(DHASH_BANDS)])
+        .filter(F.col("asset_id") != F.col("rid"))
+        .select(
+            F.col("rid").alias("id_a"),
+            F.col("asset_id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    reps = grp.select(
+        F.col("rid").alias("asset_id"),
+        *[F.col(f"band{i}") for i in range(DHASH_BANDS)],
+    )
+    bands = reps.select(
         "asset_id",
         F.posexplode(
             F.array(*[F.col(f"band{i}") for i in range(DHASH_BANDS)])
@@ -642,11 +670,11 @@ def phash_near_dup(
         )
         .distinct()
     )
-    ha = hashes.select(
+    ha = reps.select(
         F.col("asset_id").alias("id_a"),
         *[F.col(f"band{i}").alias(f"a{i}") for i in range(DHASH_BANDS)],
     )
-    hb = hashes.select(
+    hb = reps.select(
         F.col("asset_id").alias("id_b"),
         *[F.col(f"band{i}").alias(f"b{i}") for i in range(DHASH_BANDS)],
     )
@@ -656,10 +684,11 @@ def phash_near_dup(
             F.col(f"a{i}").cast("long").bitwiseXOR(F.col(f"b{i}").cast("long"))
         )
         hamming = term if hamming is None else hamming + term
-    return (
+    near = (
         pairs.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return stars.unionByName(near)

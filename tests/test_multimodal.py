@@ -440,3 +440,30 @@ def test_phash_near_dup_finds_perturbed_copy_only(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (4, 5) in pairs and pairs[(4, 5)] == 0  # md5-fallback exact dup
     assert all(p in {(1, 2), (4, 5)} for p in pairs)
+
+
+def test_phash_identical_group_collapses_to_star_pairs(spark):
+    """A set of hash-identical images must produce (rep, member)
+    star pairs — linear in group size — never the quadratic closure,
+    and near-dup pairs attach to the representative only."""
+    from football_data_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        phash_near_dup,
+    )
+    import pyspark.sql.functions as F
+
+    base = _seeded_image()
+    noisy = bytearray(base)
+    for px in (10, 300, 900):
+        noisy[px] = (noisy[px] + 30) % 256
+    rows = [(i, encode_ppm(32, 24, base)) for i in range(1, 6)]  # 5 identical
+    rows.append((9, encode_ppm(32, 24, bytes(noisy))))  # near-copy
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary").select(
+        "asset_id", "payload", F.struct(F.lit("image/ppm").alias("mime")).alias("meta")
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_dup(assets).collect()}
+    star = {(1, m) for m in (2, 3, 4, 5)}
+    assert star <= set(pairs) and all(pairs[p] == 0 for p in star)
+    assert (1, 9) in pairs and 0 < pairs[(1, 9)] <= 3
+    # no member-member or member-near pairs: linear star output only
+    assert set(pairs) == star | {(1, 9)}
