@@ -15,6 +15,7 @@ from .operators import (  # noqa: F401
     etl,
     events,
     form,
+    lm,
     mixing,
     multimodal,
     ordering,
@@ -30,4 +31,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]
+MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]

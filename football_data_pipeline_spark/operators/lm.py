@@ -1,0 +1,122 @@
+"""Statistical language-model scoring — the CCNet-shaped perplexity
+filter (Wenzek et al. 2020): score every document by its average
+token log-probability under a language model and let downstream
+keep/bucket by fluency. CCNet uses a pretrained KenLM; this operator
+trains the LM IN-ENGINE — a corpus unigram model with add-one
+smoothing — because the interesting part at 100 TB is the plan, and
+the plan is identical for any table-backed n-gram model: count,
+broadcast, score. A bigram upgrade adds one more count aggregation
+keyed (w1, w2) and a second broadcast join; nothing else changes.
+
+Float parity notes (this operator is the engine's only use of a
+transcendental in an oracle-checked value):
+- p(w) = (c+1)/(N+V) is a ratio of BIGINTs — IEEE division is
+  correctly rounded, so both engines hold the identical double;
+- ln() is NOT guaranteed correctly rounded across libms (JVM
+  StrictMath-adjacent vs DuckDB's C libm), so each token's log-prob
+  is immediately stable-rounded to 4 dp (floor(x·1e4 + 0.5) — a
+  last-ulp ln() disagreement flips the rounded value only if x sits
+  within ~1e-16 of a bucket edge: P ≈ 1e-12 per distinct token, ~0
+  at any corpus size since rounding happens per VOCAB entry, not
+  per token instance);
+- the 4 dp log-probs are exact in DECIMAL(28,4): per-document sums
+  are exact integer arithmetic, order- and engine-independent
+  (functions/stable.py rationale).
+
+Scale shape: one token-stream aggregation builds the vocab counts
+(map-side combined, keyed on the word — the same shuffle tokenizing
+the corpus costs anyway); the LM table is vocab-sized → broadcast
+back onto the token stream (AQE falls back to a shuffle join for a
+web-scale vocab); one final doc-keyed aggregation. Linear in total
+tokens, no window, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+#: stable-rounding precision of per-token log-probs (see module
+#: docstring for why rounding happens before summation)
+LP_DECIMALS = 4
+
+
+def _lm_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (
+      SELECT (SELECT count(*) FROM tok) AS n,
+             (SELECT count(*) FROM cnt) AS v
+    ),
+    lm AS (
+      SELECT w,
+             floor(ln((c + 1.0) / (n + v)) * 10000 + 0.5) / 10000 AS lp
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor((CAST(sum(CAST(lm.lp AS DECIMAL(28,4))) AS DOUBLE)
+                  / count(*)) * 10000 + 0.5) / 10000 AS avg_logp
+    FROM tok t JOIN lm ON lm.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logp): average add-one-smoothed unigram
+    log-probability per document — higher (less negative) means the
+    document looks like the corpus, the fluency signal CCNet buckets
+    into head/middle/tail. See the module docstring for the plan
+    shape and float-parity contract."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " "), "")).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scale = 10**LP_DECIMALS
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("lp").cast("decimal(28,4)")).cast("double")
+                        / F.count("*")
+                    )
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query("q_lm_score", oracle=_lm_oracle())
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`lm_score` over the documents table
+    (see the module docstring for semantics and the 100 TB shape)."""
+    return lm_score(load(spark, sf_dir, "documents"))

@@ -256,3 +256,23 @@ def test_epoch_order_and_datacard_plan_shapes(spark):
     plan2 = dc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
     assert "Exchange rangepartitioning" not in plan2
+
+
+def test_lm_score_prefers_corpus_like_documents(spark):
+    from football_data_pipeline_spark.operators.lm import lm_score
+
+    # 'common' appears in every doc; 'rare*' tokens once each. A doc
+    # of corpus-frequent words must out-score a doc of hapaxes.
+    rows = [
+        (1, "en", "w", "common common common common"),
+        (2, "en", "w", "rareA rareB rareC rareD"),
+        (3, "en", "w", "common rareE common rareF"),
+        (4, "en", "w", "common common common common"),  # identical to 1
+    ]
+    out = {r.doc_id: r for r in lm_score(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()}
+    assert out[1].avg_logp == out[4].avg_logp  # deterministic
+    assert out[1].avg_logp > out[3].avg_logp > out[2].avg_logp
+    assert all(r.avg_logp < 0 for r in out.values())  # log-probs
+    assert out[1].n_tokens == 4
