@@ -120,3 +120,72 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for :func:`lm_score` over the documents table
     (see the module docstring for semantics and the 100 TB shape)."""
     return lm_score(load(spark, sf_dir, "documents"))
+
+
+def _fluency_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (
+      SELECT (SELECT count(*) FROM tok) AS n,
+             (SELECT count(*) FROM cnt) AS v
+    ),
+    lm AS (
+      SELECT w,
+             floor(ln((c + 1.0) / (n + v)) * 10000 + 0.5) / 10000 AS lp
+      FROM cnt CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             floor((CAST(sum(CAST(lm.lp AS DECIMAL(28,4))) AS DOUBLE)
+                    / count(*)) * 10000 + 0.5) / 10000 AS avg_logp
+      FROM tok t JOIN lm ON lm.w = t.w
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, avg_logp,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logp DESC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """
+
+
+@query("q_fluency_buckets", oracle=_fluency_oracle())
+def q_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per-language terciles of the
+    LM fluency score (most-fluent third = head, the slice CCNet
+    treats as highest quality). Deterministic: ntile ordered by
+    (avg_logp DESC, doc_id) so ties cannot wander across buckets.
+
+    Scale shape: everything up to the scored stream is lm_score's
+    linear plan; the tercile is a per-LANGUAGE window — partitions
+    are language-sized, which is the same per-stratum grain CCNet
+    shards by, and at 100 TB the window becomes a two-pass
+    approx-quantile cut per language (approxQuantile on avg_logp,
+    then a free-standing bucket projection) — the ntile form is the
+    exact small-stratum twin.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = lm_score(docs).join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

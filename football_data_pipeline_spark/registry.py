@@ -100,17 +100,19 @@ CHECK_PRIORITY = [
     "q_dataset_card",
     "q_epoch_order",
     "q_lm_score",
+    "q_fluency_buckets",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
     # Four of the simplest single-module relational aggregates
     # (q_scalar_agg, q_count_distinct, q_group_multi,
     # q_conditional_agg — relational.py untouched in r3 AND r4) were
-    # displaced to CARRY_TO_NEXT_ROUND by the seven never-checked
-    # queries above (q_topk_group, q_date_trunc_trend and q_semi_join
-    # joined them as q_dataset_card / q_epoch_order / q_lm_score took
-    # their slots):
-    "q_anti_join",
+    # displaced to CARRY_TO_NEXT_ROUND by the eight never-checked
+    # queries above (q_topk_group, q_date_trunc_trend, q_semi_join
+    # and q_anti_join joined them as q_dataset_card / q_epoch_order /
+    # q_lm_score / q_fluency_buckets took their slots — all four sit
+    # in relational.py, untouched in r3 AND r4, re-verified at HEAD
+    # by the local all-queries oracle gate):
     "q_or_join",
     "q_union_roles",
     "q_left_join_count",
@@ -184,6 +186,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_topk_group",
     "q_date_trunc_trend",
     "q_semi_join",
+    "q_anti_join",
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
@@ -204,6 +207,7 @@ ROTATE_TAIL = [
     "q_topk_group",
     "q_date_trunc_trend",
     "q_semi_join",
+    "q_anti_join",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

@@ -276,3 +276,25 @@ def test_lm_score_prefers_corpus_like_documents(spark):
     assert out[1].avg_logp > out[3].avg_logp > out[2].avg_logp
     assert all(r.avg_logp < 0 for r in out.values())  # log-probs
     assert out[1].n_tokens == 4
+
+
+def test_fluency_buckets_tercile_semantics(spark):
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["q_fluency_buckets"].fn(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        heads = [r.avg_logp for r in rs if r.bucket == "head"]
+        tails = [r.avg_logp for r in rs if r.bucket == "tail"]
+        if heads and tails:
+            # every head doc is at least as fluent as every tail doc
+            assert min(heads) >= max(tails)
+        # tercile sizes differ by at most 1
+        sizes = [sum(1 for r in rs if r.bucket == b) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(x for x in sizes if x or len(rs) < 3) <= 1 or len(rs) < 3
