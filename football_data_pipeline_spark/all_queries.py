@@ -6,6 +6,7 @@ fully-populated registry.
 
 from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
+    bpe,
     chunking,
     datacard,
     dedup,
@@ -31,4 +32,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]

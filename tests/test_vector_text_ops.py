@@ -298,3 +298,29 @@ def test_fluency_buckets_tercile_semantics(spark):
         # tercile sizes differ by at most 1
         sizes = [sum(1 for r in rs if r.bucket == b) for b in ("head", "middle", "tail")]
         assert max(sizes) - min(x for x in sizes if x or len(rs) < 3) <= 1 or len(rs) < 3
+
+
+def test_bpe_merges_learn_expected_pairs(spark):
+    from football_data_pipeline_spark.operators.bpe import bpe_merges
+
+    # 'aaab' ×5, 'ab' ×3: pair counts round 1 — (a,a): 2 per 'aaab'
+    # word-type (BPE counts per word TYPE weighted by frequency:
+    # greedy left-to-right finds 'aa' twice in 'aaab'? No — pairs are
+    # ADJACENT SYMBOL pairs, so 'a a a b </w>' has (a,a) twice,
+    # weighted 5 → 10), (a,b): 5+3=8, (b,</w>): 8. Tie (a,b) vs
+    # (b,</w>) broken lexicographically DESC → (b,</w>) wins ties,
+    # but (a,a)=10 wins round 1.
+    rows = [
+        (1, "en", "w", " ".join(["aaab"] * 5 + ["ab"] * 3)),
+    ]
+    out = bpe_merges(
+        spark.createDataFrame(rows, DOC_SCHEMA), rounds=2
+    ).collect()
+    by_round = {r.round: r for r in out}
+    assert (by_round[1].lhs, by_round[1].rhs) == ("a", "a")
+    assert by_round[1].merged == "aa" and by_round[1].pair_count == 10
+    # after merging: 'aaab' → 'aa a b </w>' (greedy leftmost), so
+    # round 2 pairs: (aa,a):5, (a,b):5+3=8, (b,</w>):8 — tie broken
+    # lexicographically DESC: (b,</w>) > (a,b)
+    assert (by_round[2].lhs, by_round[2].rhs) == ("b", "</w>")
+    assert by_round[2].pair_count == 8
