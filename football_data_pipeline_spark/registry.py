@@ -102,6 +102,7 @@ CHECK_PRIORITY = [
     "q_lm_score",
     "q_fluency_buckets",
     "q_bpe_merges",
+    "q_bpe_tokenize",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -113,9 +114,9 @@ CHECK_PRIORITY = [
     # and q_anti_join joined them as q_dataset_card / q_epoch_order /
     # q_lm_score / q_fluency_buckets took their slots — all four sit
     # in relational.py, untouched in r3 AND r4, re-verified at HEAD
-    # by the local all-queries oracle gate; q_or_join followed when
-    # q_bpe_merges landed):
-    "q_union_roles",
+    # by the local all-queries oracle gate; q_or_join and
+    # q_union_roles followed when q_bpe_merges / q_bpe_tokenize
+    # landed):
     "q_left_join_count",
     "q_json_extract",
     "q_team_search",
@@ -189,6 +190,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_semi_join",
     "q_anti_join",
     "q_or_join",
+    "q_union_roles",
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
@@ -211,6 +213,7 @@ ROTATE_TAIL = [
     "q_semi_join",
     "q_anti_join",
     "q_or_join",
+    "q_union_roles",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

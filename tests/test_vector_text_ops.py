@@ -324,3 +324,21 @@ def test_bpe_merges_learn_expected_pairs(spark):
     # lexicographically DESC: (b,</w>) > (a,b)
     assert (by_round[2].lhs, by_round[2].rhs) == ("b", "</w>")
     assert by_round[2].pair_count == 8
+
+
+def test_bpe_tokenize_fertility_decreases_with_merges(spark):
+    from football_data_pipeline_spark.operators.bpe import bpe_tokenize_stats
+
+    rows = [(1, "en", "w", "aaab aaab ab")]
+    no_merges = {r.doc_id: r for r in bpe_tokenize_stats(
+        spark.createDataFrame(rows, DOC_SCHEMA), rounds=0
+    ).collect()}
+    merged = {r.doc_id: r for r in bpe_tokenize_stats(
+        spark.createDataFrame(rows, DOC_SCHEMA), rounds=2
+    ).collect()}
+    # chars+marker: 'aaab'→5 symbols ×2, 'ab'→3 → 13 subwords / 3 words
+    assert no_merges[1].n_words == 3 and no_merges[1].n_subwords == 13
+    # merges can only shrink the symbol stream
+    assert merged[1].n_subwords < no_merges[1].n_subwords
+    assert merged[1].fertility < no_merges[1].fertility
+    assert merged[1].n_words == 3
