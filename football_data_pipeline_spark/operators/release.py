@@ -1,0 +1,94 @@
+"""Corpus release builder — the one-call batch pipeline a data team
+runs to turn a raw document table into a training-ready release
+directory. Chains the engine's own passes (never re-implements
+them):
+
+1. quality gate        — quality.classify_quality (model scores;
+                         rejects audited, never silently dropped)
+2. PII redaction       — redact.redact_pii (text rewritten BEFORE
+                         anything durable is written)
+3. exact dedup         — canonical word-set fingerprint, min-id
+                         representative (dedup.q_dedup_exact's rule)
+4. dataset card        — datacard.dataset_card over the final
+                         corpus, written as the release's datasheet
+5. ordered shards      — sinks.write_training_shards (epoch-
+                         deterministic order, bounded files)
+
+Release layout::
+
+    <path>/card/          one-file JSON datasheet (per source×lang)
+    <path>/drops/         audit of every removed doc + reason
+    <path>/shards/        shard=*/part-*.parquet, training-ready
+
+The streaming twin is streaming/pipeline.curation_batch_writer —
+same stages, micro-batch grain, near-dup classification against
+history instead of whole-corpus exact dedup.
+
+Scale: every stage is an operator whose 100 TB shape is documented
+at its definition; this module adds only doc_id equi-joins between
+them and the final writes. The only actions are the three writes —
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.sinks import write_report_json, write_training_shards
+from .datacard import dataset_card
+from .dedup import word_set
+from .quality import classify_quality
+from .redact import redact_pii
+
+
+def build_release(docs: DataFrame, path: str, epoch: int = 0) -> None:
+    """Materialize a training-corpus release at ``path`` (see module
+    docstring for stages and layout)."""
+    scored = classify_quality(docs).select("doc_id", "score", "keep")
+    flagged = docs.join(scored, "doc_id", "left")
+    rejected = flagged.filter(~F.coalesce(F.col("keep"), F.lit(False))).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lit("low_quality").alias("reason"),
+        "score",
+    )
+    survivors = flagged.filter(F.coalesce("keep", F.lit(False))).drop(
+        "score", "keep"
+    )
+
+    red = redact_pii(survivors).select("doc_id", "redacted_text")
+    redacted = (
+        survivors.join(red, "doc_id")
+        .drop("text")
+        .withColumnRenamed("redacted_text", "text")
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+    fp = redacted.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("f"),
+    )
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon"))
+    dup_ids = (
+        fp.join(canon, "f")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select("doc_id")
+    )
+    dup_drops = redacted.join(dup_ids, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lit("exact_duplicate").alias("reason"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    final = redacted.join(dup_ids, "doc_id", "left_anti")
+
+    write_report_json(rejected.unionByName(dup_drops), f"{path}/drops")
+    write_report_json(dataset_card(final), f"{path}/card")
+    write_training_shards(
+        final.select("doc_id", "text", "lang", "source", "n_chars"),
+        f"{path}/shards",
+        epoch=epoch,
+    )

@@ -342,3 +342,50 @@ def test_bpe_tokenize_fertility_decreases_with_merges(spark):
     assert merged[1].n_subwords < no_merges[1].n_subwords
     assert merged[1].fertility < no_merges[1].fertility
     assert merged[1].n_words == 3
+
+
+def test_build_release_layout_and_consistency(spark, tmp_path):
+    """End-to-end release build: every input doc is accounted for
+    exactly once (shards + drops), the card describes the SHARD
+    corpus, and PII never reaches a shard file."""
+    import glob
+    import json
+
+    import pandas as pd
+
+    from football_data_pipeline_spark.operators.release import build_release
+
+    good = "alpha beta delta mango grape lime peach"
+    rows = [
+        (1, "en", "a", good + " reach user@example.com today"),
+        (2, "en", "a", "gamma epsilon theta kiwi cherry contact"),  # low quality
+        (3, "en", "a", good),  # kept
+        (4, "en", "a", " ".join(reversed(good.split()))),  # word-set dup of 3
+        (5, "fr", "b", "omega sigma plum lemon write totally novel"),
+    ]
+    out = str(tmp_path / "rel")
+    build_release(spark.createDataFrame(rows, DOC_SCHEMA), out, epoch=2)
+
+    drops = pd.concat(
+        [pd.read_json(f, lines=True) for f in glob.glob(f"{out}/drops/*.json")]
+    )
+    by_reason = drops.groupby("reason")["doc_id"].apply(list).to_dict()
+    assert by_reason["low_quality"] == [2]
+    assert by_reason["exact_duplicate"] == [4]
+
+    shard_files = glob.glob(f"{out}/shards/shard=*/*.parquet")
+    shards = pd.concat([pd.read_parquet(f) for f in shard_files])
+    assert sorted(shards["doc_id"]) == [1, 3, 5]
+    t1 = shards.set_index("doc_id").loc[1, "text"]
+    assert "<EMAIL>" in t1 and "user@example.com" not in t1
+
+    card = pd.concat(
+        [pd.read_json(f, lines=True) for f in glob.glob(f"{out}/card/*.json")]
+    )
+    totals = card.set_index(["source", "lang"])
+    assert int(totals.loc[("a", "en"), "n_docs"]) == 2
+    assert int(totals.loc[("b", "fr"), "n_docs"]) == 1
+    # the card sees the POST-dedup corpus: zero residual dups
+    assert int(card["exact_dup_docs"].sum()) == 0
+    # accounting closes: inputs = shards + drops
+    assert len(shards) + len(drops) == len(rows)
