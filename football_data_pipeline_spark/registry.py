@@ -106,17 +106,14 @@ CHECK_PRIORITY = [
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
-    # Four of the simplest single-module relational aggregates
-    # (q_scalar_agg, q_count_distinct, q_group_multi,
-    # q_conditional_agg — relational.py untouched in r3 AND r4) were
-    # displaced to CARRY_TO_NEXT_ROUND by the eight never-checked
-    # queries above (q_topk_group, q_date_trunc_trend, q_semi_join
-    # and q_anti_join joined them as q_dataset_card / q_epoch_order /
-    # q_lm_score / q_fluency_buckets took their slots — all four sit
-    # in relational.py, untouched in r3 AND r4, re-verified at HEAD
-    # by the local all-queries oracle gate; q_or_join and
-    # q_union_roles followed when q_bpe_merges / q_bpe_tokenize
-    # landed):
+    # The TEN never-checked round-4 queries above out-prioritized the
+    # ten simplest relational.py queries (q_scalar_agg,
+    # q_count_distinct, q_group_multi, q_conditional_agg,
+    # q_topk_group, q_date_trunc_trend, q_semi_join, q_anti_join,
+    # q_or_join, q_union_roles) — relational.py is untouched in r3
+    # AND r4, every one is re-verified at HEAD by the local
+    # all-queries oracle gate, and all ten sit first in
+    # CARRY_TO_NEXT_ROUND for r5:
     "q_left_join_count",
     "q_json_extract",
     "q_team_search",
@@ -169,18 +166,19 @@ CHECK_PRIORITY = [
     "q_lsh_recall",
 ]
 
-#: CAP OVERFLOW IOU — these queries' modules (textstats.py, prep.py)
-#: changed in r4 but the 50-row driver cap is exhausted by
-#: higher-risk re-checks (plan-changed queries got the slots; these
-#: are file-changed with code untouched, except q_corpus_clean whose
-#: bigram projection was rewritten). All are re-verified at HEAD by
-#: the local all-queries oracle gate (tests/test_queries_oracle.py)
-#: this round and MUST head CHECK_PRIORITY in r5. The rule update:
-#: cap overflow carries forward loudly instead of silently bending
-#: "untouched since".
+#: CAP OVERFLOW IOU — the 50-row driver cap is exhausted by
+#: never-checked round-4 queries and plan-changed re-checks; the
+#: overflow below carries to r5. Two tiers: (1) relational.py
+#: queries displaced by the ten new round-4 operators — module
+#: untouched in r3 AND r4, lowest risk; (2) textstats.py/prep.py
+#: queries whose FILE changed in r4 with their own code untouched,
+#: except q_corpus_clean whose bigram projection was rewritten. All
+#: are re-verified at HEAD by the local all-queries oracle gate
+#: (tests/test_queries_oracle.py) this round and MUST head
+#: CHECK_PRIORITY in r5. The rule update: cap overflow carries
+#: forward loudly instead of silently bending "untouched since".
 CARRY_TO_NEXT_ROUND = [
-    # displaced by round 4's four never-checked queries; relational.py
-    # untouched in r3/r4 so these carry at the lowest risk tier
+    # tier 1: relational.py, untouched in r3/r4
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
@@ -191,6 +189,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_anti_join",
     "q_or_join",
     "q_union_roles",
+    # tier 2: textstats.py/prep.py — file changed in r4, own code
+    # untouched unless noted
     "q_text_stats",
     "q_lang_id",
     "q_doc_fingerprint",
