@@ -28,7 +28,11 @@ Scale shape: one token-stream aggregation builds the vocab counts
 the corpus costs anyway); the LM table is vocab-sized → broadcast
 back onto the token stream (AQE falls back to a shuffle join for a
 web-scale vocab); one final doc-keyed aggregation. Linear in total
-tokens, no window, no UDF.
+tokens, no window, no UDF. Measured on the 10× corpus probe
+(tools/scale_probe.py): 0.96s → 2.77s for 10× tokens — linear with
+fixed overhead amortizing; the classifier (quality.py, same shape
+minus the model join) probes 0.62s → 4.04s and chunking (pure
+generator, no shuffle at all) 0.33s → 0.73s.
 """
 
 from __future__ import annotations

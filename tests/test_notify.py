@@ -280,3 +280,47 @@ def test_injury_alert_embed_shape():
     assert embed2["fields"][0]["name"] == "📝 Details"
     assert embed2["fields"][0]["value"] == "No details available"
     assert embed2["fields"][-1]["name"] == "📅 Expected Return"
+
+
+def test_subscriptions_setup_subscribe_route(spark):
+    """Surface parity with !fb setup / !fb subscribe
+    (discord_integration.py:303-330): last write wins per
+    (guild, alert_type); subscribe replaces the whole pref set;
+    'all' is the routing wildcard; invalid inputs raise the bot's
+    own validation messages."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from football_data_pipeline_spark.streaming.subscriptions import (
+        CHANNELS_SCHEMA,
+        SUBS_SCHEMA,
+        channels_for,
+        set_channel,
+        set_subscription,
+        subscribers_for,
+    )
+
+    t0 = dt.datetime(2026, 8, 1)
+    t1 = dt.datetime(2026, 8, 2)
+    empty = spark.createDataFrame([], CHANNELS_SCHEMA)
+    ch = set_channel(
+        empty, spark.createDataFrame([(1, "odds", 100, t0), (2, "odds", 200, t0)], CHANNELS_SCHEMA)
+    )
+    # re-running setup moves the route (dict assignment semantics)
+    ch = set_channel(ch, spark.createDataFrame([(1, "odds", 111, t1)], CHANNELS_SCHEMA))
+    routed = {r.guild_id: r.channel_id for r in channels_for(ch, "odds").collect()}
+    assert routed == {1: 111, 2: 200}
+    with _pytest.raises(ValueError, match="alert type"):
+        set_channel(ch, spark.createDataFrame([(1, "weather", 5, t1)], CHANNELS_SCHEMA))
+
+    subs = set_subscription(
+        spark.createDataFrame([], SUBS_SCHEMA),
+        spark.createDataFrame([(7, "odds", t0), (7, "injuries", t0), (8, "all", t0)], SUBS_SCHEMA),
+    )
+    # wholesale replacement: user 7 re-subscribes to games only
+    subs = set_subscription(subs, spark.createDataFrame([(7, "games", t1)], SUBS_SCHEMA))
+    assert {r.user_id for r in subscribers_for(subs, "odds").collect()} == {8}
+    assert {r.user_id for r in subscribers_for(subs, "games").collect()} == {7, 8}
+    with _pytest.raises(ValueError, match="Valid preferences"):
+        set_subscription(subs, spark.createDataFrame([(9, "cricket", t1)], SUBS_SCHEMA))
