@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.stable import davg, rnd
 from ..registry import query
-from .dedup import _WORD_SET_SQL, word_set
+from .dedup import _WORD_SET_SQL, fingerprint
 from .quality import WEIGHT_MOD, WEIGHT_SALT, classify_quality
 
 
@@ -100,10 +100,7 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     exchange).
     """
     per_doc_q = classify_quality(docs).select("doc_id", "n_tokens", "score", "keep")
-    fp = docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("f"),
-    )
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
     groups = fp.groupBy("f").agg(
         F.count("*").alias("grp"), F.min("doc_id").alias("canon")
     )

@@ -85,6 +85,16 @@ def word_set(text: Column) -> Column:
     return F.array_distinct(F.array_remove(F.split(text, " "), ""))
 
 
+def fingerprint(text: Column) -> Column:
+    """THE canonical exact-dup fingerprint: md5 of the sorted
+    distinct word set. Single definition shared by q_dedup_exact,
+    the dataset card's dup attribution, the release builder, and the
+    streaming dedup history — these agree on what "exact duplicate"
+    means only because they all call this helper; never inline the
+    expression."""
+    return F.md5(F.concat_ws(" ", F.array_sort(word_set(text))))
+
+
 _WORD_SET_SQL = "list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))"
 
 
@@ -136,7 +146,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("fingerprint"),
+        fingerprint(F.col("text")).alias("fingerprint"),
     )
     return (
         fp.groupBy("fingerprint")
@@ -1156,10 +1166,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import sample_bucket
 
     docs = load(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("fp"),
-    )
+    d = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     grp = d.groupBy("fp").agg(F.min("doc_id").alias("rid"))
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs).select(

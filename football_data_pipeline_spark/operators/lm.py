@@ -74,14 +74,18 @@ def _lm_oracle() -> str:
     """
 
 
-def lm_score(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, avg_logp): average add-one-smoothed unigram
-    log-probability per document — higher (less negative) means the
-    document looks like the corpus, the fluency signal CCNet buckets
-    into head/middle/tail. See the module docstring for the plan
-    shape and float-parity contract."""
+def lm_score(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra_cols, n_tokens, avg_logp): average add-one-
+    smoothed unigram log-probability per document — higher (less
+    negative) means the document looks like the corpus, the fluency
+    signal CCNet buckets into head/middle/tail. ``extra_cols`` ride
+    the token stream (doc-constant columns like lang/source), so
+    consumers never need a second corpus scan to recover them. See
+    the module docstring for the plan shape and float-parity
+    contract."""
     tok = docs.select(
         "doc_id",
+        *extra_cols,
         F.explode(F.array_remove(F.split("text", " "), "")).alias("w"),
     )
     cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
@@ -99,9 +103,12 @@ def lm_score(docs: DataFrame) -> DataFrame:
             / scale
         ).alias("lp"),
     )
+    # no broadcast hint: AQE broadcasts a small vocab and falls back
+    # to a shuffle join for a web-scale one — a hard hint would make
+    # the documented fallback impossible (Spark never demotes it)
     return (
-        tok.join(F.broadcast(lm), "w")
-        .groupBy("doc_id")
+        tok.join(lm, "w")
+        .groupBy("doc_id", *extra_cols)
         .agg(
             F.count("*").alias("n_tokens"),
             (
@@ -175,9 +182,7 @@ def q_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact small-stratum twin.
     """
     docs = load(spark, sf_dir, "documents")
-    scored = lm_score(docs).join(
-        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
-    )
+    scored = lm_score(docs, extra_cols=("lang",)).drop("n_tokens")
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(

@@ -632,6 +632,10 @@ def phash_near_dup(
     the star + rep-pair output encodes the full pair set without
     materializing its quadratic closure.
     """
+    # cached for the four consumers below (group, stars, both verify
+    # sides) — released before returning via the localCheckpoint at
+    # the end, which pins only the (small) pair result instead of the
+    # per-asset hash table
     hashes = image_phash(assets).cache()
     grp = hashes.groupBy(*[f"band{i}" for i in range(DHASH_BANDS)]).agg(
         F.min("asset_id").alias("rid")
@@ -691,4 +695,9 @@ def phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return stars.unionByName(near)
+    # materialize the (small) pair result and release the hash cache
+    # — returning a lazy plan over the cached table would leave the
+    # per-asset hashes pinned in executor memory for the session
+    result = stars.unionByName(near).localCheckpoint()
+    hashes.unpersist()
+    return result

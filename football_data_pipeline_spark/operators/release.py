@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..sources.sinks import write_report_json, write_training_shards
 from .datacard import dataset_card
-from .dedup import word_set
+from .dedup import fingerprint
 from .quality import classify_quality
 from .redact import redact_pii
 
@@ -66,10 +66,7 @@ def build_release(docs: DataFrame, path: str, epoch: int = 0) -> None:
         .withColumn("n_chars", F.length("text").cast("long"))
     )
 
-    fp = redacted.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text"))))).alias("f"),
-    )
+    fp = redacted.select("doc_id", fingerprint(F.col("text")).alias("f"))
     canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon"))
     dup_ids = (
         fp.join(canon, "f")

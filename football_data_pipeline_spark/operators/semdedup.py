@@ -128,7 +128,11 @@ def semdedup_report(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
         .agg(F.count("*").alias("__csize"))
         .agg(F.max("__csize").alias("__max_c"))
         .select(
-            F.when(F.col("__max_c") <= MAX_CLUSTER, F.lit(1))
+            # coalesce: max over ZERO rows is NULL, and a NULL
+            # condition would fall through to raise_error — an empty
+            # embeddings table is a valid (empty) input, not a
+            # mis-sized index
+            F.when(F.coalesce(F.col("__max_c"), F.lit(0)) <= MAX_CLUSTER, F.lit(1))
             .otherwise(
                 F.raise_error(
                     F.concat(

@@ -114,17 +114,23 @@ def write_training_shards(
     shuffle keys; that module's docstring explains the determinism
     contract).
 
-    Plan shape: ONE hash exchange (`repartition` on the shard id —
-    each task owns exactly one shard) followed by
-    ``sortWithinPartitions`` on the shuffle key: no window, no rank,
-    no global sort. ``partitionBy("shard")`` maps tasks to shard
-    directories, and ``maxRecordsPerFile`` splits each shard into
-    bounded files WITHOUT breaking order (Spark rolls to the next
-    file sequentially within the task). At 100 TB this is the
-    small-files fix and the ordering guarantee in one write:
-    shard count scales with the corpus, every file lands
-    memory-bounded, and a training loader replaying (shard, file,
-    row) order sees the exact epoch_order permutation.
+    Plan shape: ONE hash exchange (`repartition` on the shard id)
+    followed by ``sortWithinPartitions`` on the shuffle key: no
+    window, no rank, no global sort. Hash partitioning guarantees
+    ALL rows of a shard land in one task — the property the ordering
+    needs (a shard split across tasks would interleave two sorted
+    runs) — but NOT a 1:1 task↔shard mapping: hash collisions leave
+    some tasks empty and give others 2+ shards (with N_SHARDS values
+    into N_SHARDS partitions a perfect spread is ~0.2% likely).
+    ``partitionBy("shard")`` splits a multi-shard task into per-shard
+    directories, so correctness is unaffected; for write BALANCE at
+    scale, set shard count ≳ 3-4× cores so collisions average out —
+    shard count scales with the corpus anyway. ``maxRecordsPerFile``
+    splits each shard into bounded files WITHOUT breaking order
+    (Spark rolls to the next file sequentially within the task): the
+    small-files fix and the ordering guarantee in one write, and a
+    training loader replaying (shard, file, row) order sees the
+    exact epoch_order permutation.
     """
     from ..operators.ordering import N_SHARDS  # shared geometry
 

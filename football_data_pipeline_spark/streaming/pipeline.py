@@ -259,10 +259,10 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
     semantics and the exactly-once argument."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, word_set
+    from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, fingerprint
 
     spark = batch.sparkSession
-    fp = F.md5(F.concat_ws(" ", F.array_sort(word_set(F.col("text")))))
+    fp = fingerprint(F.col("text"))
     w = Window.partitionBy("__fp").orderBy("doc_id")
     batch = (
         batch.withColumn("__fp", fp)

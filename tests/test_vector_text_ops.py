@@ -389,3 +389,25 @@ def test_build_release_layout_and_consistency(spark, tmp_path):
     assert int(card["exact_dup_docs"].sum()) == 0
     # accounting closes: inputs = shards + drops
     assert len(shards) + len(drops) == len(rows)
+
+
+def test_bpe_canonical_run_merging(spark):
+    """Back-to-back runs must merge canonically (Sennrich/HF order):
+    'aaaa' with merge (a,a) becomes [aa][aa], not [aa][a][a] — the
+    divergence the sentinel framing exists to prevent."""
+    from football_data_pipeline_spark.operators.bpe import bpe_tokenize_stats
+
+    rows = [(1, "en", "w", "aaaa")]
+    out = bpe_tokenize_stats(
+        spark.createDataFrame(rows, DOC_SCHEMA), rounds=1
+    ).collect()[0]
+    # [aa, aa, </w>] = 3 subwords (the buggy space-framed form gave 4)
+    assert out.n_subwords == 3 and out.n_words == 1
+
+
+def test_semdedup_empty_input_returns_empty(spark):
+    """Empty embeddings: the hot-cluster guard must NOT trip (max
+    over zero rows is NULL, which once fell through to raise_error);
+    the correct result is an empty frame."""
+    out = semdedup_report(spark.createDataFrame([], EMB_SCHEMA))
+    assert out.count() == 0
