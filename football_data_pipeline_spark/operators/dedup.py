@@ -194,7 +194,11 @@ def line_dedup(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") >= BOILER_DF)
         .select("line", F.lit(True).alias("is_boiler"))
     )
-    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    # no broadcast hint: AQE broadcasts a small boilerplate set and
+    # falls back to a shuffle join when the df>=threshold set is
+    # large — a hard hint would make that documented fallback
+    # impossible (Spark never demotes an explicit broadcast)
+    flagged = lines.join(boiler, "line", "left")
     kept_struct = F.when(
         F.col("is_boiler").isNull(), F.struct(F.col("idx"), F.col("line"))
     )
@@ -905,23 +909,35 @@ def batch_near_dup_drops(docs: DataFrame, verify: float = JACCARD_VERIFY) -> Dat
     runs over a batch-sized edge set — bounded by arrival rate, not
     corpus size.
     """
+    # ids-only through the band join and the distinct — the word-set
+    # arrays attach AFTER candidate pairs exist, so shuffle bytes are
+    # id-sized, not corpus-sized (the dedup_against_corpus pattern;
+    # shuffling ws through the self-join was this function's version
+    # of the bug that commit fixed there)
     ws_df = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
     with_mh = ws_df.select(
         "doc_id",
-        "ws",
         *[m.alias(f"mh{i}") for i, m in enumerate(minhash_signature(F.col("ws")))],
     )
-    sig = with_mh.select("doc_id", "ws", F.explode(_band_sigs()).alias("sig"))
-    left = sig.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"), "sig")
-    right = sig.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"), "sig")
+    sig = with_mh.select("doc_id", F.explode(_band_sigs()).alias("sig"))
+    left = sig.select(F.col("doc_id").alias("doc_a"), "sig")
+    right = sig.select(F.col("doc_id").alias("doc_b"), "sig")
     cand = (
         left.join(right, "sig")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "ws_a", "doc_b", "ws_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    a_ws = ws_df.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b_ws = ws_df.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     jac = F.size(F.array_intersect("ws_a", "ws_b")) / F.size(F.array_union("ws_a", "ws_b"))
-    pairs = cand.withColumn("jac", jac).filter(F.col("jac") >= verify).select("doc_a", "doc_b")
+    pairs = (
+        cand.join(a_ws, "doc_a")
+        .join(b_ws, "doc_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= verify)
+        .select("doc_a", "doc_b")
+    )
     return (
         connected_components(pairs)
         .filter(~F.col("is_canonical"))

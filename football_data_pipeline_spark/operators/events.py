@@ -74,13 +74,17 @@ def detect_lineup_changes(lineups: DataFrame, fixtures: DataFrame) -> DataFrame:
         F.max("kickoff_utc").alias("kickoff_utc"),
         F.max("collected_at").alias("detected_at"),
     )
+    # distinct: the reference pipeline collects a fixture in multiple
+    # phases, so a starter can appear once per collection — without
+    # the dedup (which the DuckDB oracle applies via SELECT DISTINCT)
+    # one real absence would emit one event PER collection snapshot
     prev = cur.select(
         "team_id",
         (F.col("seq") + 1).alias("seq"),
         "player_id",
         "player_name",
         "is_captain",
-    )
+    ).distinct()
     missing = prev.join(
         cur.select("team_id", "seq", "player_id"),
         ["team_id", "seq", "player_id"],

@@ -224,8 +224,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     ch = _PNG_CHANNELS[ctype]
+    # bound decompression to the declared raster size: a deflate bomb
+    # behind small in-bounds IHDR dims would otherwise expand ~1000×
+    # BEFORE _png_unfilter's length check runs, stalling the executor
+    # the MAX_PNG_PIXELS guard exists to protect
+    max_raw = h * (w * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), max_raw)
+        if dec.unconsumed_tail or len(dec.decompress(b"", 1)) > 0:
+            raise ValueError("PNG stream larger than declared raster")
     except zlib.error as e:
         raise ValueError(f"corrupt PNG stream: {e}") from e
     px = _png_unfilter(raw, w, h, ch)

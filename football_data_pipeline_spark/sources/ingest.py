@@ -296,12 +296,17 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine): parsed rows with the corrupt marker
     dropped, and the verbatim text of every unparseable line for
-    replay/audit."""
+    replay/audit.
+
+    Quarantine condition is ``doc IS NULL OR corrupt marker set``:
+    from_json returns a NULL STRUCT — not a populated corrupt column
+    — for blank/whitespace-only lines (routine in real JSONL dumps
+    as separators or trailing newlines), and the earlier
+    marker-only check let those through as all-NULL document rows,
+    breaking the "malformed lines quarantined, nothing silent"
+    contract downstream."""
     bad_mark = F.col("doc")[CORRUPT_COL]
-    good = (
-        df.filter(bad_mark.isNull())
-        .select("doc.*")
-        .drop(CORRUPT_COL)
-    )
-    bad = df.filter(bad_mark.isNotNull()).select("raw_line")
+    is_bad = F.col("doc").isNull() | bad_mark.isNotNull()
+    good = df.filter(~is_bad).select("doc.*").drop(CORRUPT_COL)
+    bad = df.filter(is_bad).select("raw_line")
     return good, bad

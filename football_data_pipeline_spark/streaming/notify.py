@@ -29,6 +29,29 @@ COLOR_OK = 0x00FF00  # yml:269
 COLOR_ALERT = 0xFF6600
 
 
+def _to_unix(dt) -> int:
+    """Epoch seconds from a timestamp PySpark collected. Non-Arrow
+    collect() materializes TimestampType as a NAIVE datetime in the
+    DRIVER's OS timezone (session timeZone=UTC does not change
+    this), so interpret naive values as LOCAL time —
+    ``datetime.timestamp()`` does exactly that — rather than
+    reinterpreting the local wall clock as UTC (calendar.timegm),
+    which skewed the Discord ``<t:...>`` stamp by the driver's UTC
+    offset on any non-UTC box."""
+    return int(dt.timestamp())
+
+
+def _fmt(v, missing: str = "?"):
+    """Render a nullable stat — a partially backfilled snapshot may
+    carry NULLs in any stat column (the reference guards per field,
+    discord_integration.py:258-270)."""
+    return missing if v is None else v
+
+
+def _fmt_pct(v, missing: str = "?") -> str:
+    return missing if v is None else f"{v:.1f}%"
+
+
 def movement_alert_embeds(movements: DataFrame, now_iso: str) -> DataFrame:
     """One webhook embed JSON per >10% movement alert row (input =
     the W2 movement query's output: fixture/bookmaker/odds/prev/
@@ -101,10 +124,8 @@ def odds_lookup_embed(rows: list, now_iso: str) -> dict | None:
     (discord_integration.py:152-154) instead of an embed."""
     if not rows:
         return None
-    import calendar
-
     game = rows[0]
-    kickoff_unix = calendar.timegm(game["kickoff_utc"].timetuple())
+    kickoff_unix = _to_unix(game["kickoff_utc"])
     fields = [
         {
             "name": "⏰ Kickoff",
@@ -162,8 +183,8 @@ def team_form_embed(rows: list, now_iso: str) -> dict | None:
                 "name": "📈 Season Stats",
                 "value": (
                     f"**Played**: {t['matches_played']}\n"
-                    f"**Win Rate**: {t['win_percentage']:.1f}%\n"
-                    f"**Goals**: {t['goals_for']}-{t['goals_against']}"
+                    f"**Win Rate**: {_fmt_pct(t['win_percentage'])}\n"
+                    f"**Goals**: {_fmt(t['goals_for'])}-{_fmt(t['goals_against'])}"
                 ),
                 "inline": True,
             }

@@ -243,9 +243,6 @@ def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
     one micro-batch, so its component loop is bounded by arrival
     rate, not corpus size.
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.dedup import batch_near_dup_drops, dedup_against_corpus, word_set
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _dedup_one_batch(batch, batch_id, corpus_root)
@@ -264,14 +261,19 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
     spark = batch.sparkSession
     fp = fingerprint(F.col("text"))
     w = Window.partitionBy("__fp").orderBy("doc_id")
-    batch = (
+    # cache the exact-collapsed batch BEFORE the near-dup pass: its
+    # lineage (fingerprint projection + the __fp window shuffle) is
+    # otherwise re-evaluated ~3× — both sides of the near pass's band
+    # self-join plus the outer anti-join below
+    collapsed = (
         batch.withColumn("__fp", fp)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
+        .cache()
     )
-    batch = batch.join(
-        batch_near_dup_drops(batch), "doc_id", "left_anti"
+    batch = collapsed.join(
+        batch_near_dup_drops(collapsed), "doc_id", "left_anti"
     ).cache()
     try:
         try:
@@ -300,6 +302,7 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         )
     finally:
         batch.unpersist()
+        collapsed.unpersist()
 
 
 def curation_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:

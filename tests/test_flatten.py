@@ -287,6 +287,11 @@ def test_detect_lineup_changes_crafted(spark):
             lu(1, 5, 2, True, False, "1995-05-01 12:00:00"),
             lu(1, 5, 3, True, False, "1995-05-01 12:00:00"),
             lu(1, 5, 9, False, None, "1995-05-01 12:00:00"),
+            # fixture 1 re-collected in a later phase — duplicate
+            # starter rows must NOT double-fire events downstream
+            lu(1, 5, 1, True, True, "1995-05-01 13:30:00"),
+            lu(1, 5, 2, True, False, "1995-05-01 13:30:00"),
+            lu(1, 5, 3, True, False, "1995-05-01 13:30:00"),
             # fixture 2: captain 1 missing, 9 promoted → ONE major event for 1
             lu(2, 5, 2, True, False, "1995-05-08 12:00:00"),
             lu(2, 5, 3, True, False, "1995-05-08 12:00:00"),
@@ -305,10 +310,13 @@ def test_detect_lineup_changes_crafted(spark):
         "id long, k string",
     ).select("id", F.to_timestamp("k").alias("kickoff_utc"))
 
+    all_events = detect_lineup_changes(lineups, fixtures).collect()
     events = {
-        (r["player_id"], r["start_date"].isoformat()): r
-        for r in detect_lineup_changes(lineups, fixtures).collect()
+        (r["player_id"], r["start_date"].isoformat()): r for r in all_events
     }
+    # exactly one event per real absence even with re-collected
+    # lineups (the double-collection rows above)
+    assert len(all_events) == len(events) == 2
     assert set(events) == {(1, "1995-05-08"), (3, "1995-05-15")}
     assert events[(1, "1995-05-08")]["severity"] == "major"  # captain
     assert events[(3, "1995-05-15")]["severity"] == "minor"

@@ -467,3 +467,35 @@ def test_phash_identical_group_collapses_to_star_pairs(spark):
     assert (1, 9) in pairs and 0 < pairs[(1, 9)] <= 3
     # no member-member or member-near pairs: linear star output only
     assert set(pairs) == star | {(1, 9)}
+
+
+def test_png_deflate_bomb_rejected():
+    """A PNG with small in-bounds dimensions but an oversized deflate
+    stream must be rejected by the bounded decompressor (and take the
+    try_decode fallback), not expand to gigabytes first."""
+    import struct
+    import zlib
+
+    from football_data_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+        try_decode_pixels,
+    )
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB
+    bomb = zlib.compress(b"\x00" * 10_000_000)  # 10 MB raster for 2x2
+    payload = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="larger than declared"):
+        decode_png(payload)
+    assert try_decode_pixels(payload) is None

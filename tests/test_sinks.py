@@ -98,6 +98,9 @@ def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
         '{"doc_id": 2, "text": "zwei", "lang": "de", "source": "web", "n_chars": 4}',
         '{"doc_id": 3, "text": "truncated...',  # cut mid-record
         "not json at all",
+        "",  # blank separator line — from_json yields a NULL struct,
+        "   ",  # not a corrupt marker; both must quarantine, never
+        # surface as all-NULL document rows
     ]
     p.write_text("\n".join(lines) + "\n")
     good, bad = split_corrupt(read_documents_jsonl(spark, str(p)))
@@ -105,7 +108,8 @@ def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
     bad_rows = sorted(r.raw_line for r in bad.collect())
     assert set(good_rows) == {1, 2}
     assert good_rows[1].text == "hello world" and good_rows[1].n_chars == 11
-    assert bad_rows == ["not json at all", '{"doc_id": 3, "text": "truncated...']
+    assert bad_rows == ["", "   ", "not json at all", '{"doc_id": 3, "text": "truncated...']
+    assert all(r.doc_id is not None for r in good_rows.values())
     # accounting: every input line is either parsed or quarantined
     assert good.count() + bad.count() == len(lines)
 
