@@ -198,3 +198,99 @@ def q_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def _bigram_oracle() -> str:
+    return f"""
+    WITH docs_w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM docs_w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT w2) AS v FROM big),
+    lm AS (
+      SELECT c2.w1, c2.w2,
+             floor(ln((c2.c + 1.0) / (c1.c + v.v)) * 10000 + 0.5) / 10000
+               AS lp
+      FROM c2 JOIN c1 ON c1.w1 = c2.w1 CROSS JOIN v
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((CAST(sum(CAST(lm.lp AS DECIMAL(28,4))) AS DOUBLE)
+                  / count(*)) * 10000 + 0.5) / 10000 AS avg_logp
+    FROM big b JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+    GROUP BY b.doc_id
+    """
+
+
+def lm_score_bigram(docs: DataFrame) -> DataFrame:
+    """The bigram upgrade the module docstring promises: score each
+    document by its mean conditional log-probability
+    ln p(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) under add-one smoothing
+    — exactly one more count aggregation (keyed (w1,w2)) and one
+    more model join than the unigram plan; documents with fewer than
+    two tokens carry no transition and drop out, as in any bigram
+    perplexity. Same float-parity contract: exact count ratios,
+    stable-rounded ln, decimal summation."""
+    from ..functions.sliding import _shifted_zip
+
+    ws = F.array_remove(F.split("text", " "), "")
+    big = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(_shifted_zip(F.col("ws"), 2, "w")).alias("p"))
+        .select("doc_id", F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2"))
+        # the shifted-zip pads the tail window with NULL on length-1
+        # inputs only, which the size filter already excluded — but a
+        # defensive non-null guard keeps the pair stream exact
+        .filter(F.col("w2").isNotNull())
+    )
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = big.agg(F.count_distinct("w2").alias("v"))
+    scale = 10**LP_DECIMALS
+    lm = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.floor(
+                    F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("lp"),
+        )
+    )
+    return (
+        big.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("lp").cast("decimal(28,4)")).cast("double")
+                        / F.count("*")
+                    )
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query("q_lm_bigram", oracle=_bigram_oracle())
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`lm_score_bigram` over the documents
+    table (see that docstring for semantics and the 100 TB shape)."""
+    return lm_score_bigram(load(spark, sf_dir, "documents"))

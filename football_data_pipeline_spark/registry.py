@@ -103,6 +103,7 @@ CHECK_PRIORITY = [
     "q_fluency_buckets",
     "q_bpe_merges",
     "q_bpe_tokenize",
+    "q_lm_bigram",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -113,8 +114,8 @@ CHECK_PRIORITY = [
     # q_or_join, q_union_roles) — relational.py is untouched in r3
     # AND r4, every one is re-verified at HEAD by the local
     # all-queries oracle gate, and all ten sit first in
-    # CARRY_TO_NEXT_ROUND for r5:
-    "q_left_join_count",
+    # CARRY_TO_NEXT_ROUND for r5; q_left_join_count joined them (an
+    # eleventh relational.py displacement) when q_lm_bigram landed:
     "q_json_extract",
     "q_team_search",
     "q_lineups_flatten",
@@ -189,6 +190,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_anti_join",
     "q_or_join",
     "q_union_roles",
+    "q_left_join_count",
     # tier 2: textstats.py/prep.py — file changed in r4, own code
     # untouched unless noted
     "q_text_stats",
@@ -214,6 +216,7 @@ ROTATE_TAIL = [
     "q_anti_join",
     "q_or_join",
     "q_union_roles",
+    "q_left_join_count",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

@@ -411,3 +411,22 @@ def test_semdedup_empty_input_returns_empty(spark):
     the correct result is an empty frame."""
     out = semdedup_report(spark.createDataFrame([], EMB_SCHEMA))
     assert out.count() == 0
+
+
+def test_lm_bigram_prefers_seen_transitions(spark):
+    from football_data_pipeline_spark.operators.lm import lm_score_bigram
+
+    rows = [
+        (1, "en", "w", "the cat sat"),
+        (2, "en", "w", "the cat sat"),
+        (3, "en", "w", "sat cat the"),  # reversed transitions: unseen order
+        (4, "en", "w", "solo"),  # < 2 tokens → no transitions → no row
+    ]
+    out = {r.doc_id: r for r in lm_score_bigram(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()}
+    assert 4 not in out
+    assert out[1].avg_logp == out[2].avg_logp
+    assert out[1].n_bigrams == 2
+    # docs 1/2 use transitions seen twice; doc 3's are singletons
+    assert out[1].avg_logp > out[3].avg_logp
