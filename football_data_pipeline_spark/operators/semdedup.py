@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.stable import rnd
 from ..registry import query
-from .embedsearch import DIMS, _oracle_dot, _oracle_norm, dot, norm
+from .embedsearch import DIMS, N_QUERIES, TOP_K, _oracle_dot, _oracle_norm, dot, norm
 
 #: SemDeDup near-duplicate threshold — same value as embedsearch's
 #: COSINE_VERIFY so the LSH pass and the cluster pass agree on what
@@ -293,3 +293,184 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for :func:`pq_encode` over the embeddings table
     (see that docstring for semantics and the 100 TB shape)."""
     return pq_encode(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_recall_oracle() -> str:
+    sub_slice = "list_slice({v}, m * {s} + 1, m * {s} + {s})"
+    d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    full_d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUB * PQ_M} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    sub AS (
+      SELECT vec_id, m, {sub_slice.format(v='embedding', s=PQ_SUB)} AS vs
+      FROM embeddings CROSS JOIN ms
+    ),
+    cb AS (
+      SELECT vec_id AS code, m,
+             {sub_slice.format(v='embedding', s=PQ_SUB)} AS cs
+      FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_K}
+    ),
+    codes AS (
+      SELECT s.vec_id, s.m,
+             CAST(min(CAST(floor({d2.format(a='s.vs', b='c.cs')}
+                   * {PQ_PACK_SCALE} + 0.5) AS BIGINT) * {PQ_K} + c.code)
+                  % {PQ_K} AS BIGINT) AS code
+      FROM sub s JOIN cb c ON c.m = s.m
+      GROUP BY s.vec_id, s.m
+    ),
+    q AS (SELECT vec_id AS q_id, m, vs AS qs FROM sub WHERE vec_id < {N_QUERIES}),
+    lut AS (
+      SELECT q.q_id, c.m, c.code,
+             {d2.format(a='q.qs', b='c.cs')} AS d2
+      FROM q JOIN cb c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT l.q_id, k.vec_id,
+             CAST(sum(CAST(floor(l.d2 * {PQ_PACK_SCALE} + 0.5) AS BIGINT))
+                  AS BIGINT) AS dist_fp
+      FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+      WHERE k.vec_id <> l.q_id
+      GROUP BY l.q_id, k.vec_id
+    ),
+    adc_top AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist_fp ASC, vec_id ASC) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT a.vec_id AS q_id, b.vec_id,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {full_d2.format(a='a.embedding', b='b.embedding')} ASC,
+                        b.vec_id ASC) AS rn
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT e.q_id AS query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           floor((count(a.vec_id) * 1.0 / {TOP_K}) * 10000 + 0.5) / 10000
+             AS recall_at_k
+    FROM (SELECT * FROM exact WHERE rn <= {TOP_K}) e
+    LEFT JOIN (SELECT * FROM adc_top WHERE rn <= {TOP_K}) a
+      ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+    GROUP BY e.q_id
+    """
+
+
+@query("q_pq_recall", oracle=_pq_recall_oracle())
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index quality: recall@k of ADC (asymmetric distance
+    computation — the actual IVF-PQ query path: per-query lookup
+    table of query-subvector→codebook-entry distances, summed over
+    each candidate's codes) against exact L2 top-k, per query.
+
+    Distances are summed as fixed-point BIGINTs (each subspace term
+    floor-scaled exactly as pq_encode packs them), so the ADC
+    ranking is exact integer arithmetic — order- and
+    engine-independent with no float-summation caveats at all.
+
+    Scale shape: the LUT is queries×M×K rows (tiny — this is PQ's
+    whole point: K·M distance computations per query, then pure
+    table lookups) → broadcast onto the codes table; the per-
+    (query, candidate) aggregation is ONE hash aggregate over
+    N·M·Q id-sized rows; top-k is a per-query window. The exact-L2
+    side is the brute-force baseline being measured against, same
+    role as q_knn_recall's.
+
+    Expected numbers: with the deterministic training-free codebook
+    (PQ_K lowest vec_ids) over random synthetic vectors, recall@5 is
+    LOW (0-0.4 at sf0.01) — honestly measured, not a defect: 16
+    arbitrary codewords per subspace quantize random 8-d subvectors
+    coarsely. Swapping in per-subspace k-means centroids
+    (q_ivf_centroids machinery) raises it; this query exists so that
+    tuning is measurable.
+    """
+    from .embedsearch import N_QUERIES as _NQ
+    from .embedsearch import TOP_K as _TK
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    sub = emb.select("vec_id", F.posexplode(subs).alias("m", "vs"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), F.posexplode(subs).alias("m", "cs"))
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            (
+                F.floor(d2(F.col("vs"), F.col("cs")) * PQ_PACK_SCALE + F.lit(0.5))
+                .cast("long")
+                * PQ_K
+                + F.col("code")
+            ).alias("pk"),
+        )
+        .groupBy("vec_id", "m")
+        .agg((F.min("pk") % PQ_K).cast("long").alias("code"))
+    )
+    q = sub.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("vs").alias("qs")
+    )
+    lut = q.join(F.broadcast(cb), "m").select(
+        "q_id",
+        "m",
+        "code",
+        F.floor(d2(F.col("qs"), F.col("cs")) * PQ_PACK_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("d2_fp"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2_fp").cast("long").alias("dist_fp"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("dist_fp"), F.asc("vec_id"))
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _TK)
+        .select("q_id", "vec_id", F.lit(1).alias("__hit"))
+    )
+    qfull = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(F.asc("__d2"), F.asc("vec_id"))
+    exact_top = (
+        emb.join(F.broadcast(qfull), F.col("vec_id") != F.col("q_id"))
+        .withColumn("__d2", d2(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= _TK)
+        .select("q_id", "vec_id")
+    )
+    return (
+        exact_top.join(adc_top, ["q_id", "vec_id"], "left")
+        .groupBy(F.col("q_id").alias("query_id"))
+        .agg(
+            F.count("__hit").cast("long").alias("n_overlap"),
+            rnd(F.count("__hit") * 1.0 / _TK, 4).alias("recall_at_k"),
+        )
+    )

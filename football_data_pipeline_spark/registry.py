@@ -104,6 +104,7 @@ CHECK_PRIORITY = [
     "q_bpe_merges",
     "q_bpe_tokenize",
     "q_lm_bigram",
+    "q_pq_recall",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -114,9 +115,9 @@ CHECK_PRIORITY = [
     # q_or_join, q_union_roles) — relational.py is untouched in r3
     # AND r4, every one is re-verified at HEAD by the local
     # all-queries oracle gate, and all ten sit first in
-    # CARRY_TO_NEXT_ROUND for r5; q_left_join_count joined them (an
-    # eleventh relational.py displacement) when q_lm_bigram landed:
-    "q_json_extract",
+    # CARRY_TO_NEXT_ROUND for r5; q_left_join_count and
+    # q_json_extract (etl.py, untouched r3/r4) joined them when
+    # q_lm_bigram / q_pq_recall landed:
     "q_team_search",
     "q_lineups_flatten",
     "q_h2h_flatten",
@@ -191,6 +192,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_or_join",
     "q_union_roles",
     "q_left_join_count",
+    "q_json_extract",  # etl.py untouched in r3/r4
     # tier 2: textstats.py/prep.py — file changed in r4, own code
     # untouched unless noted
     "q_text_stats",
@@ -217,6 +219,7 @@ ROTATE_TAIL = [
     "q_or_join",
     "q_union_roles",
     "q_left_join_count",
+    "q_json_extract",
     # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
     # (timeseries / jobs / profiling / sampling / embedsearch /
     # resolution / relational); the textstats/prep rows listed in

@@ -430,3 +430,19 @@ def test_lm_bigram_prefers_seen_transitions(spark):
     assert out[1].n_bigrams == 2
     # docs 1/2 use transitions seen twice; doc 3's are singletons
     assert out[1].avg_logp > out[3].avg_logp
+
+
+def test_pq_recall_bounded_and_deterministic(spark):
+    """ADC recall@k is a well-defined [0, 1] measurement and two runs
+    agree exactly (fixed-point integer distances leave no room for
+    float drift)."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    # driver-table run: recall is defined (0..1) and deterministic
+    out = QUERIES["q_pq_recall"].fn(spark, SF_DIR).collect()
+    assert out and all(0.0 <= r.recall_at_k <= 1.0 for r in out)
+    run2 = QUERIES["q_pq_recall"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, run2))
