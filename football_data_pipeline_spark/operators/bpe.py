@@ -94,8 +94,13 @@ def _round_ctes(r: int, prev: str) -> str:
       GROUP BY lhs, rhs
     ),
     b{r} AS (
-      SELECT lhs, rhs, cnt FROM p{r}
-      ORDER BY cnt DESC, lhs DESC, rhs DESC LIMIT 1
+      -- the chr(0) sentinel mirrors the Spark no-op row: a round
+      -- with no pairs must carry the vocab through unchanged, not
+      -- annihilate it via the CROSS JOIN with an empty argmax
+      SELECT lhs, rhs, cnt FROM (
+        SELECT lhs, rhs, cnt FROM p{r}
+        UNION ALL SELECT chr(0), chr(0), CAST(0 AS BIGINT)
+      ) ORDER BY cnt DESC, lhs DESC, rhs DESC LIMIT 1
     ),
     s{r} AS (
       SELECT w, c,
@@ -125,7 +130,7 @@ def _bpe_oracle() -> str:
         parts.append("," + _round_ctes(r, prev))
         selects.append(
             f"SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, cnt"
-            f" AS pair_count FROM b{r}"
+            f" AS pair_count FROM b{r} WHERE cnt > 0"
         )
         prev = f"s{r}"
     return "".join(parts) + "\n    " + " UNION ALL ".join(selects)
@@ -158,10 +163,10 @@ def _clean_words(docs: DataFrame, carry_doc: bool) -> DataFrame:
     cleaned = F.replace(
         F.replace(F.col("w"), F.lit(SL), F.lit("")), F.lit(SR), F.lit("")
     ).alias("w")
-    cols = (["doc_id"] if carry_doc else []) + [cleaned]
+    carried = ["doc_id"] if carry_doc else []
     return docs.select(
-        "doc_id", F.explode(F.array_remove(F.split("text", " "), "")).alias("w")
-    ).select(*cols)
+        *carried, F.explode(F.array_remove(F.split("text", " "), "")).alias("w")
+    ).select(*carried, cleaned)
 
 
 def _framed_vocab(tok: DataFrame) -> DataFrame:
@@ -204,7 +209,20 @@ def _one_round(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
         .agg(F.sum("c").cast("long").alias("cnt"))
     )
-    best = pairs.orderBy(F.desc("cnt"), F.desc("lhs"), F.desc("rhs")).limit(1)
+    # pad with a zero-count sentinel no-merge row: if a round finds
+    # NO pairs (vocab fully merged early), an empty `best` would
+    # annihilate the vocabulary through the crossJoin — the sentinel
+    # (chr(0) is never a symbol) keeps the round a no-op instead.
+    # Any real pair (cnt >= 1) outranks it; bpe_merges filters the
+    # sentinel out of the merge table.
+    noop = syms.sparkSession.createDataFrame(
+        [("\x00", "\x00", 0)], "lhs string, rhs string, cnt long"
+    )
+    best = (
+        pairs.unionByName(noop)
+        .orderBy(F.desc("cnt"), F.desc("lhs"), F.desc("rhs"))
+        .limit(1)
+    )
     applied = syms.crossJoin(F.broadcast(best.select("lhs", "rhs"))).select(
         "w",
         "c",
@@ -237,7 +255,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None
-    return out
+    return out.filter(F.col("pair_count") > 0)
 
 
 @query("q_bpe_merges", oracle=_bpe_oracle())

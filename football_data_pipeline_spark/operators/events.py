@@ -74,17 +74,28 @@ def detect_lineup_changes(lineups: DataFrame, fixtures: DataFrame) -> DataFrame:
         F.max("kickoff_utc").alias("kickoff_utc"),
         F.max("collected_at").alias("detected_at"),
     )
-    # distinct: the reference pipeline collects a fixture in multiple
-    # phases, so a starter can appear once per collection — without
-    # the dedup (which the DuckDB oracle applies via SELECT DISTINCT)
-    # one real absence would emit one event PER collection snapshot
-    prev = cur.select(
-        "team_id",
-        (F.col("seq") + 1).alias("seq"),
-        "player_id",
-        "player_name",
-        "is_captain",
-    ).distinct()
+    # dedup KEYED (team, seq, player): the reference pipeline
+    # collects a fixture in multiple phases, so a starter can appear
+    # once per collection — and re-collections may also differ in
+    # name/captain corrections, which a plain distinct would keep as
+    # separate rows (two events for one absence). The latest
+    # collection wins; collected_at ties break on the struct's
+    # remaining fields, deterministically.
+    prev = (
+        cur.groupBy("team_id", "seq", "player_id")
+        .agg(
+            F.max(
+                F.struct("collected_at", "is_captain", "player_name")
+            ).alias("__s")
+        )
+        .select(
+            "team_id",
+            (F.col("seq") + 1).alias("seq"),
+            "player_id",
+            F.col("__s.player_name").alias("player_name"),
+            F.col("__s.is_captain").alias("is_captain"),
+        )
+    )
     missing = prev.join(
         cur.select("team_id", "seq", "player_id"),
         ["team_id", "seq", "player_id"],

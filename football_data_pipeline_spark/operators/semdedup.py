@@ -393,8 +393,6 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_ivf_centroids machinery) raises it; this query exists so that
     tuning is measurable.
     """
-    from .embedsearch import N_QUERIES as _NQ
-    from .embedsearch import TOP_K as _TK
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -432,7 +430,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "m")
         .agg((F.min("pk") % PQ_K).cast("long").alias("code"))
     )
-    q = sub.filter(F.col("vec_id") < _NQ).select(
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "m", F.col("vs").alias("qs")
     )
     lut = q.join(F.broadcast(cb), "m").select(
@@ -452,10 +450,10 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("q_id").orderBy(F.asc("dist_fp"), F.asc("vec_id"))
     adc_top = (
         adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _TK)
+        .filter(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", F.lit(1).alias("__hit"))
     )
-    qfull = emb.filter(F.col("vec_id") < _NQ).select(
+    qfull = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     w_ex = Window.partitionBy("q_id").orderBy(F.asc("__d2"), F.asc("vec_id"))
@@ -463,7 +461,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(qfull), F.col("vec_id") != F.col("q_id"))
         .withColumn("__d2", d2(F.col("q_emb"), F.col("embedding")))
         .withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= _TK)
+        .filter(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id")
     )
     return (
@@ -471,6 +469,6 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("q_id").alias("query_id"))
         .agg(
             F.count("__hit").cast("long").alias("n_overlap"),
-            rnd(F.count("__hit") * 1.0 / _TK, 4).alias("recall_at_k"),
+            rnd(F.count("__hit") * 1.0 / TOP_K, 4).alias("recall_at_k"),
         )
     )

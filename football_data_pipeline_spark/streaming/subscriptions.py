@@ -37,13 +37,25 @@ def set_channel(channels: DataFrame, delta: DataFrame) -> DataFrame:
     to a channel — keyed (guild_id, alert_type), last write wins
     (the reference's dict assignment). Invalid alert types fail
     loudly with the same valid-set message the bot replies with."""
-    bad = delta.filter(~F.col("alert_type").isin(*VALID_ALERT_TYPES)).limit(1).collect()
+    # NULL-safe: ~isin(NULL) is NULL and would silently skip the
+    # filter, persisting an unroutable NULL-keyed row
+    bad = delta.filter(
+        ~F.col("alert_type").isin(*VALID_ALERT_TYPES)
+        | F.col("alert_type").isNull()
+    ).limit(1).collect()
     if bad:
         raise ValueError(
             f"Please specify alert type: {'/'.join(sorted(VALID_ALERT_TYPES))}"
         )
+    # channel_id as the final tie-break: two setups for one key in
+    # the same second resolve deterministically (max channel_id) —
+    # a set-based batch has no notion of the reference's sequential
+    # "last command wins", so the tie rule is pinned instead
     return upsert_replace(
-        channels, delta, keys=["guild_id", "alert_type"], order_cols=["updated_at"]
+        channels,
+        delta,
+        keys=["guild_id", "alert_type"],
+        order_cols=["updated_at", "channel_id"],
     )
 
 
@@ -52,13 +64,17 @@ def set_subscription(subs: DataFrame, delta: DataFrame) -> DataFrame:
     preference set (the reference assigns the list wholesale, so the
     upsert first drops the user's previous rows — one row per pref
     here, relational form of the dict's list value)."""
-    bad = delta.filter(~F.col("pref").isin(*VALID_PREFS)).limit(1).collect()
+    bad = delta.filter(
+        ~F.col("pref").isin(*VALID_PREFS) | F.col("pref").isNull()
+    ).limit(1).collect()
     if bad:
         raise ValueError(
             f"Valid preferences: {', '.join(sorted(VALID_PREFS))}"
         )
     survivors = subs.join(delta.select("user_id").distinct(), "user_id", "left_anti")
-    return survivors.unionByName(delta)
+    # '!fb subscribe odds odds' must store one row, like the
+    # reference's set(preferences)
+    return survivors.unionByName(delta.dropDuplicates(["user_id", "pref"]))
 
 
 def channels_for(channels: DataFrame, alert_type: str) -> DataFrame:

@@ -324,3 +324,36 @@ def test_subscriptions_setup_subscribe_route(spark):
     assert {r.user_id for r in subscribers_for(subs, "games").collect()} == {7, 8}
     with _pytest.raises(ValueError, match="Valid preferences"):
         set_subscription(subs, spark.createDataFrame([(9, "cricket", t1)], SUBS_SCHEMA))
+
+
+def test_subscriptions_null_and_duplicate_handling(spark):
+    """NULL alert types / prefs must raise (not silently persist an
+    unroutable row), and duplicate prefs in one subscribe command
+    store a single row."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from football_data_pipeline_spark.streaming.subscriptions import (
+        CHANNELS_SCHEMA,
+        SUBS_SCHEMA,
+        set_channel,
+        set_subscription,
+    )
+
+    t0 = dt.datetime(2026, 8, 1)
+    with _pytest.raises(ValueError, match="alert type"):
+        set_channel(
+            spark.createDataFrame([], CHANNELS_SCHEMA),
+            spark.createDataFrame([(1, None, 5, t0)], CHANNELS_SCHEMA),
+        )
+    with _pytest.raises(ValueError, match="Valid preferences"):
+        set_subscription(
+            spark.createDataFrame([], SUBS_SCHEMA),
+            spark.createDataFrame([(7, None, t0)], SUBS_SCHEMA),
+        )
+    subs = set_subscription(
+        spark.createDataFrame([], SUBS_SCHEMA),
+        spark.createDataFrame([(7, "odds", t0), (7, "odds", t0)], SUBS_SCHEMA),
+    )
+    assert subs.count() == 1
