@@ -32,6 +32,7 @@ def upcoming_games_with_odds(
     leagues: DataFrame,
     odds_history: DataFrame,
     now: Column,
+    require_scheduled: bool = True,
 ) -> DataFrame:
     """The reference view (/root/reference/database_schema.sql:144-169)
     as one DataFrame composition.
@@ -64,7 +65,13 @@ def upcoming_games_with_odds(
         F.col("name").alias("league"),
         "country",
     )
-    upcoming = fixtures.filter((F.col("kickoff_utc") > now) & (F.col("status") == "scheduled"))
+    # the VIEW (database_schema.sql:146) filters status='scheduled';
+    # the DASHBOARD query (yml) filters only on kickoff — callers
+    # mirroring the latter pass require_scheduled=False so a
+    # live/postponed fixture with a future kickoff still appears
+    upcoming = fixtures.filter(F.col("kickoff_utc") > now)
+    if require_scheduled:
+        upcoming = upcoming.filter(F.col("status") == "scheduled")
     return (
         upcoming.join(F.broadcast(ht), upcoming.home_team_id == ht.__ht_id)
         .join(F.broadcast(at), upcoming.away_team_id == at.__at_id)

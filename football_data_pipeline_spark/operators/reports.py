@@ -99,13 +99,15 @@ def weekly_report(
             F.broadcast(lg),
             (F.col("league_id") == F.col("__lg_id")) & (F.col("season") == F.col("__lg_season")),
         )
-        .groupBy("name")
+        # GROUP BY l.id, l.name (yml) — two leagues sharing a name
+        # (e.g. 'Primera Division' in two countries) stay separate
+        .groupBy("__lg_id", "name")
         .agg(F.countDistinct("fixture_id").alias("games"))
     )
     top_leagues = _packed_top(
         per_league,
         F.col("games"),
-        F.col("name"),
+        F.struct(F.col("name"), F.col("__lg_id")),
         F.struct("name", "games"),
         5,
         "top_leagues",
@@ -258,16 +260,24 @@ def dashboard_data(
     """
     from pyspark.sql import Window
 
-    # upcoming games: the gold view, next 48 h, top 20 by kickoff
+    # upcoming games: the gold composition, next 48 h, top 20 by
+    # kickoff — require_scheduled=False because the dashboard yml
+    # query has NO status filter, unlike the schema view
     upcoming = (
-        upcoming_games_with_odds(fixtures, teams, leagues, odds_history, now)
+        upcoming_games_with_odds(
+            fixtures, teams, leagues, odds_history, now, require_scheduled=False
+        )
         .filter(F.col("kickoff_utc") < now + F.expr("INTERVAL 48 HOURS"))
         .orderBy("kickoff_utc", "fixture_id")
         .limit(20)
     )
     upcoming_packed = _packed_top(
         upcoming,
-        -F.unix_timestamp("kickoff_utc"),  # ascending kickoff
+        # cast-to-double keeps sub-second precision — unix_timestamp
+        # truncates to seconds and could disagree with the limit-20
+        # selection's full-precision ordering (same hazard the
+        # movements block below documents)
+        -F.col("kickoff_utc").cast("double"),  # ascending kickoff
         F.col("fixture_id"),
         F.struct(
             F.col("fixture_id").alias("id"),
@@ -399,7 +409,14 @@ def dashboard_data(
     top_teams_packed = _packed_top(
         top_teams_df,
         F.col("win_percentage"),
-        F.struct(F.col("team_id"), F.col("collection_date")),
+        # negated date: the packed array's ascending struct sort must
+        # agree with the selection's (team_id, collection_date DESC)
+        F.struct(
+            F.col("team_id"),
+            (-F.unix_timestamp(F.col("collection_date").cast("timestamp"))).alias(
+                "__nd"
+            ),
+        ),
         F.struct(
             F.col("team_name").alias("name"),
             "win_percentage",
@@ -567,7 +584,9 @@ def mapping_stats_report(
         F.count("*").alias("total_attempts"),
         F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("successful_mappings"),
         F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("failed_mappings"),
-        F.avg(succ_conf).alias("avg_confidence"),
+        # `avg_conf or 0.0` in the reference — a run with zero
+        # successes reports 0.0, not null (enhanced_mapping.py:295)
+        F.coalesce(F.avg(succ_conf), F.lit(0.0)).alias("avg_confidence"),
     ).withColumn(
         "success_rate",
         F.when(
@@ -575,8 +594,13 @@ def mapping_stats_report(
             F.col("successful_mappings") / F.col("total_attempts"),
         ).otherwise(F.lit(0.0)),
     )
+    # successful attempts only — the reference's strategy_usage query
+    # is `... WHERE success = 1 GROUP BY strategy_used`
+    # (enhanced_mapping.py:283-288); counting failures would add a
+    # 'no_match' key and inflate real strategies
     usage = (
-        attempts.groupBy("strategy")
+        attempts.filter(F.col("success"))
+        .groupBy("strategy")
         .agg(F.count("*").alias("n"))
         .agg(
             F.map_from_entries(
@@ -584,16 +608,27 @@ def mapping_stats_report(
             ).alias("strategy_usage")
         )
     )
-    per_strategy = (
-        attempts.filter(F.col("success"))
-        .groupBy("strategy")
-        .agg(F.count("*").alias("successes"), rnd(F.avg("confidence"), 4).alias("avg_confidence"))
+    # ALL attempts group per strategy (enhanced_mapping.py:684-697):
+    # a strategy with attempts but zero successes appears with
+    # success_rate 0.0 instead of vanishing; avg_confidence averages
+    # successful attempts only, success_rate = successes/attempts
+    per_strategy = attempts.groupBy("strategy").agg(
+        F.count("*").alias("attempts"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("successes"),
+        rnd(F.avg(F.when(F.col("success"), F.col("confidence"))), 4).alias(
+            "avg_confidence"
+        ),
+    ).withColumn(
+        "success_rate",
+        rnd(F.col("successes") * 1.0 / F.col("attempts"), 4),
     )
     strategy_perf = _packed_top(
         per_strategy,
         F.col("successes"),
         F.col("strategy"),
-        F.struct("strategy", "successes", "avg_confidence"),
+        F.struct(
+            "strategy", "attempts", "successes", "avg_confidence", "success_rate"
+        ),
         None,
         "strategy_performance",
     )
@@ -606,9 +641,18 @@ def mapping_stats_report(
         "failed_list",  # renamed into the report struct below —
         # 'failed_mappings' also names the stats-level count
     )
+    # ORDER BY attempted_at DESC in the reference (:721-722) —
+    # recency, not confidence, picks the 10. attempt_log stamps
+    # attempted_at when given `now`; a log without the column (older
+    # callers) falls back to confidence order, documented here.
+    recency = (
+        F.col("attempted_at").cast("double")
+        if "attempted_at" in attempts.columns
+        else F.col("confidence")
+    )
     successes = _packed_top(
-        attempts.filter(F.col("success")).select("api_name", "matched_name", "confidence"),
-        F.col("confidence"),
+        attempts.filter(F.col("success")),
+        recency,
         F.col("api_name"),
         F.struct("api_name", "matched_name", "confidence"),
         10,

@@ -562,7 +562,12 @@ def resolve_names(
         )
         # cache the per-name verdicts (dim-sized): multiple consumers
         # (the union output, the anti-joins) would otherwise re-run
-        # their tier's whole subtree per reference
+        # their tier's whole subtree per reference. Lifecycle: the
+        # returned plan references these cached frames, so they stay
+        # pinned for the session (a dim-sized cost) — a long-lived
+        # driver running the cascade repeatedly should
+        # spark.catalog.clearCache() between corpora or materialize
+        # the result and unpersist (the phash_near_dup pattern)
         easy_a = easy_a.cache()
         all_names = api_df.select(api_col).distinct()
         rest_a = all_names.join(
@@ -675,15 +680,23 @@ def learn_mappings(
     return upsert_replace(existing, new, keys=[api_col], order_cols=["confidence"])
 
 
-def attempt_log(resolved: DataFrame, api_col: str = "api_name") -> DataFrame:
+def attempt_log(
+    resolved: DataFrame, api_col: str = "api_name", now: Column | None = None
+) -> DataFrame:
     """F14: the append-only mapping_attempts side output, with the
     alternatives list JSON-serialized (N6;
-    enhanced_mapping.py:612-630)."""
-    return resolved.select(
+    enhanced_mapping.py:612-630). Pass ``now`` to stamp
+    ``attempted_at`` (the reference's insertion timestamp, which its
+    mapping report orders by); omitted, the column is absent and
+    recency-ordered consumers fall back as they document."""
+    cols = [
         F.col(api_col),
         F.col("matched_name"),
         F.col("confidence"),
         F.col("strategy"),
         F.col("matched_name").isNotNull().alias("success"),
         F.to_json(F.col("alternatives")).alias("alternatives"),
-    )
+    ]
+    if now is not None:
+        cols.append(now.alias("attempted_at"))
+    return resolved.select(*cols)

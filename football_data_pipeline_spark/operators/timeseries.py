@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, oracle_rnd, rnd
+from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, rnd
 from ..registry import query
 
 CUTOFF = "2024-01-15 00:00:00"
@@ -242,6 +242,12 @@ def asof_join(
     from pyspark.sql import Window
 
     payload_cols = payload_cols or [c for c in right.columns if c not in (on, ts_col)]
+    # a right row with NULL ts can never satisfy `r.ts <= l.ts` (the
+    # documented DuckDB ASOF semantics) — but Spark sorts NULLs FIRST
+    # ascending and the when() struct is non-null even for NULL ts,
+    # so without this filter such a row would latch as the "latest"
+    # match for every left row preceding the first real right row
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts_col),

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import oracle_rnd, rnd
+from ..functions.stable import rnd
 from ..registry import query
 
 

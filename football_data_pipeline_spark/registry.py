@@ -180,6 +180,22 @@ CHECK_PRIORITY = [
 #: CHECK_PRIORITY in r5. The rule update: cap overflow carries
 #: forward loudly instead of silently bending "untouched since".
 CARRY_TO_NEXT_ROUND = [
+    # tier 3 (late-r4 review-hardening touched timeseries.py — asof
+    # NULL-ts filter — and resolution.py — attempt_log attempted_at
+    # param + cache-lifecycle note): their tail queries' r3 driver
+    # rows predate those edits. All re-verified at HEAD by the local
+    # all-queries oracle gate; first in line for r5 alongside the
+    # tiers below.
+    "q_asof_join",
+    "q_kpi_ratio",
+    "q_weighted_sum",
+    "q_range_join",
+    "q_before_after",
+    "q_learned_mapping",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
+    "q_fuzzy_join",
+    "q_normalize_names",
     # tier 1: relational.py, untouched in r3/r4
     "q_scalar_agg",
     "q_count_distinct",

@@ -344,3 +344,27 @@ def test_chunking_covers_and_reconstructs(spark, lens):
             rebuilt.extend(c.chunk_text.split()[:STRIDE_WORDS])
         rebuilt.extend(chunks[-1].chunk_text.split())
         assert rebuilt == [f"w{i}x{j}" for j in range(n)]
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts can never be an as-of match (DuckDB
+    ASOF semantics: r.ts <= l.ts is never true for NULL) — it must
+    not latch as the 'latest' row for early left rows."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (1, "2026-01-01 12:00:00")],
+        "k long, t string",
+    ).select("k", F.to_timestamp("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2026-01-01 11:00:00", 42.0)],
+        "k long, t string, v double",
+    ).select("k", F.to_timestamp("t").alias("ts"), "v")
+    out = sorted(
+        (r.ts.isoformat(), r.asof_v) for r in asof_join(left, right, "k").collect()
+    )
+    # 10:00 has NO match (the NULL-ts row must not fill in); 12:00
+    # matches the 11:00 row
+    assert out == [("2026-01-01T10:00:00", None), ("2026-01-01T12:00:00", 42.0)]

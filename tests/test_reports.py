@@ -218,7 +218,9 @@ def test_mapping_stats_report_shape(spark, silver, tmp_path):
         "api_name string, matched_name string, confidence double, "
         "strategy string, alternatives array<string>",
     )
-    attempts = attempt_log(resolved)
+    from pyspark.sql import functions as _F
+
+    attempts = attempt_log(resolved, now=_F.lit(NOW).cast("timestamp"))
     learned = spark.createDataFrame([("A", "A")], "api_name string, learned_name string")
     manual = spark.createDataFrame([("X", "Y"), ("Z", "W")], "api_name string, manual_target string")
     doc = _roundtrip(
@@ -232,8 +234,10 @@ def test_mapping_stats_report_shape(spark, silver, tmp_path):
     assert doc["stats"]["total_attempts"] == 3
     assert doc["stats"]["successful_mappings"] == 2
     assert doc["stats"]["failed_mappings"] == 1
+    # success-only, like the reference's WHERE success = 1 — the
+    # failed attempt's 'no_match' must NOT appear
     assert doc["stats"]["strategy_usage"] == {
-        "exact_match": 1, "normalized_matching": 1, "no_match": 1
+        "exact_match": 1, "normalized_matching": 1
     }
     assert doc["report"]["learned_mappings_count"] == 1
     assert doc["report"]["manual_mappings_count"] == 2
