@@ -26,10 +26,12 @@ from .operators import (  # noqa: F401
     redact,
     relational,
     sampling,
+    selection,
     semdedup,
+    sessions,
     textstats,
     timeseries,
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, semdedup, textstats, timeseries, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, textstats, timeseries, windows]

@@ -479,3 +479,117 @@ def q_ivf_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_sq_dist"),
     )
+
+
+# --- semantic benchmark decontamination (embedding-space twin of
+# --- prep.contamination_overlap's n-gram scan) ---
+
+#: hash-holdout: bucket 0 of 20 ⇒ a deterministic ~5% of vectors
+#: stand in for the eval benchmark's embeddings
+SEMDECON_SALT = "semdecon-v1"
+SEMDECON_MOD = 20
+#: max-cosine flag threshold: a train vector this close to ANY eval
+#: vector is a semantic near-copy of benchmark content. Calibrated
+#: to the synthetic corpus (random 64-dim vectors put the top decile
+#: of max-cosines at ~0.34 and the max at ~0.48, so 0.4 flags a
+#: handful of genuinely-closest vectors at every SF); real embedding
+#: spaces run this scan at ~0.9+, where paraphrases of the same
+#: benchmark item land.
+SEMDECON_TAU = 0.4
+
+
+def _semdecon_oracle() -> str:
+    bucket = (
+        f"CAST(('0x' || substr(md5('{SEMDECON_SALT}:' || CAST(vec_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 10000 % {SEMDECON_MOD}"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_oracle_norm('embedding')} AS nrm,
+             {bucket} AS b
+      FROM embeddings
+    ),
+    ev AS (SELECT * FROM e WHERE b = 0),
+    tr AS (SELECT * FROM e WHERE b <> 0),
+    best AS (
+      SELECT t.vec_id, any_value(t.label) AS label,
+             max({_oracle_dot('t.embedding', 'v.embedding')} / (t.nrm * v.nrm))
+               AS max_sim
+      FROM tr t CROSS JOIN ev v
+      GROUP BY t.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN max_sim >= {SEMDECON_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           floor(max(max_sim) * 1000000 + 0.5) / 1000000 AS max_sim
+    FROM best GROUP BY label
+    """
+
+
+@query("q_semantic_decontam", oracle=_semdecon_oracle())
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: flag train vectors whose
+    max cosine against ANY eval-benchmark vector reaches τ — the
+    embedding-space complement of the word-3-gram overlap scan
+    (prep.contamination_overlap). N-gram overlap misses paraphrased
+    benchmark leakage; embedding similarity catches it (the published
+    recipe, e.g. the paraphrase-contamination audits of 2023-24 —
+    same plan as SemDeDup but measured against a FIXED eval set).
+
+    A deterministic ~5% hash holdout of ``embeddings`` plays the
+    benchmark. Per-label rollup (train count, flagged count, max
+    similarity) pins every per-vector verdict through the count + the
+    6-dp max.
+
+    Scale shape: the eval side of any decontamination scan is tiny
+    (benchmarks are thousands of rows, the pool is billions) →
+    broadcast eval, stream the pool once, per-pool-vector max in one
+    hash aggregate with map-side combine. No window, no shuffle of
+    the big side beyond the final label-keyed rollup. The brute-force
+    scoring loop is the same fold-based dot product the knn plans
+    use; at extreme eval sizes the IVF/LSH bucketing upstream
+    (q_knn_ivf / q_dedup_embed) bounds candidates first.
+    """
+    from .sampling import sample_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.pmod(sample_bucket(F.col("vec_id"), SEMDECON_SALT), F.lit(SEMDECON_MOD)).alias(
+            "b"
+        ),
+    )
+    best = eval_max_similarity(
+        e.filter(F.col("b") != 0).drop("b"),
+        e.filter(F.col("b") == 0).select("embedding"),
+    )
+    return best.groupBy("label").agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(F.col("max_sim") >= SEMDECON_TAU, 1).otherwise(0)).alias(
+            "n_flagged"
+        ),
+        rnd(F.max("max_sim"), 6).alias("max_sim"),
+    )
+
+
+def eval_max_similarity(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """(vec_id, label, max_sim): each train vector's max cosine
+    against the (broadcast) eval set — the per-vector core of
+    q_semantic_decontam, factored so crafted tests can drive the
+    flagging path with planted near-copies."""
+    evn = ev.select(
+        F.col("embedding").alias("ev_emb"), norm(F.col("embedding")).alias("ev_nrm")
+    )
+    return (
+        train.withColumn("nrm", norm(F.col("embedding")))
+        .join(F.broadcast(evn))
+        .withColumn(
+            "sim",
+            dot(F.col("embedding"), F.col("ev_emb")) / (F.col("nrm") * F.col("ev_nrm")),
+        )
+        .groupBy("vec_id")
+        .agg(F.any_value("label").alias("label"), F.max("sim").alias("max_sim"))
+    )

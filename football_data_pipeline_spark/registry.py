@@ -105,10 +105,13 @@ CHECK_PRIORITY = [
     "q_bpe_tokenize",
     "q_lm_bigram",
     "q_pq_recall",
+    "q_dsir_weights",
+    "q_sessionize",
+    "q_semantic_decontam",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
-    # The TEN never-checked round-4 queries above out-prioritized the
+    # The never-checked round-4 queries above out-prioritized the
     # ten simplest relational.py queries (q_scalar_agg,
     # q_count_distinct, q_group_multi, q_conditional_agg,
     # q_topk_group, q_date_trunc_trend, q_semi_join, q_anti_join,
@@ -117,16 +120,17 @@ CHECK_PRIORITY = [
     # all-queries oracle gate, and all ten sit first in
     # CARRY_TO_NEXT_ROUND for r5; q_left_join_count and
     # q_json_extract (etl.py, untouched r3/r4) joined them when
-    # q_lm_bigram / q_pq_recall landed:
-    "q_team_search",
+    # q_lm_bigram / q_pq_recall landed; q_team_search (relational),
+    # q_upsert_latest (upsert.py) and q_h2h_flatten (flatten.py) —
+    # all three modules untouched r3 AND r4, ingest.py's r4 change
+    # purely additive (documents-JSONL source) — joined when the
+    # selection/sessionize/semantic-decontam trio landed:
     "q_lineups_flatten",
-    "q_h2h_flatten",
     "q_team_stats_extract",
     "q_odds_flatten",
     "q_first_last_change",
     "q_lag_movement",
     "q_latest_per_key",
-    "q_upsert_latest",
     "q_dedup_simhash",
     "q_windowed_volatility",
     "q_knn_bruteforce",
@@ -180,6 +184,14 @@ CHECK_PRIORITY = [
 #: CHECK_PRIORITY in r5. The rule update: cap overflow carries
 #: forward loudly instead of silently bending "untouched since".
 CARRY_TO_NEXT_ROUND = [
+    # tier 0 (displaced late in r4 by the selection/sessionize/
+    # semantic-decontam trio): last green row r2; modules
+    # (relational.py, upsert.py, flatten.py) untouched in r3 AND r4,
+    # ingest.py's r4 change purely additive. Re-verified at HEAD by
+    # the local all-queries oracle gate.
+    "q_team_search",
+    "q_upsert_latest",
+    "q_h2h_flatten",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -224,6 +236,9 @@ CARRY_TO_NEXT_ROUND = [
 ROTATE_TAIL = [
     # displaced to the carry ledger by round 4's new queries (see
     # CARRY_TO_NEXT_ROUND — must head r5's CHECK_PRIORITY):
+    "q_team_search",
+    "q_upsert_latest",
+    "q_h2h_flatten",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",

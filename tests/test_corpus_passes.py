@@ -162,3 +162,104 @@ def test_lsh_recall_found_is_subset_of_truth(spark):
     assert row.n_reps <= row.n_sample_docs
     assert row.n_found <= row.n_truth
     assert 0.0 <= row.recall <= 1.0
+
+
+# --- DSIR importance weights (selection.py) ---
+
+
+def test_dsir_separates_target_like_from_pool_like(spark):
+    from football_data_pipeline_spark.operators.selection import dsir_weights
+
+    # target stratum (src0) speaks football; the pool has two
+    # football-vocabulary docs (target-like) and three cooking docs
+    # (the pool majority). DSIR must score the football pool docs
+    # positive (selected) and strictly above the cooking docs.
+    rows = [
+        (i, "en", "src0", "goal match pitch striker keeper") for i in range(5)
+    ] + [
+        (10, "en", "web", "goal match pitch striker keeper"),
+        (11, "en", "web", "match goal keeper pitch striker"),
+        (12, "en", "web", "recipe oven butter flour sugar"),
+        (13, "en", "web", "butter sugar flour oven recipe"),
+        (14, "en", "web", "oven recipe sugar butter flour"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    }
+    # the target stratum itself is never scored
+    assert set(out) == {10, 11, 12, 13, 14}
+    assert out[10].selected and out[11].selected
+    assert not out[12].selected and not out[13].selected and not out[14].selected
+    assert out[10].dsir_logratio > 0 > out[12].dsir_logratio
+    # word-order permutations of the same bag score identically
+    assert out[10].dsir_logratio == out[11].dsir_logratio
+    assert out[12].dsir_logratio == out[13].dsir_logratio == out[14].dsir_logratio
+
+
+# --- semantic decontamination flag path (embedsearch.py) ---
+
+
+def test_eval_max_similarity_flags_planted_copy(spark):
+    from football_data_pipeline_spark.operators.embedsearch import (
+        SEMDECON_TAU,
+        eval_max_similarity,
+    )
+
+    emb_schema = "vec_id long, label int, embedding array<float>"
+    train = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0, 0.0]),  # planted copy of the eval vector
+            (2, 0, [0.8, 0.6, 0.0, 0.0]),  # cos 0.8 vs eval → flagged
+            (3, 1, [0.0, 0.0, 1.0, 0.0]),  # orthogonal → clean
+        ],
+        emb_schema,
+    )
+    ev = spark.createDataFrame([(100, 9, [2.0, 0.0, 0.0, 0.0])], emb_schema).select(
+        "embedding"
+    )
+    out = {r.vec_id: r for r in eval_max_similarity(train, ev).collect()}
+    # embeddings are float32 columns: 0.8/0.6 carry representation
+    # error, so compare at single precision
+    assert abs(out[1].max_sim - 1.0) < 1e-6
+    assert abs(out[2].max_sim - 0.8) < 1e-6
+    assert abs(out[3].max_sim) < 1e-6
+    flagged = {v for v, r in out.items() if r.max_sim >= SEMDECON_TAU}
+    assert flagged == {1, 2}
+
+
+# --- gap sessionization (sessions.py) ---
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from football_data_pipeline_spark.operators.sessions import (
+        SESSION_GAP_S,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        # user 1: two events 1h apart, then a 4h1s gap → 2 sessions
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + h, 1, "view", 1.0),
+        (3, t0 + 5 * h + dt.timedelta(seconds=1), 1, "click", 1.0),
+        # user 2: gap EXACTLY the threshold → strict > keeps ONE session
+        (4, t0, 2, "click", 1.0),
+        (5, t0 + dt.timedelta(seconds=SESSION_GAP_S), 2, "click", 1.0),
+        # user 3: a single event → singleton session, zero duration
+        (6, t0, 3, "view", 1.0),
+    ]
+    out = sessionize(spark.createDataFrame(rows, ev_schema)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    first = min(by_user[1], key=lambda r: r.session_idx)
+    assert first.n_events == 2 and first.duration_us == 3600 * 1_000_000
+    assert len(by_user[2]) == 1 and by_user[2][0].n_events == 2
+    assert by_user[2][0].duration_us == SESSION_GAP_S * 1_000_000
+    assert len(by_user[3]) == 1 and by_user[3][0].duration_us == 0
