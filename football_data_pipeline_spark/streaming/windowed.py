@@ -85,6 +85,45 @@ def q_windowed_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_volatility(load(spark, sf_dir, "events"))
 
 
+def user_sessions(
+    events: DataFrame, gap_s: int | None = None, watermark: str = WATERMARK
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize``: per-user
+    gap sessions via Spark's NATIVE ``session_window`` — state is one
+    open window per user, merged as events arrive and EVICTED once
+    the watermark passes the window's close (start of the trailing
+    gap), so unbounded streams hold bounded state. The batch LAG
+    formulation can't run on a stream (no ordered window over
+    unbounded input); this is the operator rewritten for the
+    streaming execution model rather than ported.
+
+    Semantics parity (asserted in tests/test_streaming.py): Spark
+    merges session windows that OVERLAP, and each event opens
+    [t, t+gap) — an event landing exactly ``gap`` after the previous
+    one still merges (measured), which is the same boundary the batch
+    operator's strict ``> gap`` split keeps. Output columns mirror
+    sessionize's (minus n_event_types, which would force an extra
+    distinct state per window); works on batch and streaming inputs.
+    """
+    from ..operators.sessions import SESSION_GAP_S
+
+    gap = f"{SESSION_GAP_S if gap_s is None else gap_s} seconds"
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (
+                F.max(F.unix_micros(F.col("ts")))
+                - F.min(F.unix_micros(F.col("ts")))
+            ).alias("duration_us"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "duration_us")
+    )
+
+
 def enrich_stream_stream(
     odds: DataFrame,
     fixtures: DataFrame,

@@ -232,3 +232,47 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ).collect()
     assert [r.fixture_id for r in b] == [1]
     assert b[0].home_team_id == 10
+
+
+def test_user_sessions_stream_matches_batch_and_lag_form(spark, tmp_path):
+    """The native session_window operator must (a) agree with the
+    batch LAG+running-sum sessionize on the same events — membership,
+    bounds, and duration — and (b) converge to the identical answer
+    when driven as a stream (watermarked state, availableNow drain)."""
+    import time
+
+    from football_data_pipeline_spark.operators.sessions import sessionize
+    from football_data_pipeline_spark.streaming.windowed import user_sessions
+
+    events = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    proj = ["user_id", "session_start", "session_end", "n_events", "duration_us"]
+    lag_form = sorted(
+        tuple(r) for r in sessionize(events).select(*proj).collect()
+    )
+    batch = sorted(tuple(r) for r in user_sessions(events).collect())
+    assert batch == lag_form
+
+    src = str(tmp_path / "sess_src")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        user_sessions(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_sw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM sessions_sw").collect())
+    assert got == batch
