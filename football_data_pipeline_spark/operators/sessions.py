@@ -125,3 +125,86 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("avg_session_sec"),
     )
+
+
+# --- weekly retention cohorts ---
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_active, cohort_size,
+    retention_rate): the classic cohort-retention matrix — users
+    bucketed by their first active ISO week, then counted in every
+    later week they return. The at-scale twin of the reference
+    dashboard's per-day activity trend (streamlit_dashboard.py's
+    date_trunc groupings), generalized to the per-entity lifecycle
+    view every behavioral corpus audit needs.
+
+    Plan shape: dedupe (user, week) pairs (one hash aggregate), a
+    user-keyed min for the cohort assignment, one user-keyed join to
+    attach it (both sides share the user_id hash partitioning — AQE
+    keeps it local), then a cohort-keyed rollup whose input is
+    |users|·|weeks| at most. No window, no cross product; every
+    aggregate map-side combines. Week arithmetic is exact integer
+    days/7 (both engines truncate weeks to Monday), so no float
+    timestamps anywhere. The output cohort_week is a yyyy-MM-dd
+    string — engines disagree on how a derived DATE round-trips
+    (q_date_trunc_trend's documented convention).
+    """
+    uw = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    joined = uw.join(cohort, "user_id").withColumn(
+        "week_offset", (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int")
+    )
+    mat = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return mat.join(sizes, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        rnd(F.col("n_active") / F.col("cohort_size"), 4).alias("retention_rate"),
+    )
+
+
+def _retention_oracle() -> str:
+    return """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id
+    ),
+    joined AS (
+      SELECT u.user_id, c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, u.wk) / 7 AS INT) AS week_offset
+      FROM uw u JOIN cohort c ON c.user_id = u.user_id
+    ),
+    mat AS (
+      SELECT cohort_week, week_offset, count(*) AS n_active
+      FROM joined GROUP BY cohort_week, week_offset
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week
+    )
+    SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week, m.week_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           floor(m.n_active * 1.0 / s.cohort_size * 10000 + 0.5) / 10000
+             AS retention_rate
+    FROM mat m JOIN sizes s ON s.cohort_week = m.cohort_week
+    """
+
+
+@query("q_retention_cohorts", oracle=_retention_oracle())
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`retention_cohorts` over the events
+    table (see that docstring for semantics and the plan shape)."""
+    return retention_cohorts(load(spark, sf_dir, "events"))

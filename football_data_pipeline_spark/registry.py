@@ -108,6 +108,7 @@ CHECK_PRIORITY = [
     "q_dsir_weights",
     "q_sessionize",
     "q_semantic_decontam",
+    "q_retention_cohorts",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -124,8 +125,9 @@ CHECK_PRIORITY = [
     # q_upsert_latest (upsert.py) and q_h2h_flatten (flatten.py) —
     # all three modules untouched r3 AND r4, ingest.py's r4 change
     # purely additive (documents-JSONL source) — joined when the
-    # selection/sessionize/semantic-decontam trio landed:
-    "q_lineups_flatten",
+    # selection/sessionize/semantic-decontam trio landed;
+    # q_lineups_flatten (flatten.py, same untouched-module argument)
+    # followed when q_retention_cohorts landed:
     "q_team_stats_extract",
     "q_odds_flatten",
     "q_first_last_change",
@@ -192,6 +194,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_team_search",
     "q_upsert_latest",
     "q_h2h_flatten",
+    "q_lineups_flatten",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -239,6 +242,7 @@ ROTATE_TAIL = [
     "q_team_search",
     "q_upsert_latest",
     "q_h2h_flatten",
+    "q_lineups_flatten",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
