@@ -74,6 +74,10 @@ HEADLINE = [
     "q_line_dedup",
     "q_semdedup",
     "q_quality_classifier",
+    # added late in round 4 (compare across rounds on the common
+    # prefix): the DSIR selection pass and the sessionization window
+    "q_dsir_weights",
+    "q_sessionize",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

@@ -36,7 +36,9 @@ combine is 256 rows per partition regardless of corpus size; the
 doc-keyed aggregation. Linear in total tokens, no window, no UDF,
 identical asymptotics to lm_score. The hashed-feature trick is
 exactly why DSIR scales: model size is fixed at NB buckets no matter
-the vocabulary.
+the vocabulary. Measured on the 10× corpus probe
+(tools/scale_probe.py): 1.74s → 9.12s for 10× tokens — linear with
+fixed overhead amortizing, same asymptote as lm_score.
 """
 
 from __future__ import annotations

@@ -263,3 +263,32 @@ def test_sessionize_gap_boundaries(spark):
     assert len(by_user[2]) == 1 and by_user[2][0].n_events == 2
     assert by_user[2][0].duration_us == SESSION_GAP_S * 1_000_000
     assert len(by_user[3]) == 1 and by_user[3][0].duration_us == 0
+
+
+def test_eval_max_similarity_arrow_matches_fold(spark):
+    """The Arrow matmul kernel must agree with the oracle-exact fold
+    form at float64 tolerance on real data, return empty on an empty
+    eval set, and enforce the bounded-collect guard."""
+    import pytest
+
+    from football_data_pipeline_spark.catalog import load
+    from football_data_pipeline_spark.operators.embedsearch import (
+        eval_max_similarity,
+        eval_max_similarity_arrow,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    train = emb.filter(F.col("vec_id") >= 50)
+    ev = emb.filter(F.col("vec_id") < 50).select("embedding")
+    fold = {r.vec_id: r.max_sim for r in eval_max_similarity(train, ev).collect()}
+    arrow = {
+        r.vec_id: r.max_sim for r in eval_max_similarity_arrow(train, ev).collect()
+    }
+    assert set(fold) == set(arrow)
+    assert all(abs(fold[v] - arrow[v]) < 1e-9 for v in fold)
+
+    empty_ev = ev.filter(F.lit(False))
+    assert eval_max_similarity_arrow(train, empty_ev).count() == 0
+
+    with pytest.raises(ValueError, match="MAX_EVAL_VECTORS"):
+        eval_max_similarity_arrow(train, ev, max_eval=3)

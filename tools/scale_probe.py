@@ -59,7 +59,20 @@ PROBED = [
 #: expected cluster size stays constant: a linear-time result at 10×
 #: is the PASS criterion for q_semdedup. q_pq_encode has no pair
 #: stage at all — it must be plainly linear.
-VEC_PROBED = ["q_semdedup", "q_pq_encode"]
+VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam"]
+
+#: events-side probes (late round 4): the 10× events build spreads
+#: user_id over COPIES distinct users per source user (10× users,
+#: constant per-user activity), the contract under which session
+#: assembly must scale linearly — per-user window partitions stay
+#: constant-sized while their count grows with the corpus.
+#: NOTE on q_semantic_decontam in VEC_PROBED: the probe's hash
+#: holdout grows the EVAL side 10× along with the corpus, so the
+#: scoring join does ~100× work at 10× — expected and correct for
+#: this build; production decontamination holds |eval| fixed
+#: (benchmarks don't grow with the crawl), where the pass is plainly
+#: linear in the pool.
+EVT_PROBED = ["q_sessionize", "q_retention_cohorts"]
 
 BASE_SF = "/root/testdata/sf0.1"
 COPIES = 10
@@ -128,6 +141,36 @@ def build_probe_embeddings(spark, out_dir: str) -> None:
     shutil.rmtree(tmp)
 
 
+def build_probe_events(spark, out_dir: str) -> None:
+    """10× events: copy i of event e gets event_id = e·16 + i and
+    user_id = u·COPIES + i — ten users per source user, each with the
+    source user's full event sequence (ts unchanged). Session counts
+    and retention cohorts must scale exactly 10× in rows and close to
+    10× in time; a super-linear time says per-user state leaked
+    across users."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.catalog import load as cat_load
+
+    ev = cat_load(spark, BASE_SF, "events")
+    copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+    perturbed = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") * 16 + F.col("copy_i")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * COPIES + F.col("copy_i")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = f"{out_dir}/_evt_build"
+    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{out_dir}/events.parquet", exist_ok=True)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{out_dir}/events.parquet/{f}")
+    shutil.rmtree(tmp)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
@@ -149,6 +192,10 @@ def main() -> None:
             f"{probe_dir}/embeddings.parquet"
         ):
             build_probe_embeddings(spark, probe_dir)
+        if any(q in EVT_PROBED for q in probed) and not os.path.isdir(
+            f"{probe_dir}/events.parquet"
+        ):
+            build_probe_events(spark, probe_dir)
         n10 = spark.read.parquet(f"{probe_dir}/documents.parquet").count()
         print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr, flush=True)
 
