@@ -583,7 +583,15 @@ def eval_max_similarity(train: DataFrame, ev: DataFrame) -> DataFrame:
     """(vec_id, label, max_sim): each train vector's max cosine
     against the (broadcast) eval set — the per-vector core of
     q_semantic_decontam, factored so crafted tests can drive the
-    flagging path with planted near-copies."""
+    flagging path with planted near-copies.
+
+    Zero-norm vectors (padded/empty embeddings in real corpora): a
+    cosine against one is undefined — ``try_divide`` makes it NULL
+    (ANSI sessions would otherwise raise mid-stage), F.max skips
+    NULLs, and a zero-norm TRAIN vector surfaces with max_sim NULL.
+    The Arrow twin below mirrors exactly this. The oracle corpus has
+    no zero vectors, so the DuckDB side never exercises the branch.
+    """
     evn = ev.select(
         F.col("embedding").alias("ev_emb"), norm(F.col("embedding")).alias("ev_nrm")
     )
@@ -592,7 +600,10 @@ def eval_max_similarity(train: DataFrame, ev: DataFrame) -> DataFrame:
         .join(F.broadcast(evn))
         .withColumn(
             "sim",
-            dot(F.col("embedding"), F.col("ev_emb")) / (F.col("nrm") * F.col("ev_nrm")),
+            F.try_divide(
+                dot(F.col("embedding"), F.col("ev_emb")),
+                F.col("nrm") * F.col("ev_nrm"),
+            ),
         )
         .groupBy("vec_id")
         .agg(F.any_value("label").alias("label"), F.max("sim").alias("max_sim"))
@@ -642,7 +653,14 @@ def eval_max_similarity_arrow(
             "vec_id", "label", F.lit(0.0).alias("max_sim")
         ).filter(F.lit(False))
     E = np.array([np.asarray(r.embedding, dtype=np.float64) for r in ev_rows])
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    # zero-norm parity with the fold baseline: a cosine against a
+    # zero EVAL vector is NULL there (double div-by-zero), which
+    # F.max skips — equivalent to dropping those eval rows; a zero
+    # TRAIN vector makes every sim NULL → the fold emits the row
+    # with max_sim NULL, mirrored below via the nullable Float64
+    # column (plain float64 NaN would arrive as NaN, not NULL).
+    e_nrm = np.linalg.norm(E, axis=1, keepdims=True)
+    En = (E / np.where(e_nrm == 0, 1.0, e_nrm))[e_nrm[:, 0] != 0]
     bE = train.sparkSession.sparkContext.broadcast(En)
 
     def kernel(batches):
@@ -650,8 +668,13 @@ def eval_max_similarity_arrow(
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            ms = (Xn @ bE.value.T).max(axis=1)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(nrm == 0, 1.0, nrm)
+            if bE.value.shape[0]:
+                ms = pd.array((Xn @ bE.value.T).max(axis=1), dtype="Float64")
+            else:
+                ms = pd.array([pd.NA] * len(pdf), dtype="Float64")
+            ms[nrm[:, 0] == 0] = pd.NA
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "label": pdf["label"], "max_sim": ms}
             )

@@ -38,11 +38,15 @@ DEFAULT_RATE = 500
 MIX_SALT = "mix-v1"
 
 
-def sample_bucket(id_col: Column, salt: str) -> Column:
-    """Stable bucket in [0, RESOLUTION): first 8 md5 hex digits of
-    ``salt || ':' || id``, mod RESOLUTION."""
+def sample_bucket(
+    id_col: Column, salt: str, resolution: int = RESOLUTION
+) -> Column:
+    """Stable bucket in [0, resolution): first 8 md5 hex digits of
+    ``salt || ':' || id``, mod resolution (defaults to the
+    basis-point RESOLUTION; other moduli serve feature-hash maps
+    like selection.py's DSIR buckets)."""
     h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
-    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(RESOLUTION))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(resolution))
 
 
 def hash_sample(df: DataFrame, id_col: str, rate_bp: int, salt: str) -> DataFrame:

@@ -61,11 +61,13 @@ LAM_DECIMALS = 4
 
 
 def _bucket(col: F.Column) -> F.Column:
-    """Token → feature bucket in [0, N_BUCKETS): first 8 md5 hex
-    digits of ``salt || ':' || token``, mod N_BUCKETS (the hashed
-    n-gram feature map of the paper, unigram instance)."""
-    h = F.md5(F.concat(F.lit(DSIR_SALT + ":"), col))
-    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(N_BUCKETS))
+    """Token → feature bucket in [0, N_BUCKETS): the shared
+    md5-prefix hash (sampling.sample_bucket) at N_BUCKETS resolution
+    — the hashed n-gram feature map of the paper, unigram
+    instance."""
+    from .sampling import sample_bucket
+
+    return sample_bucket(col, DSIR_SALT, N_BUCKETS)
 
 
 def dsir_weights(

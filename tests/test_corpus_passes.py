@@ -292,3 +292,30 @@ def test_eval_max_similarity_arrow_matches_fold(spark):
 
     with pytest.raises(ValueError, match="MAX_EVAL_VECTORS"):
         eval_max_similarity_arrow(train, ev, max_eval=3)
+
+    # zero-norm parity with the fold: a zero TRAIN vector gets a
+    # NULL max_sim (not NaN); a zero EVAL vector contributes nothing
+    emb_schema = "vec_id long, label int, embedding array<float>"
+    ztrain = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 0.0])], emb_schema
+    )
+    zev = spark.createDataFrame(
+        [(9, 9, [0.0, 0.0]), (8, 9, [0.0, 2.0])], emb_schema
+    ).select("embedding")
+    za = {r.vec_id: r.max_sim for r in eval_max_similarity_arrow(ztrain, zev).collect()}
+    zf = {r.vec_id: r.max_sim for r in eval_max_similarity(ztrain, zev).collect()}
+    assert za[1] is None and zf[1] is None
+    assert abs(za[2] - zf[2]) < 1e-9 and abs(za[2]) < 1e-9
+    # all-zero eval: every train row emitted with NULL, matching fold
+    all_zero_ev = zev.filter(F.lit(False)).union(
+        spark.createDataFrame([(7, 9, [0.0, 0.0])], emb_schema).select("embedding")
+    )
+    za2 = {
+        r.vec_id: r.max_sim
+        for r in eval_max_similarity_arrow(ztrain, all_zero_ev).collect()
+    }
+    zf2 = {
+        r.vec_id: r.max_sim
+        for r in eval_max_similarity(ztrain, all_zero_ev).collect()
+    }
+    assert za2 == zf2 == {1: None, 2: None}

@@ -78,6 +78,18 @@ BASE_SF = "/root/testdata/sf0.1"
 COPIES = 10
 
 
+def _materialize(df, out_dir: str, name: str) -> None:
+    """Write df as a handful of part files laid out like the
+    testdata (<out_dir>/<name>.parquet/ directory of parts)."""
+    tmp = f"{out_dir}/_{name}_build"
+    df.coalesce(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{out_dir}/{name}.parquet", exist_ok=True)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{out_dir}/{name}.parquet/{f}")
+    shutil.rmtree(tmp)
+
+
 def build_probe_corpus(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -95,14 +107,7 @@ def build_probe_corpus(spark, out_dir: str) -> None:
             (F.length(F.col("text")) + F.when(F.col("copy_i") == 0, F.lit(0)).otherwise(F.lit(11))).alias("n_chars"),
         )
     )
-    # single parquet file to mirror the testdata layout
-    tmp = f"{out_dir}/_docs_build"
-    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
-    os.makedirs(f"{out_dir}/documents.parquet", exist_ok=True)
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            shutil.move(f"{tmp}/{f}", f"{out_dir}/documents.parquet/{f}")
-    shutil.rmtree(tmp)
+    _materialize(perturbed, out_dir, "documents")
 
 
 def build_probe_embeddings(spark, out_dir: str) -> None:
@@ -132,13 +137,7 @@ def build_probe_embeddings(spark, out_dir: str) -> None:
         jiggled.alias("embedding"),
         (F.col("label") * COPIES + F.col("copy_i")).cast("int").alias("label"),
     )
-    tmp = f"{out_dir}/_emb_build"
-    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
-    os.makedirs(f"{out_dir}/embeddings.parquet", exist_ok=True)
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            shutil.move(f"{tmp}/{f}", f"{out_dir}/embeddings.parquet/{f}")
-    shutil.rmtree(tmp)
+    _materialize(perturbed, out_dir, "embeddings")
 
 
 def build_probe_events(spark, out_dir: str) -> None:
@@ -162,13 +161,7 @@ def build_probe_events(spark, out_dir: str) -> None:
         "value",
         "props",
     )
-    tmp = f"{out_dir}/_evt_build"
-    perturbed.coalesce(4).write.mode("overwrite").parquet(tmp)
-    os.makedirs(f"{out_dir}/events.parquet", exist_ok=True)
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            shutil.move(f"{tmp}/{f}", f"{out_dir}/events.parquet/{f}")
-    shutil.rmtree(tmp)
+    _materialize(perturbed, out_dir, "events")
 
 
 def main() -> None:
