@@ -213,3 +213,97 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for :func:`retention_cohorts` over the events
     table (see that docstring for semantics and the plan shape)."""
     return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+# --- ordered-step funnel conversion ---
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """One-row funnel report: how many users completed each ordered
+    step (their first step-k event must come strictly AFTER their
+    first qualifying step-(k-1) event), plus step-over-step and
+    end-to-end conversion rates. The ordered-sequence analysis the
+    reference's phase-by-phase collection stats
+    (streamlit_dashboard.py's per-phase rollups) point toward, and a
+    standard behavioral-corpus audit.
+
+    Plan shape: step 1 is a filtered user-keyed min; each later step
+    filters the event scan to its type, joins the previous step's
+    (user, first_ts) table on user_id — every join and aggregation
+    keys on user_id, so AQE reuses one hash partitioning across the
+    whole chain; each step's table only shrinks. No window, no self
+    cross join. Final counts are three 1-row aggregates broadcast
+    -combined into one row.
+    """
+    prev = None
+    counts = []
+    for i, step in enumerate(steps):
+        cur = events.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("__t")
+        )
+        if prev is None:
+            reached = cur.groupBy("user_id").agg(F.min("__t").alias("first_ts"))
+        else:
+            reached = (
+                cur.join(prev, "user_id")
+                .filter(F.col("__t") > F.col("first_ts"))
+                .groupBy("user_id")
+                .agg(F.min("__t").alias("first_ts"))
+            )
+        counts.append(
+            reached.agg(F.count("*").alias(f"n_{step}"))
+        )
+        prev = reached
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(F.broadcast(c))
+    first, last = f"n_{steps[0]}", f"n_{steps[-1]}"
+    out = row
+    for a, b in zip(steps, steps[1:]):
+        out = out.withColumn(
+            f"rate_{b}", rnd(F.col(f"n_{b}") / F.col(f"n_{a}"), 4)
+        )
+    return out.withColumn(
+        "rate_overall", rnd(F.col(last) / F.col(first), 4)
+    )
+
+
+def _funnel_oracle() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+    WITH r1 AS (
+      SELECT user_id, min(ts) AS first_ts FROM events
+      WHERE event_type = '{s1}' GROUP BY user_id
+    ),
+    r2 AS (
+      SELECT e.user_id, min(e.ts) AS first_ts
+      FROM events e JOIN r1 ON r1.user_id = e.user_id
+      WHERE e.event_type = '{s2}' AND e.ts > r1.first_ts
+      GROUP BY e.user_id
+    ),
+    r3 AS (
+      SELECT e.user_id, min(e.ts) AS first_ts
+      FROM events e JOIN r2 ON r2.user_id = e.user_id
+      WHERE e.event_type = '{s3}' AND e.ts > r2.first_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM r1) AS n_{s1},
+           (SELECT count(*) FROM r2) AS n_{s2},
+           (SELECT count(*) FROM r3) AS n_{s3},
+           floor((SELECT count(*) FROM r2) * 1.0
+                 / (SELECT count(*) FROM r1) * 10000 + 0.5) / 10000 AS rate_{s2},
+           floor((SELECT count(*) FROM r3) * 1.0
+                 / (SELECT count(*) FROM r2) * 10000 + 0.5) / 10000 AS rate_{s3},
+           floor((SELECT count(*) FROM r3) * 1.0
+                 / (SELECT count(*) FROM r1) * 10000 + 0.5) / 10000 AS rate_overall
+    """
+
+
+@query("q_funnel", oracle=_funnel_oracle())
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`funnel_counts` with the
+    view → click → purchase funnel (see that docstring for semantics
+    and the user-keyed join-chain plan shape)."""
+    return funnel_counts(load(spark, sf_dir, "events"))

@@ -193,3 +193,59 @@ def q_first_last_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(pct_change(F.col("last_value"), F.col("first_value"))).alias("pct_change"),
         )
     )
+
+
+# --- SCD2 validity intervals (the historical twin of U1) ---
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rebuild slowly-changing-dimension (type 2) validity intervals
+    from an append-only changelog: each change row becomes effective
+    at its own instant and expires at the key's NEXT change
+    (``valid_to`` NULL + ``is_current`` true on the newest row).
+
+    The reference's upsert tables (INSERT OR REPLACE,
+    database_integration.py) keep only the latest state — W1 answers
+    "what is it now". SCD2 is the same window flipped to LEAD,
+    answering "what was in effect at time t" — the shape that makes
+    the as-of join (q_asof_join) a plain interval containment and
+    the warehouse-history pattern every 100 TB fact pipeline keeps.
+
+    One shuffle on the key set, one WindowExec, zero joins.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col, tiebreak)
+    return changelog.select(
+        *keys,
+        F.col(tiebreak),
+        *carry,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+        F.lead(order_col).over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals over the purchase stream (user_id ≈ dimension
+    key, value ≈ the tracked attribute): every snapshot carries the
+    window in which it was the key's current state. See
+    :func:`scd2_history` for semantics and the one-window plan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return scd2_history(ev, ["user_id"], "ts", "event_id", carry=("value",))

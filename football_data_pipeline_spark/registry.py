@@ -109,6 +109,8 @@ CHECK_PRIORITY = [
     "q_sessionize",
     "q_semantic_decontam",
     "q_retention_cohorts",
+    "q_funnel",
+    "q_scd2_history",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -127,9 +129,9 @@ CHECK_PRIORITY = [
     # purely additive (documents-JSONL source) — joined when the
     # selection/sessionize/semantic-decontam trio landed;
     # q_lineups_flatten (flatten.py, same untouched-module argument)
-    # followed when q_retention_cohorts landed:
-    "q_team_stats_extract",
-    "q_odds_flatten",
+    # followed when q_retention_cohorts landed, and
+    # q_team_stats_extract / q_odds_flatten when q_funnel and
+    # q_scd2_history did:
     "q_first_last_change",
     "q_lag_movement",
     "q_latest_per_key",
@@ -195,6 +197,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_upsert_latest",
     "q_h2h_flatten",
     "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_odds_flatten",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -243,6 +247,8 @@ ROTATE_TAIL = [
     "q_upsert_latest",
     "q_h2h_flatten",
     "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_odds_flatten",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
