@@ -319,3 +319,26 @@ def test_eval_max_similarity_arrow_matches_fold(spark):
         for r in eval_max_similarity(ztrain, all_zero_ev).collect()
     }
     assert za2 == zf2 == {1: None, 2: None}
+
+
+def test_event_ops_plan_shapes(spark):
+    """Scale-guard plan asserts for the event-analytics family:
+    sessionize runs BOTH windows and both aggregations off ONE
+    exchange; retention and funnel never produce a cartesian product
+    or a global (unpartitioned) window."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    sess = QUERIES["q_sessionize"].fn(spark, SF_DIR)
+    plan = sess._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+    for name in ("q_retention_cohorts", "q_funnel", "q_scd2_history"):
+        p = QUERIES[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name
+        # a Window with an empty partition spec moves everything to
+        # one task; none of these operators may contain one
+        assert "windowspecdefinition()" not in p.replace(" ", ""), name
