@@ -31,7 +31,8 @@ from .operators import (  # noqa: F401
     sessions,
     textstats,
     timeseries,
+    versioning,
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, textstats, timeseries, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, textstats, timeseries, versioning, windows]

@@ -111,6 +111,7 @@ CHECK_PRIORITY = [
     "q_retention_cohorts",
     "q_funnel",
     "q_scd2_history",
+    "q_corpus_diff",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -151,8 +152,11 @@ CHECK_PRIORITY = [
     # --- r3-green but their module changed in r4 (gold.py grew the
     # form/trends compositions → dims.py re-registers; dedup.py grew
     # batch_near_dup_drops; multimodal.py decode hardening):
+    # q_leagues_extract displaced by q_corpus_diff: its r3 row is
+    # GREEN and the dims.py/gold.py changes since were additive
+    # compositions (form/trends) that do not touch the leagues
+    # extract path; re-verified at HEAD by the local all-queries gate
     "q_teams_extract",
-    "q_leagues_extract",
     "q_fixtures_extract",
     "q_validate_counts",
     "q_upcoming_games",
@@ -199,6 +203,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_lineups_flatten",
     "q_team_stats_extract",
     "q_odds_flatten",
+    "q_leagues_extract",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -249,6 +254,7 @@ ROTATE_TAIL = [
     "q_lineups_flatten",
     "q_team_stats_extract",
     "q_odds_flatten",
+    "q_leagues_extract",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
