@@ -58,6 +58,12 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # seed the base shuffle width like get_spark does: a driver-built
+    # session keeps Spark's 200 default, and the full-oracle sim
+    # showed whole 200-task reduce stages surviving AQE coalescing
+    # (exchange-reuse pins them); runtime-settable, core-count-sized
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     # events.parquet carries TIMESTAMP(NANOS); set once here (not per
     # read) so the interpretation is stable for the whole session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
