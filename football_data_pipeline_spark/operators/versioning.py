@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from .dedup import fingerprint
+from .dedup import _WORD_SET_SQL, fingerprint
 from .sampling import sample_bucket
 
 #: deterministic synthetic "previous snapshot" for the driver query:
@@ -45,23 +45,29 @@ def snapshot_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
     """(source, n_added, n_removed, n_changed, n_unchanged): the
     release delta between two corpus snapshots, per source. Both
     inputs need (doc_id, source, text); content equality is the
-    canonical fingerprint. Removed docs take their source from the
-    previous snapshot (they have no current row)."""
+    canonical fingerprint, compared NULL-safely. Removed docs take
+    their source from the previous snapshot (they have no current
+    row). Presence in a snapshot is carried by an explicit literal
+    flag, NOT inferred from the nullable fingerprint — a doc whose
+    text is NULL is still PRESENT, and must classify as
+    changed/unchanged rather than masquerade as added/removed."""
     c = cur.select(
         "doc_id",
         F.col("source").alias("cur_source"),
         fingerprint(F.col("text")).alias("cur_fp"),
+        F.lit(True).alias("in_cur"),
     )
     p = prev.select(
         "doc_id",
         F.col("source").alias("prev_source"),
         fingerprint(F.col("text")).alias("prev_fp"),
+        F.lit(True).alias("in_prev"),
     )
     joined = c.join(p, "doc_id", "full_outer").select(
         F.coalesce("cur_source", "prev_source").alias("source"),
-        F.when(F.col("prev_fp").isNull(), "added")
-        .when(F.col("cur_fp").isNull(), "removed")
-        .when(F.col("cur_fp") != F.col("prev_fp"), "changed")
+        F.when(F.col("in_prev").isNull(), "added")
+        .when(F.col("in_cur").isNull(), "removed")
+        .when(~F.col("cur_fp").eqNullSafe(F.col("prev_fp")), "changed")
         .otherwise("unchanged")
         .alias("status"),
     )
@@ -75,10 +81,9 @@ def snapshot_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-_FP_SQL = (
-    "md5(array_to_string(list_sort("
-    "list_distinct(list_filter(string_split({t}, ' '), w -> w <> ''))), ' '))"
-)
+#: oracle-side canonical fingerprint, composed from the ONE shared
+#: word-set SQL (dedup's single-definition rule — never re-inline)
+_FP_SQL = "md5(array_to_string(list_sort(" + _WORD_SET_SQL + "), ' '))"
 
 
 def _diff_oracle() -> str:
@@ -97,15 +102,17 @@ def _diff_oracle() -> str:
       UNION ALL
       SELECT doc_id + {GHOST_OFFSET}, source, text FROM base WHERE b = 2
     ),
-    c AS (SELECT doc_id, source AS cur_source, {_FP_SQL.format(t='text')} AS cur_fp
+    c AS (SELECT doc_id, source AS cur_source, {_FP_SQL} AS cur_fp,
+                 TRUE AS in_cur
           FROM documents),
-    p AS (SELECT doc_id, source AS prev_source, {_FP_SQL.format(t='text')} AS prev_fp
+    p AS (SELECT doc_id, source AS prev_source, {_FP_SQL} AS prev_fp,
+                 TRUE AS in_prev
           FROM prev),
     j AS (
       SELECT coalesce(c.cur_source, p.prev_source) AS source,
-             CASE WHEN p.prev_fp IS NULL THEN 'added'
-                  WHEN c.cur_fp IS NULL THEN 'removed'
-                  WHEN c.cur_fp <> p.prev_fp THEN 'changed'
+             CASE WHEN p.in_prev IS NULL THEN 'added'
+                  WHEN c.in_cur IS NULL THEN 'removed'
+                  WHEN c.cur_fp IS DISTINCT FROM p.prev_fp THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM c FULL OUTER JOIN p ON p.doc_id = c.doc_id
     )

@@ -218,8 +218,15 @@ def scd2_history(
     the warehouse-history pattern every 100 TB fact pipeline keeps.
 
     One shuffle on the key set, one WindowExec, zero joins.
+
+    Rows with a NULL ``order_col`` are dropped before windowing: a
+    change with no effective instant cannot define an interval, and
+    the engines disagree on where NULLs sort (Spark NULLS FIRST
+    ascending, DuckDB NULLS LAST) — the same divergence class the
+    as-of join filters out (timeseries.py).
     """
     w = Window.partitionBy(*keys).orderBy(order_col, tiebreak)
+    changelog = changelog.filter(F.col(order_col).isNotNull())
     return changelog.select(
         *keys,
         F.col(tiebreak),
@@ -238,7 +245,7 @@ def scd2_history(
            lead(ts) OVER w AS valid_to,
            lead(ts) OVER w IS NULL AS is_current
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )

@@ -193,10 +193,16 @@ CHECK_PRIORITY = [
 #: forward loudly instead of silently bending "untouched since".
 CARRY_TO_NEXT_ROUND = [
     # tier 0 (displaced late in r4 by the selection/sessionize/
-    # semantic-decontam trio): last green row r2; modules
-    # (relational.py, upsert.py, flatten.py) untouched in r3 AND r4,
-    # ingest.py's r4 change purely additive. Re-verified at HEAD by
-    # the local all-queries oracle gate.
+    # semantic-decontam/retention/funnel/scd2/diff additions).
+    # Registration modules: q_team_search → relational.py (untouched
+    # r3/r4); q_upsert_latest, q_h2h_flatten, q_lineups_flatten,
+    # q_team_stats_extract, q_odds_flatten → etl.py (untouched r3/r4;
+    # underlying flatten.py/upsert.py also untouched; ingest.py's r4
+    # change purely additive); q_leagues_extract → dims.py, which DID
+    # change in r4 (additive form/trends compositions only — its
+    # extract path is byte-identical) and whose r3 driver row is
+    # GREEN. All re-verified at HEAD by the local all-queries oracle
+    # gate AND this round's full 101-query hostile-TZ sim.
     "q_team_search",
     "q_upsert_latest",
     "q_h2h_flatten",

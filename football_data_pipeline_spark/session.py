@@ -58,12 +58,16 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # seed the base shuffle width like get_spark does: a driver-built
-    # session keeps Spark's 200 default, and the full-oracle sim
-    # showed whole 200-task reduce stages surviving AQE coalescing
-    # (exchange-reuse pins them); runtime-settable, core-count-sized
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    # seed the base shuffle width like get_spark does — but ONLY when
+    # the session still carries Spark's untouched 200 default: a
+    # driver-built session at that default ran whole 200-task reduce
+    # stages on tiny per-query data (exchange reuse survives AQE
+    # coalescing), while an explicit get_spark(shuffle_partitions=N)
+    # or a cluster admin's setting must never be clobbered by a
+    # query-time wrapper.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     # events.parquet carries TIMESTAMP(NANOS); set once here (not per
     # read) so the interpretation is stable for the whole session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

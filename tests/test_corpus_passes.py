@@ -340,5 +340,52 @@ def test_event_ops_plan_shapes(spark):
         p = QUERIES[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
         # a Window with an empty partition spec moves everything to
-        # one task; none of these operators may contain one
-        assert "windowspecdefinition()" not in p.replace(" ", ""), name
+        # one task; none of these operators may contain one. WindowExec
+        # prints `Window [exprs], [partitionCols], [orderSpec]` —
+        # a GLOBAL window drops the partition bracket, leaving one
+        # `], [` separator instead of two (verified empirically).
+        for line in p.split("\n"):
+            if "Window [" in line:
+                assert line.count("], [") == 2, (name, line.strip()[:200])
+
+
+def test_scd2_drops_null_instant_rows(spark):
+    """A changelog row with no effective instant cannot define an
+    interval — it is dropped, and the remaining chain stays intact
+    (the NULL would otherwise sort differently in Spark vs DuckDB)."""
+    from football_data_pipeline_spark.operators.windows import scd2_history
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0, 1),
+        (2, "2024-01-02 00:00:00", 11.0, 1),
+        (3, None, 12.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {r.event_id: r for r in scd2_history(df, ["user_id"], "ts", "event_id", carry=("value",)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].is_current is False and str(out[1].valid_to).startswith("2024-01-02")
+    assert out[2].is_current is True and out[2].valid_to is None
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    """A document whose text is NULL is still PRESENT in its
+    snapshot: it must classify changed/unchanged, never
+    added/removed (presence rides literal flags, content compares
+    NULL-safely)."""
+    from football_data_pipeline_spark.operators.versioning import snapshot_diff
+
+    cur = spark.createDataFrame(
+        [(1, "w", None), (2, "w", None), (3, "w", "hello there")],
+        "doc_id long, source string, text string",
+    )
+    prev = spark.createDataFrame(
+        [(1, "w", "hello there"), (2, "w", None), (3, "w", "hello there")],
+        "doc_id long, source string, text string",
+    )
+    row = snapshot_diff(cur, prev).collect()[0]
+    assert row.n_added == 0 and row.n_removed == 0
+    # doc 1: content went text→NULL = changed; doc 2: NULL→NULL =
+    # unchanged under NULL-safe compare; doc 3: identical
+    assert row.n_changed == 1 and row.n_unchanged == 2
