@@ -276,3 +276,65 @@ def test_user_sessions_stream_matches_batch_and_lag_form(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM sessions_sw").collect())
     assert got == batch
+
+
+def test_user_sessions_append_mode_emits_closed_sessions_only(spark, tmp_path):
+    """Append mode is the production mode for unbounded streams:
+    a session row is emitted exactly once, when the watermark passes
+    its close — sessions still open at the final watermark stay in
+    state. Every emitted row must be byte-identical to the batch
+    answer's row, and the emitted set must be exactly the batch
+    sessions whose end precedes the final watermark."""
+    import time
+
+    from football_data_pipeline_spark.streaming.windowed import WATERMARK, user_sessions
+
+    events = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch = {
+        (r.user_id, r.session_start): tuple(r)
+        for r in user_sessions(events).collect()
+    }
+
+    src = str(tmp_path / "sess_append_src")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        user_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): tuple(r)
+        for r in spark.sql("SELECT * FROM sessions_append").collect()
+    }
+    assert 0 < len(got) <= len(batch)
+    for k, row in got.items():
+        assert batch[k] == row, k
+    # the final watermark = max event time - delay; exactly the batch
+    # sessions closing before it (plus the trailing gap) were emitted
+    import datetime as dt
+
+    from football_data_pipeline_spark.operators.sessions import SESSION_GAP_S
+
+    max_ts = max(r[2] for r in batch.values())  # session_end column
+    h, m, *_ = WATERMARK.split()
+    delay = dt.timedelta(minutes=int(h)) if m.startswith("minute") else dt.timedelta(hours=int(h))
+    wm = max_ts - delay
+    expected_emitted = {
+        k for k, r in batch.items()
+        if r[2] + dt.timedelta(seconds=SESSION_GAP_S) < wm
+    }
+    assert set(got) == expected_emitted
