@@ -80,12 +80,21 @@ KNOWN_NOTES = {
 
 def plan_row(name: str, plan: str) -> str:
     plan = final_sections(plan)
-    exch = len(re.findall(r"Exchange (?:hash|range|single)partitioning", plan))
+    # every shuffle form Spark prints: hashpartitioning(...),
+    # rangepartitioning(...), SinglePartition (global agg/limit),
+    # RoundRobinPartitioning(n) (repartition(n))
+    exch = len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition|RoundRobinPartitioning)",
+            plan,
+        )
+    )
     bhj = plan.count("BroadcastHashJoin")
     smj = plan.count("SortMergeJoin")
     bnlj = plan.count("BroadcastNestedLoopJoin")
     win = len(re.findall(r"\bWindow \[", plan))
-    scan_lines = [l for l in plan.split("\n") if "Scan parquet" in l or "FileScan parquet" in l]
+    scan_lines = [l for l in plan.split("\n") if "Scan parquet" in l]
     n_scans = len(scan_lines)
     n_pf = sum(
         1
@@ -98,10 +107,17 @@ def plan_row(name: str, plan: str) -> str:
         notes.append("CARTESIAN!")
     if smj:
         notes.append("smj: AQE may demote to bhj at runtime")
+    # a GLOBAL window line has ONE `], [` separator AND an ordering
+    # (ASC/DESC) in its final bracket group; a partition-only window
+    # (partitionBy with no orderBy) also has one separator but its
+    # final group is bare columns — scalable, not flagged
     global_windows = [
         l
         for l in plan.split("\n")
-        if "Window [" in l and l.rstrip().endswith("]") and l.count("], [") == 1
+        if "Window [" in l
+        and l.rstrip().endswith("]")
+        and l.count("], [") == 1
+        and re.search(r"(ASC|DESC)[^\[]*\]$", l.rstrip())
     ]
     if global_windows:
         notes.append(f"{len(global_windows)} global window(s)")
