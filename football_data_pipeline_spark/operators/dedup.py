@@ -1337,3 +1337,141 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- estimator-quality audit: minhash Jaccard vs exact, per band ---
+
+#: doc-hash sample for the estimator audit (bucket 0 of 10 ≈ 10%)
+MH_ERR_SALT = "mherr-v1"
+MH_ERR_MOD = 10
+
+
+def _mh_err_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(CAST(('0x' || substr(md5('s{i}:' || gram), 1, 15)) AS BIGINT)) AS m{i}"
+        for i in range(OVERLAP_HASHES)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(OVERLAP_HASHES)
+    )
+    bucket = (
+        f"CAST(('0x' || substr(md5('{MH_ERR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 10000 % {MH_ERR_MOD}"
+    )
+    return f"""
+    WITH sample_docs AS (
+      SELECT doc_id, text FROM documents WHERE {bucket} = 0
+    ),
+    g AS (
+      SELECT doc_id, unnest({_WORD_SET_SQL}) AS gram FROM sample_docs
+    ),
+    sigs AS (
+      SELECT doc_id, count(*) AS n_words, {mh_cols} FROM g GROUP BY doc_id
+    ),
+    common AS (
+      SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS n_common
+      FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             ({eq_terms}) * 1.0 / {OVERLAP_HASHES} AS est_j,
+             coalesce(c.n_common, 0) * 1.0
+               / (a.n_words + b.n_words - coalesce(c.n_common, 0)) AS exact_j
+      FROM sigs a
+      JOIN sigs b ON a.doc_id < b.doc_id
+      LEFT JOIN common c ON c.da = a.doc_id AND c.db = b.doc_id
+    ),
+    scored AS (
+      SELECT floor(exact_j * 10) / 10 AS band,
+             floor(abs(est_j - exact_j) * 10000 + 0.5) / 10000 AS err
+      FROM pairs
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor((CAST(sum(CAST(err AS DECIMAL(28,4))) AS DOUBLE)
+                  / count(*)) * 10000 + 0.5) / 10000 AS mae
+    FROM scored GROUP BY band
+    """
+
+
+@query("q_minhash_error", oracle=_mh_err_oracle())
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: on a deterministic ~10% doc-hash
+    sample, compare the {OVERLAP_HASHES}-hash minhash Jaccard
+    ESTIMATE against the exact word-set Jaccard for every sample
+    pair, rolled up as mean absolute error per exact-similarity band
+    (width 0.1). The sibling of q_lsh_recall (blocking recall),
+    q_knn_recall (ANN recall), and q_pq_recall (quantization
+    quality): it measures whether the signature width the dedup
+    estimators rely on actually delivers its sqrt(J(1-J)/H) error
+    bar on THIS corpus — "measure, don't guess".
+
+    Scale shape: signatures and word sets are computed only for the
+    SAMPLE (one filtered scan, one fixed-width HashAggregate — same
+    plan as q_source_overlap's per-source sigs); the all-pairs stage
+    is sample-sized by construction (the estimator audit needs a few
+    thousand pairs for a stable MAE, never the corpus), with the
+    exact-Jaccard common counts from a word-keyed equi-join of the
+    sample against itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sample = docs.filter(
+        F.pmod(sample_bucket(F.col("doc_id"), MH_ERR_SALT), F.lit(MH_ERR_MOD)) == 0
+    )
+    g = sample.select(
+        "doc_id", F.explode(word_set(F.col("text"))).alias("gram")
+    )
+    sigs = g.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"), *_gram_min_cols()
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("da"),
+        F.col("n_words").alias("na"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(OVERLAP_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("db"),
+        F.col("n_words").alias("nb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(OVERLAP_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(OVERLAP_HASHES)
+    )
+    ga = g.select(F.col("doc_id").alias("da"), "gram")
+    gb = g.select(F.col("doc_id").alias("db"), "gram")
+    common = (
+        ga.join(gb, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .join(common, ["da", "db"], "left")
+        .select(
+            (matches * 1.0 / OVERLAP_HASHES).alias("est_j"),
+            (
+                F.coalesce("n_common", F.lit(0))
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
+            ).alias("exact_j"),
+        )
+    )
+    scored = pairs.select(
+        (F.floor(F.col("exact_j") * 10) / 10).alias("band"),
+        rnd(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias("err"),
+    )
+    return scored.groupBy("band").agg(
+        F.count("*").alias("n_pairs"),
+        (
+            F.floor(
+                (F.sum(F.col("err").cast("decimal(28,4)")).cast("double") / F.count("*"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mae"),
+    )

@@ -112,6 +112,7 @@ CHECK_PRIORITY = [
     "q_funnel",
     "q_scd2_history",
     "q_corpus_diff",
+    "q_minhash_error",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -152,11 +153,11 @@ CHECK_PRIORITY = [
     # --- r3-green but their module changed in r4 (gold.py grew the
     # form/trends compositions → dims.py re-registers; dedup.py grew
     # batch_near_dup_drops; multimodal.py decode hardening):
-    # q_leagues_extract displaced by q_corpus_diff: its r3 row is
-    # GREEN and the dims.py/gold.py changes since were additive
-    # compositions (form/trends) that do not touch the leagues
-    # extract path; re-verified at HEAD by the local all-queries gate
-    "q_teams_extract",
+    # q_leagues_extract displaced by q_corpus_diff, and
+    # q_teams_extract by q_minhash_error: both r3 rows GREEN, and the
+    # dims.py/gold.py changes since were additive compositions
+    # (form/trends) that do not touch the extract paths; re-verified
+    # at HEAD by the local all-queries gate + hostile-TZ sim
     "q_fixtures_extract",
     "q_validate_counts",
     "q_upcoming_games",
@@ -210,6 +211,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_team_stats_extract",
     "q_odds_flatten",
     "q_leagues_extract",
+    "q_teams_extract",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -261,6 +263,7 @@ ROTATE_TAIL = [
     "q_team_stats_extract",
     "q_odds_flatten",
     "q_leagues_extract",
+    "q_teams_extract",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
