@@ -336,3 +336,75 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_ts",
         rnd(F.col("asof_value")).alias("asof_value"),
     )
+
+
+# --- trailing time-range moving average (trend smoothing) ---
+
+#: trailing window width for the moving average, seconds (24 h)
+MOVAVG_WINDOW_S = 24 * 3600
+
+
+@query(
+    "q_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(n_in_window AS BIGINT) AS n_in_window,
+           floor((CAST(sum_dec AS DOUBLE) / n_in_window) * 10000 + 0.5) / 10000
+             AS moving_avg
+    FROM (
+      SELECT event_id, user_id, ts,
+             count(*) OVER w AS n_in_window,
+             sum(CAST(value AS DECIMAL(28,4))) OVER w AS sum_dec
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {MOVAVG_WINDOW_S} * CAST(1000000 AS BIGINT)
+                   PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24 h moving average of purchase values per user —
+    the time-RANGE window (not row-count) form of trend smoothing
+    the reference's odds-trend analysis implies
+    (/root/reference/streamlit_dashboard.py:369-394 charts raw
+    trails; a trailing mean is the standard smoothing companion).
+
+    Semantics: the frame is [ts − 24 h, ts] by EVENT TIME — rows,
+    not a fixed count, so bursty series weight correctly. Ordering
+    is integer microseconds (unix_micros here, epoch_us in the
+    oracle), making frame membership exact in both engines; the
+    in-frame sum is decimal-exact, so the per-row average is
+    engine- and partitioning-independent.
+
+    Scale shape: one shuffle on user_id, one WindowExec; the range
+    frame is evaluated with a sliding two-pointer pass over each
+    sorted partition (O(n) amortized per partition, not O(n·w)).
+    Per-user partitions are activity-bounded like sessionize's.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-MOVAVG_WINDOW_S * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_in_window"),
+        (
+            F.floor(
+                (
+                    F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+                    / F.count("*").over(w)
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("moving_avg"),
+    )

@@ -113,6 +113,7 @@ CHECK_PRIORITY = [
     "q_scd2_history",
     "q_corpus_diff",
     "q_minhash_error",
+    "q_moving_avg",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -156,9 +157,10 @@ CHECK_PRIORITY = [
     # q_leagues_extract displaced by q_corpus_diff, and
     # q_teams_extract by q_minhash_error: both r3 rows GREEN, and the
     # dims.py/gold.py changes since were additive compositions
-    # (form/trends) that do not touch the extract paths; re-verified
-    # at HEAD by the local all-queries gate + hostile-TZ sim
-    "q_fixtures_extract",
+    # (form/trends) that do not touch the extract paths — and
+    # q_fixtures_extract by q_moving_avg on the same argument; all
+    # re-verified at HEAD by the local all-queries gate + hostile-TZ
+    # sim
     "q_validate_counts",
     "q_upcoming_games",
     "q_team_odds_lookup",
@@ -212,6 +214,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_odds_flatten",
     "q_leagues_extract",
     "q_teams_extract",
+    "q_fixtures_extract",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -264,6 +267,7 @@ ROTATE_TAIL = [
     "q_odds_flatten",
     "q_leagues_extract",
     "q_teams_extract",
+    "q_fixtures_extract",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
