@@ -408,3 +408,115 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("moving_avg"),
     )
+
+
+# --- trailing z-score anomaly detection (alerting upgrade) ---
+
+#: minimum preceding-window population for a stable z-score
+ANOMALY_MIN_N = 5
+#: trailing window for the anomaly baseline, seconds (7 days — the
+#: synthetic purchase stream averages one event per user per ~2
+#: days, so 24 h rarely reaches ANOMALY_MIN_N; a week gives every
+#: SF a populated baseline and a handful of genuine flags)
+ANOMALY_WINDOW_S = 7 * 24 * 3600
+#: flag threshold in standard deviations
+ANOMALY_Z = 2.5
+
+
+@query(
+    "q_anomaly",
+    oracle=f"""
+    WITH framed AS (
+      SELECT event_id, user_id, ts, value,
+             count(*) OVER w AS n_win,
+             sum(CAST(floor(value * 10000 + 0.5) / 10000
+                      AS DECIMAL(28,4))) OVER w AS s1,
+             sum(CAST(floor(value * value * 10000 + 0.5) / 10000
+                      AS DECIMAL(28,4))) OVER w AS s2
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {ANOMALY_WINDOW_S} * CAST(1000000 AS BIGINT)
+                   PRECEDING AND CAST(1 AS BIGINT) PRECEDING)
+    ),
+    scored AS (
+      SELECT event_id, user_id, ts, value, n_win,
+             CAST(s1 AS DOUBLE) / n_win AS mu,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / n_win
+                           - (CAST(s1 AS DOUBLE) / n_win)
+                             * (CAST(s1 AS DOUBLE) / n_win), 0)) AS sigma
+      FROM framed WHERE n_win >= {ANOMALY_MIN_N}
+    )
+    SELECT event_id, user_id, ts,
+           floor(value * 100 + 0.5) / 100 AS value,
+           CAST(n_win AS BIGINT) AS n_win,
+           floor(abs(value - mu) / sigma * 10000 + 0.5) / 10000 AS zscore
+    FROM scored
+    WHERE sigma > 0 AND abs(value - mu) / sigma > {ANOMALY_Z}
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection: flag a purchase whose
+    value sits more than {ANOMALY_Z}σ from the mean of the user's
+    PRECEDING 7 days of purchases (current row excluded — it must not
+    mask itself). The statistical upgrade of the reference's fixed
+    >10% movement alert (discord_integration.py:477-498): thresholds
+    adapt to each series' own volatility.
+
+    Float parity: the frame is exact integer-µs; per-row value and
+    value² are stable-rounded to 4 dp THEN decimal-summed, so μ and
+    σ² derive from identical doubles in both engines; sqrt and the
+    final ratio are correctly-rounded IEEE ops. Same one-shuffle
+    WindowExec shape as q_moving_avg.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ANOMALY_WINDOW_S * 1_000_000, -1)
+    )
+    dec = "decimal(28,4)"
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n_win"),
+        F.sum(rnd(F.col("value"), 4).cast(dec)).over(w).alias("s1"),
+        F.sum(rnd(F.col("value") * F.col("value"), 4).cast(dec)).over(w).alias("s2"),
+    ).filter(F.col("n_win") >= ANOMALY_MIN_N)
+    mu = F.col("s1").cast("double") / F.col("n_win")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_win") - mu * mu, F.lit(0.0)
+        )
+    )
+    scored = framed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        rnd(F.col("value"), 2).alias("value"),
+        "n_win",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.col("value").alias("__raw"),
+    )
+    return (
+        scored.filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("__raw") - F.col("mu")) / F.col("sigma") > ANOMALY_Z)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "n_win",
+            rnd(F.abs(F.col("__raw") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -114,6 +114,7 @@ CHECK_PRIORITY = [
     "q_corpus_diff",
     "q_minhash_error",
     "q_moving_avg",
+    "q_anomaly",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -158,10 +159,12 @@ CHECK_PRIORITY = [
     # q_teams_extract by q_minhash_error: both r3 rows GREEN, and the
     # dims.py/gold.py changes since were additive compositions
     # (form/trends) that do not touch the extract paths — and
-    # q_fixtures_extract by q_moving_avg on the same argument; all
-    # re-verified at HEAD by the local all-queries gate + hostile-TZ
-    # sim
-    "q_validate_counts",
+    # q_fixtures_extract by q_moving_avg on the same argument, and
+    # q_validate_counts by q_anomaly (its reports.py home changed in
+    # r4 but every r4 hunk sits in weekly_report/dashboard_data/
+    # mapping_stats_report — its own function is byte-untouched
+    # since its green r3 row); all re-verified at HEAD by the local
+    # all-queries gate + hostile-TZ sim
     "q_upcoming_games",
     "q_team_odds_lookup",
     "q_multimodal_meta",
@@ -215,6 +218,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_leagues_extract",
     "q_teams_extract",
     "q_fixtures_extract",
+    "q_validate_counts",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note): their tail queries' r3 driver
@@ -268,6 +272,7 @@ ROTATE_TAIL = [
     "q_leagues_extract",
     "q_teams_extract",
     "q_fixtures_extract",
+    "q_validate_counts",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
