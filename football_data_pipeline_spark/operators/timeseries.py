@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, rnd
+from ..functions.stable import davg, dsum, oracle_davg, oracle_dsum, oracle_rnd, rnd
 from ..registry import query
 
 CUTOFF = "2024-01-15 00:00:00"
@@ -349,7 +349,7 @@ MOVAVG_WINDOW_S = 24 * 3600
     oracle=f"""
     SELECT event_id, user_id, ts,
            CAST(n_in_window AS BIGINT) AS n_in_window,
-           floor((CAST(sum_dec AS DOUBLE) / n_in_window) * 10000 + 0.5) / 10000
+           {oracle_rnd('CAST(sum_dec AS DOUBLE) / n_in_window', 4)}
              AS moving_avg
     FROM (
       SELECT event_id, user_id, ts,
@@ -396,16 +396,10 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count("*").over(w).alias("n_in_window"),
-        (
-            F.floor(
-                (
-                    F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
-                    / F.count("*").over(w)
-                )
-                * 10000
-                + F.lit(0.5)
-            )
-            / 10000
+        rnd(
+            F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+            / F.count("*").over(w),
+            4,
         ).alias("moving_avg"),
     )
 
@@ -457,7 +451,7 @@ ANOMALY_Z = 2.5
 )
 def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection: flag a purchase whose
-    value sits more than {ANOMALY_Z}σ from the mean of the user's
+    value sits more than 2.5σ (ANOMALY_Z) from the mean of the user's
     PRECEDING 7 days of purchases (current row excluded — it must not
     mask itself). The statistical upgrade of the reference's fixed
     >10% movement alert (discord_integration.py:477-498): thresholds

@@ -221,9 +221,11 @@ CARRY_TO_NEXT_ROUND = [
     "q_validate_counts",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
-    # param + cache-lifecycle note): their tail queries' r3 driver
-    # rows predate those edits. All re-verified at HEAD by the local
-    # all-queries oracle gate; first in line for r5 alongside the
+    # param + cache-lifecycle note; timeseries.py then ALSO grew the
+    # purely-additive q_moving_avg/q_anomaly blocks at end of r4):
+    # their tail queries' r3 driver rows predate those edits. All
+    # re-verified at HEAD by the local all-queries oracle gate AND
+    # the full hostile-TZ sim; first in line for r5 alongside the
     # tiers below.
     "q_asof_join",
     "q_kpi_ratio",
