@@ -72,7 +72,14 @@ VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam"]
 #: this build; production decontamination holds |eval| fixed
 #: (benchmarks don't grow with the crawl), where the pass is plainly
 #: linear in the pool.
-EVT_PROBED = ["q_sessionize", "q_retention_cohorts"]
+EVT_PROBED = [
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_scd2_history",
+    "q_moving_avg",
+    "q_anomaly",
+]
 
 BASE_SF = "/root/testdata/sf0.1"
 COPIES = 10
