@@ -804,14 +804,15 @@ def _eq_terms_sql(n_hashes: int = OVERLAP_HASHES) -> str:
     )
 
 
-def _sig_split(sigs: DataFrame, side: str, n_hashes: int = OVERLAP_HASHES):
+def _sig_split(sigs: DataFrame, side: str, n_hashes: int = OVERLAP_HASHES) -> DataFrame:
     """Rename a signature table's m{i} columns to {side}{i} for a
-    self-join, returning (renamed_df, matches_column)."""
-    renamed = sigs.select(
-        *[c for c in sigs.columns if not c.startswith("m")],
+    self-join; every other column passes through unchanged. Pair it
+    with :func:`_sig_matches` for the matching-minima count."""
+    sig_names = {f"m{i}" for i in range(n_hashes)}
+    return sigs.select(
+        *[c for c in sigs.columns if c not in sig_names],
         *[F.col(f"m{i}").alias(f"{side}{i}") for i in range(n_hashes)],
     )
-    return renamed
 
 
 def _sig_matches(n_hashes: int = OVERLAP_HASHES) -> Column:

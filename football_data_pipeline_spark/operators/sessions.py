@@ -15,9 +15,11 @@ Semantics (the canonical LAG + running-sum formulation):
 Every downstream per-session aggregate is then an ordinary grouped
 aggregation on (user_id, session_idx).
 
-Scale shape: ONE shuffle on user_id feeds both windows (lag and
-running sum share the identical partition+order spec, so Catalyst
-plans them in a single WindowExec pass) and the per-session
+Scale shape: ONE shuffle on user_id feeds both windows (the running
+sum consumes the lag output, so Catalyst plans TWO WindowExec
+operators — but they share the identical partition+order spec, so
+one Exchange + one Sort feeds both; PLANS.md records exch=1, win=2)
+and the per-session
 aggregation that follows is partition-local until the final
 user-level rollup — which re-uses the same user_id hash
 partitioning, so AQE coalesces rather than reshuffles. Per-user

@@ -62,10 +62,20 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     # the session still carries Spark's untouched 200 default: a
     # driver-built session at that default ran whole 200-task reduce
     # stages on tiny per-query data (exchange reuse survives AQE
-    # coalescing), while an explicit get_spark(shuffle_partitions=N)
-    # or a cluster admin's setting must never be clobbered by a
-    # query-time wrapper.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # coalescing). An explicit setting must never be clobbered:
+    # builder-time .config(...) values land in the SparkConf, so any
+    # value present there (including an explicit 200) is respected.
+    # Residual edge: a RUNTIME spark.conf.set(..., "200") before the
+    # first query is indistinguishable from the default — such a
+    # session should pre-set any other width or re-set it after.
+    explicitly_set = (
+        "spark.sql.shuffle.partitions"
+        in dict(spark.sparkContext.getConf().getAll())
+    )
+    if (
+        not explicitly_set
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     # events.parquet carries TIMESTAMP(NANOS); set once here (not per
