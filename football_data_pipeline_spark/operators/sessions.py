@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.stable import rnd
+from ..functions.stable import dsum, oracle_dsum, rnd
 from ..registry import query
 
 #: session gap threshold, seconds (4 h — sized so the synthetic
@@ -309,3 +309,48 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view → click → purchase funnel (see that docstring for semantics
     and the user-keyed join-chain plan shape)."""
     return funnel_counts(load(spark, sf_dir, "events"))
+
+
+# --- multi-level ROLLUP activity report ---
+
+
+@query(
+    "q_rollup_report",
+    oracle=f"""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {oracle_dsum('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+    """,
+)
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type activity report WITH ROLLUP: detail rows,
+    per-day subtotals, and the grand total in ONE aggregation pass —
+    the multi-level form of the reference dashboard's separate
+    per-day and per-phase groupings (streamlit_dashboard.py:154-162
+    runs them as independent queries; ROLLUP computes the lattice in
+    one shuffle with partial aggregation at every level).
+
+    Subtotal rows surface the rolled-up key as the literal 'ALL'
+    (neither source column is nullable here, so no ambiguity);
+    value sums are decimal-exact at every level, so even the grand
+    total is partitioning-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )

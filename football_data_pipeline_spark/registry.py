@@ -115,6 +115,7 @@ CHECK_PRIORITY = [
     "q_minhash_error",
     "q_moving_avg",
     "q_anomaly",
+    "q_rollup_report",
     # --- the queries rotated out of r3's cap (their last driver
     # row predates r3 HEAD; several of their modules changed in r3 —
     # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
@@ -164,10 +165,13 @@ CHECK_PRIORITY = [
     # r4 but every r4 hunk sits in weekly_report/dashboard_data/
     # mapping_stats_report — its own function is byte-untouched
     # since its green r3 row); all re-verified at HEAD by the local
-    # all-queries gate + hostile-TZ sim
+    # all-queries gate + hostile-TZ sim; q_multimodal_meta displaced
+    # by q_rollup_report (multimodal.py changed in r4 — PNG codec,
+    # decode hardening, dHash — but `git diff` shows
+    # q_multimodal_meta's own function in no hunk: byte-untouched
+    # since its green r3 row)
     "q_upcoming_games",
     "q_team_odds_lookup",
-    "q_multimodal_meta",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_ngram_jaccard",
@@ -219,6 +223,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_teams_extract",
     "q_fixtures_extract",
     "q_validate_counts",
+    "q_multimodal_meta",
     # tier 3 (late-r4 review-hardening touched timeseries.py — asof
     # NULL-ts filter — and resolution.py — attempt_log attempted_at
     # param + cache-lifecycle note; timeseries.py then ALSO grew the
@@ -275,6 +280,7 @@ ROTATE_TAIL = [
     "q_teams_extract",
     "q_fixtures_extract",
     "q_validate_counts",
+    "q_multimodal_meta",
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
