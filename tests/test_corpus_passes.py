@@ -389,3 +389,43 @@ def test_snapshot_diff_null_text_is_presence_not_absence(spark):
     # doc 1: content went text→NULL = changed; doc 2: NULL→NULL =
     # unchanged under NULL-safe compare; doc 3: identical
     assert row.n_changed == 1 and row.n_unchanged == 2
+
+
+def test_funnel_strict_ordering(spark):
+    """A later step counts only when its first qualifying event is
+    STRICTLY after the user's first prior-step event — doing steps
+    out of order (purchase before click) or stopping mid-funnel must
+    not advance the user."""
+    import datetime as dt
+
+    from football_data_pipeline_spark.operators.sessions import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        # user 1: view → click → purchase in order → completes
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + m, 1, "click", 1.0),
+        (3, t0 + 2 * m, 1, "purchase", 1.0),
+        # user 2: purchase BEFORE the click → reaches click only
+        (4, t0, 2, "view", 1.0),
+        (5, t0 + 2 * m, 2, "click", 1.0),
+        (6, t0 + m, 2, "purchase", 1.0),
+        # user 3: click with no prior view → reaches nothing
+        (7, t0, 3, "click", 1.0),
+        (8, t0 + m, 3, "purchase", 1.0),
+        # user 4: view only
+        (9, t0, 4, "view", 1.0),
+        # user 5: click at the SAME instant as the view → strict >
+        # excludes it
+        (10, t0, 5, "view", 1.0),
+        (11, t0, 5, "click", 1.0),
+    ]
+    row = funnel_counts(spark.createDataFrame(rows, ev_schema)).collect()[0]
+    assert row.n_view == 4  # users 1, 2, 4, 5
+    assert row.n_click == 2  # users 1, 2
+    assert row.n_purchase == 1  # user 1 only
+    assert abs(row.rate_click - 0.5) < 1e-9
+    assert abs(row.rate_purchase - 0.5) < 1e-9
+    assert abs(row.rate_overall - 0.25) < 1e-9
