@@ -429,3 +429,38 @@ def test_funnel_strict_ordering(spark):
     assert abs(row.rate_click - 0.5) < 1e-9
     assert abs(row.rate_purchase - 0.5) < 1e-9
     assert abs(row.rate_overall - 0.25) < 1e-9
+
+
+def test_retention_cohort_offsets(spark):
+    """Cohort = first active ISO week; week offsets are exact
+    integer weeks, a user active twice in one week counts once, and
+    retention_rate = active/cohort_size per offset."""
+    import datetime as dt
+
+    from football_data_pipeline_spark.operators.sessions import retention_cohorts
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    wk = dt.timedelta(days=7)
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        # cohort 2024-01-01: users 1 and 2
+        (1, mon, 1, "view", 1.0),
+        (2, mon + dt.timedelta(days=2), 1, "view", 1.0),  # same week, counts once
+        (3, mon + 2 * wk, 1, "view", 1.0),  # returns at offset 2
+        (4, mon + dt.timedelta(days=6), 2, "view", 1.0),  # Sunday, still week 0
+        # cohort 2024-01-08: user 3
+        (5, mon + wk, 3, "view", 1.0),
+        (6, mon + 3 * wk, 3, "view", 1.0),  # offset 2
+    ]
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in retention_cohorts(spark.createDataFrame(rows, ev_schema)).collect()
+    }
+    r00 = out[("2024-01-01", 0)]
+    assert r00.n_active == 2 and r00.cohort_size == 2 and r00.retention_rate == 1.0
+    r02 = out[("2024-01-01", 2)]
+    assert r02.n_active == 1 and abs(r02.retention_rate - 0.5) < 1e-9
+    assert ("2024-01-01", 1) not in out  # nobody returned at offset 1
+    assert out[("2024-01-08", 0)].cohort_size == 1
+    assert out[("2024-01-08", 2)].n_active == 1
+    assert len(out) == 4
