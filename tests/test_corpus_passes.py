@@ -464,3 +464,39 @@ def test_retention_cohort_offsets(spark):
     assert out[("2024-01-08", 0)].cohort_size == 1
     assert out[("2024-01-08", 2)].n_active == 1
     assert len(out) == 4
+
+
+def test_anomaly_spike_flagged_and_excluded_from_own_baseline(spark):
+    """A flat series with one spike: the spike is flagged against
+    the PRECEDING baseline (its own value must not inflate σ), rows
+    before ANOMALY_MIN_N have no verdict, and a zero-σ baseline
+    never divides."""
+    import datetime as dt
+
+    from football_data_pipeline_spark.operators.timeseries import q_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # values 10,11,10,11,10,11 then a 100.0 spike — preceding
+    # baseline mean≈10.5, σ≈0.5 → z ≈ 179 ≫ 2.5
+    rows = [
+        (i, t0 + i * h, 1, "purchase", 10.0 + (i % 2)) for i in range(6)
+    ] + [(6, t0 + 6 * h, 1, "purchase", 100.0)]
+    # constant-value user: σ=0 exactly → no flag, no div-by-zero
+    rows += [(10 + i, t0 + i * h, 2, "purchase", 5.0) for i in range(7)]
+    df = spark.createDataFrame(rows, ev_schema)
+
+    # drive the REGISTERED query against crafted data: catalog.load
+    # reads {sf_dir}/events.parquet, so a temp dir with one parquet
+    # directory under that name is a complete synthetic sf_dir
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="anomaly-test-")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = q_anomaly(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_id == 6 and r.user_id == 1
+    assert r.n_win == 6 and r.zscore > 100
