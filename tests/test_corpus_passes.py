@@ -500,3 +500,34 @@ def test_anomaly_spike_flagged_and_excluded_from_own_baseline(spark):
     r = out[0]
     assert r.event_id == 6 and r.user_id == 1
     assert r.n_win == 6 and r.zscore > 100
+
+
+def test_moving_avg_frame_boundary_inclusive(spark):
+    """The trailing frame is [ts − 24 h, ts] by event time: an event
+    EXACTLY 24 h earlier is inside the frame, one microsecond older
+    is out."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from football_data_pipeline_spark.operators.timeseries import (
+        MOVAVG_WINDOW_S,
+        q_moving_avg,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        (1, t0 - dt.timedelta(seconds=MOVAVG_WINDOW_S, microseconds=1), 1, "purchase", 100.0),
+        (2, t0 - dt.timedelta(seconds=MOVAVG_WINDOW_S), 1, "purchase", 30.0),
+        (3, t0, 1, "purchase", 10.0),
+    ]
+    d = tempfile.mkdtemp(prefix="movavg-test-")
+    spark.createDataFrame(rows, ev_schema).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {r.event_id: r for r in q_moving_avg(spark, d).collect()}
+    # event 3's frame holds events 2 and 3 (event 1 is 1 µs too old)
+    assert out[3].n_in_window == 2
+    assert abs(out[3].moving_avg - 20.0) < 1e-9
+    assert out[1].n_in_window == 1 and out[2].n_in_window == 1
