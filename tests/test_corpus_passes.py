@@ -530,4 +530,7 @@ def test_moving_avg_frame_boundary_inclusive(spark):
     # event 3's frame holds events 2 and 3 (event 1 is 1 µs too old)
     assert out[3].n_in_window == 2
     assert abs(out[3].moving_avg - 20.0) < 1e-9
-    assert out[1].n_in_window == 1 and out[2].n_in_window == 1
+    # events 1 and 2 are only 1 µs apart, so event 2's own frame
+    # holds both of them; event 1 (the oldest) only holds itself
+    assert out[1].n_in_window == 1 and out[2].n_in_window == 2
+    assert abs(out[2].moving_avg - 65.0) < 1e-9
