@@ -22,6 +22,7 @@ from football_data_pipeline_spark.operators.redact import redact_pii
 from football_data_pipeline_spark.operators.sampling import RESOLUTION
 
 DOC_SCHEMA = "doc_id long, lang string, source string, text string"
+DOC_SCHEMA_NOLANG = "doc_id long, source string, text string"
 
 
 def test_doc_lines_chunking_edges(spark):
@@ -594,3 +595,28 @@ def test_scd2_intervals_equal_asof_join(spark):
     # the equivalence is non-vacuous: most clicks have a match
     n_matched = sum(1 for v in via_asof.values() if v[0] is not None)
     assert n_matched > len(via_asof) // 2
+
+
+def test_snapshot_diff_identity_properties(spark):
+    """Algebraic anchors for the diff: diff(X, X) is all-unchanged,
+    diff(X, empty) is all-added, diff(empty, X) is all-removed —
+    and counts always partition the union of doc ids."""
+    from football_data_pipeline_spark.operators.versioning import snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, "w", f"text number {i} body") for i in range(8)], DOC_SCHEMA_NOLANG
+    )
+    empty = docs.filter(F.lit(False))
+
+    same = snapshot_diff(docs, docs).collect()[0]
+    assert (same.n_added, same.n_removed, same.n_changed, same.n_unchanged) == (
+        0, 0, 0, 8,
+    )
+    added = snapshot_diff(docs, empty).collect()[0]
+    assert (added.n_added, added.n_removed, added.n_changed, added.n_unchanged) == (
+        8, 0, 0, 0,
+    )
+    removed = snapshot_diff(empty, docs).collect()[0]
+    assert (
+        removed.n_added, removed.n_removed, removed.n_changed, removed.n_unchanged
+    ) == (0, 8, 0, 0)
