@@ -79,6 +79,7 @@ EVT_PROBED = [
     "q_scd2_history",
     "q_moving_avg",
     "q_anomaly",
+    "q_rollup_report",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
