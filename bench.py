@@ -86,7 +86,7 @@ HEADLINE = [
 #: (measured solo: 5.6, 4.0, 7.0, 4.4, 2.7, 2.9 s), so 3 samples
 #: straddle the two regimes; more samples + the max-trim converge on
 #: the steady state.
-NOISY_QUERIES = {"q_fuzzy_join", "q_star_join", "q_dedup_minhash"}
+NOISY_QUERIES = {"q_fuzzy_join", "q_star_join", "q_dedup_minhash", "q_upcoming_games"}
 NOISY_TRIALS = 6
 
 

@@ -545,8 +545,9 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval side of any decontamination scan is tiny
     (benchmarks are thousands of rows, the pool is billions) →
     broadcast eval, stream the pool once, per-pool-vector max in one
-    hash aggregate with map-side combine. No window, no shuffle of
-    the big side beyond the final label-keyed rollup. The scoring
+    hash aggregate with map-side combine. No window; the big side
+    pays one combine-reduced vec_id-keyed shuffle (one row per train
+    vector after map-side max) plus the final label-keyed rollup. The scoring
     here is the fold-based dot product (oracle-exact summation
     order); for throughput pipelines use
     :func:`eval_max_similarity_arrow` — one numpy matmul per Arrow
@@ -665,6 +666,9 @@ def eval_max_similarity_arrow(
 
     def kernel(batches):
         for pdf in batches:
+            if not len(pdf):
+                # np.array([]) is 1-D → axis=1 norm would AxisError
+                continue
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )

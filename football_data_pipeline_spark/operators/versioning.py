@@ -35,10 +35,12 @@ from .sampling import sample_bucket
 #: deterministic synthetic "previous snapshot" for the driver query:
 #: bucket 0 of 20 is absent from prev (→ added in cur), bucket 1's
 #: prev text carries a ' legacy' suffix (→ changed), and bucket 2
-#: spawns a prev-only ghost doc at doc_id + GHOST_OFFSET (→ removed)
+#: spawns a prev-only ghost doc at -(doc_id) - 1 (→ removed) —
+#: real doc_ids are non-negative, so the negated id cannot collide
+#: with a real doc at ANY corpus size (a fixed additive offset
+#: collides once the corpus passes the offset; ADVICE r4)
 SNAP_SALT = "snap-v1"
 SNAP_MOD = 20
-GHOST_OFFSET = 10_000_000
 
 
 def snapshot_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
@@ -100,7 +102,7 @@ def _diff_oracle() -> str:
              CASE WHEN b = 1 THEN text || ' legacy' ELSE text END AS text
       FROM base WHERE b <> 0
       UNION ALL
-      SELECT doc_id + {GHOST_OFFSET}, source, text FROM base WHERE b = 2
+      SELECT -doc_id - 1, source, text FROM base WHERE b = 2
     ),
     c AS (SELECT doc_id, source AS cur_source, {_FP_SQL} AS cur_fp,
                  TRUE AS in_cur
@@ -148,6 +150,6 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     prev_ghost = base.filter(F.col("b") == 2).select(
-        (F.col("doc_id") + GHOST_OFFSET).alias("doc_id"), "source", "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "source", "text"
     )
     return snapshot_diff(docs, prev_main.unionByName(prev_ghost))

@@ -56,6 +56,38 @@ def test_notification_sink_delivers(spark):
     assert len(sent) == 1
 
 
+def test_notification_sink_caps_collect(spark):
+    """Bounded-edge contract (VERDICT r4 #2): a pathological micro-
+    batch (mass odds swing) must not collect every embed to the
+    driver — the sink keeps MAX_ALERTS_PER_BATCH biggest movements
+    and reports the exact suppressed count."""
+    from football_data_pipeline_spark.streaming.notify import MAX_ALERTS_PER_BATCH
+
+    n = MAX_ALERTS_PER_BATCH + 17
+    batch = spark.createDataFrame(
+        [
+            (i, "Bet365", 2.5, 2.0, 2.0, 2.2, float(10 + i), f"H{i}", f"A{i}")
+            for i in range(n)
+        ],
+        "fixture_id long, bookmaker string, home_odds double, prev_home double, "
+        "away_odds double, prev_away double, home_change_pct double, "
+        "home_team string, away_team string",
+    )
+    sent = []
+    sink = notification_sink(sent.append, NOW)
+    sink(batch, batch_id=0)
+    [payload] = sent
+    # MAX alert embeds + 1 overflow notice
+    assert len(payload["embeds"]) == MAX_ALERTS_PER_BATCH + 1
+    assert sink.overflow_total == 17
+    assert f"17 additional movement alerts" in payload["embeds"][-1]["description"]
+    # the kept alerts are the LARGEST movements (highest |Δ%|)
+    assert f"H{n - 1} vs A{n - 1}" in payload["embeds"][0]["title"]
+    # non-overflowing batch leaves the counter alone
+    sink(_movements(spark), batch_id=1)
+    assert sink.overflow_total == 17 and len(sent) == 2
+
+
 def test_odds_lookup_embed_shape(spark):
     """!odds command end-to-end on crafted silver: LIKE resolution →
     next fixture → top-3 snapshots → the reference's embed document
