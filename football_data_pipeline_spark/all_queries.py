@@ -29,10 +29,11 @@ from .operators import (  # noqa: F401
     selection,
     semdedup,
     sessions,
+    substring,
     textstats,
     timeseries,
     versioning,
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, textstats, timeseries, versioning, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, substring, textstats, timeseries, versioning, windows]

