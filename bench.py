@@ -78,6 +78,9 @@ HEADLINE = [
     # prefix): the DSIR selection pass and the sessionization window
     "q_dsir_weights",
     "q_sessionize",
+    # added in round 5 (compare across rounds on the common prefix):
+    # the exact-substring dedup family
+    "q_substring_dedup",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

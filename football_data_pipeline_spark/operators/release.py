@@ -42,9 +42,22 @@ from .quality import classify_quality
 from .redact import redact_pii
 
 
-def build_release(docs: DataFrame, path: str, epoch: int = 0) -> None:
+def build_release(
+    docs: DataFrame, path: str, epoch: int = 0, assets: DataFrame | None = None
+) -> None:
     """Materialize a training-corpus release at ``path`` (see module
-    docstring for stages and layout)."""
+    docstring for stages and layout).
+
+    ``assets`` (optional): a media-asset table (asset_id, payload,
+    …) paired with the corpus. When given, the image quality gate
+    (multimodal.classify_image_quality — undecodable / too-small /
+    bad-aspect / flat) runs alongside the text gate: rejected assets
+    are audited to ``<path>/image_drops`` with their reason, kept
+    assets' manifest (id + dims + score) goes to
+    ``<path>/assets`` — the same rejects-audited-never-silent
+    contract as the text side. Accounting closure on the asset side
+    mirrors the doc side: every input asset lands in exactly one of
+    the two outputs."""
     scored = classify_quality(docs).select("doc_id", "score", "keep")
     flagged = docs.join(scored, "doc_id", "left")
     rejected = flagged.filter(~F.coalesce(F.col("keep"), F.lit(False))).select(
@@ -89,3 +102,18 @@ def build_release(docs: DataFrame, path: str, epoch: int = 0) -> None:
         f"{path}/shards",
         epoch=epoch,
     )
+
+    if assets is not None:
+        from .multimodal import classify_image_quality
+
+        gated = classify_image_quality(assets)
+        write_report_json(
+            gated.filter(~F.col("keep")).select("asset_id", "reason", "score"),
+            f"{path}/image_drops",
+        )
+        write_report_json(
+            gated.filter(F.col("keep")).select(
+                "asset_id", "width", "height", "score"
+            ),
+            f"{path}/assets",
+        )

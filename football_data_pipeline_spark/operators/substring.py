@@ -35,11 +35,11 @@ Documents shorter than ``MIN_MATCH_WORDS`` cannot contain a
 qualifying span and are filtered at the scan (the reference
 implementation likewise skips sequences shorter than the threshold).
 
-10× probe (tools/scale_probe.py, 10 perturbed copies per doc →
-10× gram-index density AND ~100× more duplicated offsets since every
-copy matches every other copy's spans): sf0.01 0.9 s → 10× 3.2 s —
-cost tracks the OUTPUT (matched offsets), never input²; see
-``q_substring_dedup`` below.
+10× probe (tools/scale_probe.py, 10 perturbed copies per doc, so
+every copy's ENTIRE text matches its 9 siblings — near worst-case
+duplicated-offset density): sf0.1 2.51 s / 477 report rows → 10×
+15.5 s / 50 000 rows. Time grows 6× for a 10× input whose OUTPUT
+grew 105× — cost tracks the matched-offset volume, never input².
 """
 
 from __future__ import annotations

@@ -1,0 +1,112 @@
+"""Transactional MERGE variants of the keyed upsert / keyed delete
+(VERDICT r4 item 10, SURVEY §2.4's own recommendation).
+
+The plain-Parquet emulation (operators/upsert.upsert_replace +
+whole-table rewrite) is CORRECT but rewrites every partition it
+touches; at 100 TB the scale-safe form is a transactional ``MERGE
+INTO`` / ``DELETE FROM`` on a table format (Delta Lake / Iceberg):
+only the files containing matched keys are rewritten, the commit is
+atomic, and concurrent readers never observe a half-written table.
+
+This module is the capability seam: ``delta_available()`` probes for
+the delta-spark package at runtime; ``merge_upsert`` /
+``merge_delete`` route to Delta's MERGE when present and to the
+engine's existing rewrite emulation otherwise — SAME table state
+either way (pytest asserts path parity where both run). Nothing else
+in the engine imports delta directly, so the container without the
+package loses only the transactional fast path, never correctness.
+
+Reference parity: the SQLite ``INSERT OR REPLACE`` family
+(/root/reference/database_integration.py:121-174) — row-replace on
+key clash, delete-by-predicate — with the conflict target being the
+table key, exactly what MERGE's ON clause expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    """True iff the delta-spark bindings are importable. (The session
+    must ALSO have been built with the Delta SQL extension +
+    catalog configs for the fast path to work — probed lazily in
+    merge_upsert, since a bare import cannot see session confs.)"""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    if not delta_available():
+        return False
+    from delta.tables import DeltaTable
+
+    try:
+        return DeltaTable.isDeltaTable(spark, path)
+    except Exception:  # extension not loaded in this session
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta_df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> None:
+    """U1 at table grain: upsert ``delta_df`` into the table at
+    ``path``. Delta path: one transactional ``MERGE INTO`` —
+    whenMatchedUpdateAll / whenNotMatchedInsertAll, touching only
+    files holding matched keys. Fallback: read → upsert_replace →
+    full overwrite (correct, partition-rewrite cost).
+
+    ``delta_df`` is first collapsed to one row per key
+    (latest-wins on ``order_cols``) on BOTH paths — MERGE requires a
+    unique source key, and the emulation's upsert_replace resolves
+    within-batch clashes the same way.
+    """
+    from ..operators.upsert import keep_latest, upsert_replace
+
+    src = keep_latest(delta_df, keys, order_cols)
+    if _is_delta_table(spark, path):
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(src.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    base = spark.read.parquet(path)
+    merged = upsert_replace(base, src, keys, order_cols)
+    # self-overwrite safety: the plan reads `path`; materialize
+    # before truncating it
+    merged.localCheckpoint().write.mode("overwrite").parquet(path)
+
+
+def merge_delete(spark: SparkSession, path: str, cond: Column | str) -> None:
+    """U5 at table grain: delete rows matching ``cond`` from the
+    table at ``path``. Delta path: transactional ``DELETE FROM``
+    (file-level skipping via stats, atomic commit). Fallback:
+    keep-the-complement rewrite (operators/upsert.delete_where
+    semantics — NULL conditions keep the row, matching SQL DELETE).
+    """
+    cond_col = F.expr(cond) if isinstance(cond, str) else cond
+    if _is_delta_table(spark, path):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).delete(cond_col)
+        return
+    from ..operators.upsert import delete_where
+
+    kept = delete_where(spark.read.parquet(path), cond_col)
+    kept.localCheckpoint().write.mode("overwrite").parquet(path)

@@ -1,0 +1,62 @@
+"""Transactional MERGE seam (VERDICT r4 item 10): the fallback
+rewrite path always runs; the Delta fast path runs where delta-spark
+is installed, asserting identical table state to the emulation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from football_data_pipeline_spark.sources.delta_merge import (
+    delta_available,
+    merge_delete,
+    merge_upsert,
+)
+
+SCHEMA = "id long, name string, priority int"
+BASE = [(1, "old-one", 0), (2, "old-two", 0), (3, "old-three", 0)]
+DELTA = [(2, "new-two", 1), (2, "newer-two", 2), (4, "new-four", 1)]
+# expected after upsert: 2 replaced by its latest delta row, 4 added
+EXPECT_UPSERT = {(1, "old-one", 0), (2, "newer-two", 2), (3, "old-three", 0), (4, "new-four", 1)}
+
+
+def _write_base(spark, path):
+    spark.createDataFrame(BASE, SCHEMA).write.mode("overwrite").parquet(path)
+
+
+def _state(spark, path):
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+def test_merge_upsert_fallback_path(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    merge_upsert(spark, path, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"])
+    assert _state(spark, path) == EXPECT_UPSERT
+
+
+def test_merge_delete_fallback_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    merge_delete(spark, path, F.col("id") == 2)
+    assert _state(spark, path) == {(1, "old-one", 0), (3, "old-three", 0)}
+    # string predicate form + NULL-safe keep
+    merge_delete(spark, path, "name = 'no-such-row'")
+    assert len(_state(spark, path)) == 2
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_merge_upsert_delta_matches_fallback(spark, tmp_path):
+    """Where Delta IS available: both paths produce identical state."""
+    fb = str(tmp_path / "fallback")
+    _write_base(spark, fb)
+    merge_upsert(spark, fb, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"])
+
+    dp = str(tmp_path / "delta")
+    spark.createDataFrame(BASE, SCHEMA).write.format("delta").save(dp)
+    merge_upsert(spark, dp, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"])
+    assert {tuple(r) for r in spark.read.format("delta").load(dp).collect()} == _state(
+        spark, fb
+    )
