@@ -9,6 +9,9 @@ them):
                          anything durable is written)
 3. exact dedup         — canonical word-set fingerprint, min-id
                          representative (dedup.q_dedup_exact's rule)
+3b. substring trim     — optional (strip_substrings=True):
+                         substring.strip_dup_spans cuts every ≥ k-word
+                         repeated run from all but its canonical owner
 4. dataset card        — datacard.dataset_card over the final
                          corpus, written as the release's datasheet
 5. ordered shards      — sinks.write_training_shards (epoch-
@@ -43,7 +46,11 @@ from .redact import redact_pii
 
 
 def build_release(
-    docs: DataFrame, path: str, epoch: int = 0, assets: DataFrame | None = None
+    docs: DataFrame,
+    path: str,
+    epoch: int = 0,
+    assets: DataFrame | None = None,
+    strip_substrings: bool = False,
 ) -> None:
     """Materialize a training-corpus release at ``path`` (see module
     docstring for stages and layout).
@@ -94,6 +101,25 @@ def build_release(
         F.lit(None).cast("double").alias("score"),
     )
     final = redacted.join(dup_ids, "doc_id", "left_anti")
+
+    if strip_substrings:
+        # ExactSubstr trim (substring.strip_dup_spans): cut every
+        # ≥ k-word repeated run from all but its canonical owner.
+        # Runs AFTER exact dedup (whole-copy removal is cheaper
+        # there) and BEFORE the card/shards so the accounting and
+        # the shipped text agree. n_chars is re-derived from the
+        # trimmed text.
+        from .substring import strip_dup_spans
+
+        trimmed = strip_dup_spans(final.select("doc_id", "text")).withColumnRenamed(
+            "text", "stripped_text"
+        )
+        final = (
+            final.join(trimmed, "doc_id")
+            .drop("text")
+            .withColumnRenamed("stripped_text", "text")
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
 
     write_report_json(rejected.unionByName(dup_drops), f"{path}/drops")
     write_report_json(dataset_card(final), f"{path}/card")

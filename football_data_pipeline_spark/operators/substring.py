@@ -193,3 +193,326 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the short-document filter keeps sub-k docs out on both sides.
     """
     return substring_dedup_report(load(spark, sf_dir, "documents"))
+
+
+def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
+    """The dedup ACTION the report family measures: cut every
+    duplicated span from all but one occurrence, keeping exactly one
+    canonical copy of each repeated substring in the corpus (the
+    ExactSubstr recipe's second half — Lee et al. remove the repeated
+    bytes in place rather than dropping whole documents).
+
+    Canonical-owner rule, deterministic at any scale: each gram's
+    owner is the SMALLEST doc_id holding it; an offset is *foreign*
+    (cut) where its doc is not the owner. The min-id doc of a
+    repeated run keeps its text; every later doc loses the run.
+    Mixed-ownership spans cut exactly the foreign windows — the merge
+    happens over foreign offsets only, so owned words survive.
+
+    Returns (doc_id, text) for EVERY input doc — non-matched docs
+    (including sub-k ones) pass through verbatim, so the output is a
+    drop-in replacement corpus.
+
+    Scale shape: the same linear gram index as the report (one
+    gram-keyed shuffle, min aggregate instead of distinct-count),
+    foreign spans merge per doc, then ONE doc_id join attaches the
+    span list (array column, bounded by doc length) and the cut is a
+    per-row filter over (word, index) pairs — no extra shuffle
+    beyond the index build and the per-doc attach.
+
+    10× probe (same worst-case perturbed corpus as the report form):
+    sf0.1 2.23 s / 5 000 docs → 21.7 s / 50 000 docs with matched
+    offsets ~100× denser — linear in corpus size.
+    """
+    words = docs.select("doc_id", F.coalesce(_words(), F.array()).alias("words"))
+    eligible = words.filter(F.size("words") >= k)
+    grams = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(sliding_join(F.col("words"), k), lambda g: F.md5(g))
+        ).alias("pos", "g"),
+    )
+    owners = grams.groupBy("g").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+    )
+    foreign = (
+        grams.join(owners, "g")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = foreign.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span"),
+    )
+    spans = (
+        islands.groupBy("doc_id", "span")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + k).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+    )
+    cut = words.join(spans, "doc_id", "left")
+    kept = F.filter(
+        F.zip_with(
+            F.col("words"),
+            F.sequence(F.lit(0), F.size("words") - 1),
+            lambda wd, i: F.struct(wd.alias("w"), i.alias("i")),
+        ),
+        lambda p: ~F.coalesce(
+            F.exists(
+                F.col("cuts"), lambda c: (p["i"] >= c["s"]) & (p["i"] < c["e"])
+            ),
+            F.lit(False),
+        ),
+    )
+    return cut.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda p: p["w"])).alias("text"),
+    )
+
+
+@query(
+    "q_substring_strip",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, coalesce({_WORDS_SQL}, []) AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+{_K - 1}], ' ')) AS g
+      FROM w0 CROSS JOIN UNNEST(range(1, greatest(len(words) - {_K} + 1, 1) + 1)) t(i)
+      WHERE len(words) >= {_K}
+    ),
+    own AS (
+      SELECT g, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+      FROM g GROUP BY g
+    ),
+    fo AS (
+      SELECT g.doc_id, g.pos FROM g JOIN own USING (g)
+      WHERE own.nd >= 2 AND g.doc_id <> own.owner
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_K}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM fo
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM s
+    ),
+    spans AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS cuts FROM (
+        SELECT doc_id, min(pos) AS s, max(pos) + {_K} AS e
+        FROM isl GROUP BY doc_id, span
+      ) GROUP BY doc_id
+    ),
+    stripped AS (
+      SELECT w0.doc_id,
+             -- coalesce: DuckDB array_to_string([]) is NULL where
+             -- Spark concat_ws of an empty array is '' (fully-cut
+             -- docs hit this)
+             coalesce(array_to_string(
+               list_transform(
+                 list_filter(
+                   list_transform(range(1, len(w0.words) + 1),
+                                  i -> {{'w': w0.words[i], 'i': i - 1}}),
+                   p -> spans.cuts IS NULL OR len(list_filter(
+                        spans.cuts, c -> p.i >= c.s AND p.i < c.e)) = 0
+                 ),
+                 p -> p.w), ' '), '') AS text
+      FROM w0 LEFT JOIN spans ON w0.doc_id = spans.doc_id
+    )
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(len({_WORDS_SQL.replace("text", "text")}) AS BIGINT) AS n_words_after
+    FROM stripped
+    """,
+)
+def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`strip_dup_spans`: the cleaned corpus
+    after cutting every ≥ 8-word repeated run from all but its
+    min-doc_id owner, pinned by per-doc md5 of the reassembled text
+    plus the post-cut word count (the md5 makes every kept/cut word
+    decision hash-visible; the count makes the cut volume visible).
+    """
+    out = strip_dup_spans(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.size(F.array_remove(F.split("text", " "), "")).cast("long").alias(
+            "n_words_after"
+        ),
+    )
+
+
+# --- exact n-gram decontamination (the GPT-3/PaLM recipe) ------------
+
+#: eval-holdout assignment for the driver query: docs whose hash
+#: bucket is 0 of DECON_MOD play the benchmark, the rest are train
+DECON_SALT = "xdecon-v1"
+DECON_MOD = 20
+
+
+def eval_gram_leaks(
+    train: DataFrame, eval_docs: DataFrame, k: int = MIN_MATCH_WORDS
+) -> DataFrame:
+    """Exact n-gram benchmark decontamination — the published recipe
+    (GPT-3's 13-gram collision scrub, PaLM/Llama variants): a train
+    document is contaminated where any ``k`` consecutive words
+    appear verbatim in ANY eval/benchmark document. Completes the
+    decontamination family: prep.contamination_overlap measures
+    3-gram Jaccard mass, embedsearch.q_semantic_decontam catches
+    paraphrases; this pass is the exact-collision criterion the
+    published scrubs actually apply, with span accounting so the
+    leak can be CUT (the spans align with strip_dup_spans's merge).
+
+    Returns (doc_id, n_words, n_leaked_spans, leaked_words,
+    max_span_len, leak_fraction) for flagged train docs only.
+
+    Scale shape: train pays the same linear gram index as the dedup
+    family; the eval side of any decontamination scan is tiny
+    (benchmarks are thousands of docs) so its DISTINCT gram set
+    broadcasts and the probe is a broadcast semi-join — the big side
+    never shuffles on gram at all; only the per-doc span merge
+    shuffles (doc_id-keyed). With an oversized eval set the planner
+    falls back to a shuffled semi-join and the plan is the dedup
+    report's — still linear.
+    """
+    words = train.filter(F.size(_words()) >= k).select(
+        "doc_id", _words().alias("words")
+    )
+    tg = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(sliding_join(F.col("words"), k), lambda g: F.md5(g))
+        ).alias("pos", "g"),
+    )
+    eg = (
+        eval_docs.filter(F.size(_words()) >= k)
+        .select(
+            F.explode(
+                F.transform(sliding_join(_words(), k), lambda g: F.md5(g))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    matched = tg.join(F.broadcast(eg), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = matched.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span"),
+    )
+    spans = islands.groupBy("doc_id", "span").agg(
+        F.min("pos").alias("s"), (F.max("pos") - F.min("pos") + k).alias("l")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_leaked_spans"),
+        F.sum("l").cast("long").alias("leaked_words"),
+        F.max("l").cast("long").alias("max_span_len"),
+    )
+    sizes = train.select("doc_id", F.size(_words()).cast("long").alias("n_words"))
+    return per_doc.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_leaked_spans",
+        "leaked_words",
+        "max_span_len",
+        rnd(F.col("leaked_words") / F.col("n_words"), 4).alias("leak_fraction"),
+    )
+
+
+@query(
+    "q_exact_decontam",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_WORDS_SQL} AS words,
+             CAST(('0x' || substr(md5('{DECON_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 % {DECON_MOD} AS b
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+{_K - 1}], ' ')) AS g
+      FROM base CROSS JOIN UNNEST(range(1, greatest(len(words) - {_K} + 1, 1) + 1)) t(i)
+      WHERE b <> 0 AND len(words) >= {_K}
+    ),
+    eg AS (
+      SELECT DISTINCT md5(array_to_string(words[i:i+{_K - 1}], ' ')) AS g
+      FROM base CROSS JOIN UNNEST(range(1, greatest(len(words) - {_K} + 1, 1) + 1)) t(i)
+      WHERE b = 0 AND len(words) >= {_K}
+    ),
+    m AS (SELECT tg.doc_id, tg.pos FROM tg JOIN eg USING (g)),
+    s AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_K}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM s
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_K} - min(pos) AS l
+      FROM isl GROUP BY doc_id, span
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_spans,
+             CAST(sum(l) AS BIGINT) AS leaked_words,
+             CAST(max(l) AS BIGINT) AS max_span_len
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(b.words) AS BIGINT) AS n_words,
+           p.n_leaked_spans, p.leaked_words, p.max_span_len,
+           floor(p.leaked_words * 1.0 / len(b.words) * 10000 + 0.5) / 10000
+             AS leak_fraction
+    FROM per_doc p JOIN base b ON p.doc_id = b.doc_id
+    """,
+)
+def q_exact_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination over ``documents``: hash bucket 0
+    of 20 plays the benchmark (same deterministic-holdout device as
+    q_semantic_decontam), the rest is the train pool; flagged train
+    docs report their leaked spans.
+
+    What the hash proves: the broadcast gram probe finds exactly the
+    train offsets colliding with the eval gram set, the span merge
+    and accounting agree with the dedup family's arithmetic, and the
+    train/eval split is disjoint (an eval doc can never flag
+    itself — it is excluded from the train side by the bucket
+    predicate on both engines).
+    """
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    b = F.pmod(sample_bucket(F.col("doc_id"), DECON_SALT), F.lit(DECON_MOD))
+    train = docs.filter(b != 0)
+    ev = docs.filter(b == 0)
+    return eval_gram_leaks(train, ev)

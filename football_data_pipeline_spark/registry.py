@@ -96,6 +96,8 @@ CHECK_PRIORITY = [
     "q_team_stats_trend",
     "q_league_teams",
     "q_substring_dedup",
+    "q_substring_strip",
+    "q_exact_decontam",
     # --- r4-green but their own plan changed in r5: the snapshot-diff
     # ghost ids moved to -doc_id-1 (ADVICE r4 collision fix), and
     # upcoming_games_with_odds grew the horizon_hours parameter (its

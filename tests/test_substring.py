@@ -104,3 +104,91 @@ def test_report_accounting(spark):
     assert rep[1].dup_fraction == pytest.approx(0.5)
     assert rep[2].n_words == 10 and rep[2].dup_fraction == pytest.approx(1.0)
     assert rep[1].max_span_len == 10 and rep[1].n_dup_spans == 1
+
+
+def test_strip_keeps_owner_cuts_copy(spark):
+    """The min-doc_id owner keeps the repeated run; every other doc
+    loses exactly that run; clean and sub-k docs pass through
+    verbatim."""
+    from football_data_pipeline_spark.operators.substring import strip_dup_spans
+
+    shared = _w("s", 10)
+    d1 = _w("a", 6) + " " + shared  # owner (min id holding the run)
+    d2 = shared + " " + _w("b", 6)  # loses the run
+    d3 = _w("c", 12)  # clean, passes through
+    d4 = "tiny doc"  # sub-k, passes through
+    docs = _docs(spark, [(1, d1), (2, d2), (3, d3), (4, d4)])
+    out = {r.doc_id: r.text for r in strip_dup_spans(docs, K).collect()}
+    assert out[1] == d1
+    assert out[2] == _w("b", 6)
+    assert out[3] == d3
+    assert out[4] == d4
+    assert len(out) == 4  # every input doc present exactly once
+
+
+def test_strip_full_duplicate_empties_copy(spark):
+    """A verbatim full copy of an earlier doc strips to empty text —
+    the one-canonical-occurrence guarantee."""
+    from football_data_pipeline_spark.operators.substring import strip_dup_spans
+
+    body = _w("z", 15)
+    docs = _docs(spark, [(7, body), (9, body)])
+    out = {r.doc_id: r.text for r in strip_dup_spans(docs, K).collect()}
+    assert out[7] == body and out[9] == ""
+
+
+def test_release_builder_substring_stage(spark, tmp_path):
+    """build_release(strip_substrings=True): the shipped shards carry
+    trimmed text for non-owner docs; accounting (n_chars) matches the
+    trimmed text."""
+    import glob
+
+    import pandas as pd
+
+    from football_data_pipeline_spark.operators.release import build_release
+
+    # pads are positive-weight words under the quality gate's hashed
+    # model so both docs survive to the shards; the shared run is the
+    # only >=8-word text the docs have in common
+    shared = " ".join(f"dupword{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "nice data query value beta " + shared, "en", "web"),
+            (2, shared + " test delta nice data query value", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    path = str(tmp_path / "rel")
+    build_release(docs, path, strip_substrings=True)
+    files = glob.glob(f"{path}/shards/**/*.parquet", recursive=True)
+    shipped = pd.concat([pd.read_parquet(f) for f in files])
+    by_id = dict(zip(shipped.doc_id, shipped.text))
+    assert shared in by_id[1]  # owner keeps the run
+    assert "dupword0" not in by_id[2]  # copy trimmed
+    assert by_id[2] == "test delta nice data query value"
+    nchars = dict(zip(shipped.doc_id, shipped.n_chars))
+    assert nchars[2] == len(by_id[2])
+
+
+def test_exact_decontam_planted_leak(spark):
+    """A train doc quoting 9 benchmark words verbatim is flagged with
+    exactly that span; paraphrase and clean docs are not; eval docs
+    never flag themselves."""
+    from football_data_pipeline_spark.operators.substring import eval_gram_leaks
+
+    bench = "the quick brown fox jumps over the lazy dog every single day"
+    ev = _docs(spark, [(100, bench)])
+    train = _docs(
+        spark,
+        [
+            # quotes words 0..8 of the benchmark (9 words ≥ k=5)
+            (1, _w("a", 4) + " the quick brown fox jumps over the lazy dog"),
+            # paraphrase — no 5-gram collision
+            (2, "a fast brown fox leaps over one lazy dog each day"),
+            (3, _w("c", 12)),
+        ],
+    )
+    got = {r.doc_id: r for r in eval_gram_leaks(train, ev, K).collect()}
+    assert set(got) == {1}
+    assert got[1].n_leaked_spans == 1 and got[1].leaked_words == 9
+    assert got[1].max_span_len == 9 and got[1].n_words == 13
