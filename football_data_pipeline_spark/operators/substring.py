@@ -44,7 +44,7 @@ grew 105× — cost tracks the matched-offset volume, never input².
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -59,33 +59,29 @@ from .textstats import _WORDS_SQL, _words
 MIN_MATCH_WORDS = 8
 
 
-def substring_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
-    """(doc_id, span_start, span_len): every maximal span of ≥ ``k``
-    consecutive words that appears verbatim in at least one OTHER
-    document. ``docs`` needs (doc_id, text); offsets are 0-based
-    word positions.
-    """
+def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, g): the k-gram hash at every word offset of every
+    doc long enough to hold one — the shingled doc-offset index all
+    three operators share."""
     words = docs.filter(F.size(_words()) >= k).select(
         "doc_id", _words().alias("words")
     )
-    grams = words.select(
+    return words.select(
         "doc_id",
         F.posexplode(
             F.transform(sliding_join(F.col("words"), k), lambda g: F.md5(g))
         ).alias("pos", "g"),
     )
-    # suffix-array criterion at depth k: the gram repeats in ≥ 2 docs
-    dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    matched = grams.join(dup, "g", "left_semi")
-    # min-length match merge: offsets p and q (p < q) belong to one
-    # span iff q ≤ p + k (their k-windows overlap or touch). Equal
-    # window lengths make LAG sufficient — the nearest preceding
-    # offset always carries the running max end.
+
+
+def _merge_offsets(matched: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span_start, span_len): min-length match merge of
+    matched offsets. Offsets p and q (p < q) belong to one span iff
+    q ≤ p + k (their k-windows overlap or touch); equal window
+    lengths make LAG sufficient — the nearest preceding offset
+    always carries the running max end. One doc_id-keyed shuffle
+    (high cardinality); the span aggregate rides the window's
+    partitioning."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = matched.select(
         "doc_id",
@@ -101,10 +97,53 @@ def substring_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
         "pos",
         F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span"),
     )
-    return islands.groupBy("doc_id", "span").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") - F.min("pos") + k).alias("span_len"),
-    ).select("doc_id", "span_start", "span_len")
+    return (
+        islands.groupBy("doc_id", "span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+def _span_report(
+    spans: DataFrame, docs: DataFrame, n_col: str, words_col: str, frac_col: str
+) -> DataFrame:
+    """Per-doc span accounting shared by the report and decontam
+    forms: (doc_id, n_words, <n_col>, <words_col>, max_span_len,
+    <frac_col>) for docs with ≥ 1 span."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias(n_col),
+        F.sum("span_len").cast("long").alias(words_col),
+        F.max("span_len").cast("long").alias("max_span_len"),
+    )
+    sizes = docs.select("doc_id", F.size(_words()).cast("long").alias("n_words"))
+    return per_doc.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_words",
+        n_col,
+        words_col,
+        "max_span_len",
+        rnd(F.col(words_col) / F.col("n_words"), 4).alias(frac_col),
+    )
+
+
+def substring_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
+    """(doc_id, span_start, span_len): every maximal span of ≥ ``k``
+    consecutive words that appears verbatim in at least one OTHER
+    document. ``docs`` needs (doc_id, text); offsets are 0-based
+    word positions.
+    """
+    grams = _doc_grams(docs, k)
+    # suffix-array criterion at depth k: the gram repeats in ≥ 2 docs
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    return _merge_offsets(grams.join(dup, "g", "left_semi"), k)
 
 
 def substring_dedup_report(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
@@ -114,20 +153,8 @@ def substring_dedup_report(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFra
     whose duplicated fraction crosses a budget). Only documents with
     at least one span appear (the clean majority would dominate the
     output with zeros at corpus scale)."""
-    spans = substring_dup_spans(docs, k)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_dup_spans"),
-        F.sum("span_len").cast("long").alias("dup_words"),
-        F.max("span_len").cast("long").alias("max_span_len"),
-    )
-    sizes = docs.select("doc_id", F.size(_words()).cast("long").alias("n_words"))
-    return per_doc.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_words",
-        "n_dup_spans",
-        "dup_words",
-        "max_span_len",
-        rnd(F.col("dup_words") / F.col("n_words"), 4).alias("dup_fraction"),
+    return _span_report(
+        substring_dup_spans(docs, k), docs, "n_dup_spans", "dup_words", "dup_fraction"
     )
 
 
@@ -225,13 +252,7 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     offsets ~100× denser — linear in corpus size.
     """
     words = docs.select("doc_id", F.coalesce(_words(), F.array()).alias("words"))
-    eligible = words.filter(F.size("words") >= k)
-    grams = eligible.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(sliding_join(F.col("words"), k), lambda g: F.md5(g))
-        ).alias("pos", "g"),
-    )
+    grams = _doc_grams(docs, k)
     owners = grams.groupBy("g").agg(
         F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
     )
@@ -240,29 +261,17 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
         .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
         .select("doc_id", "pos")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = foreign.select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_span"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span"),
-    )
     spans = (
-        islands.groupBy("doc_id", "span")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + k).alias("e"),
-        )
+        _merge_offsets(foreign, k)
         .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    (F.col("span_start") + F.col("span_len")).alias("e"),
+                )
+            ).alias("cuts")
+        )
     )
     cut = words.join(spans, "doc_id", "left")
     kept = F.filter(
@@ -392,16 +401,12 @@ def eval_gram_leaks(
     shuffles (doc_id-keyed). With an oversized eval set the planner
     falls back to a shuffled semi-join and the plan is the dedup
     report's — still linear.
+
+    10× probe (perturbed corpus: the eval holdout grows 10× with the
+    corpus, a harsher shape than production's fixed benchmark):
+    sf0.1 1.22 s / 24 flagged docs → 6.1 s / 18 757 flagged — 5×
+    time for 780× output; cost tracks the leaked-offset volume.
     """
-    words = train.filter(F.size(_words()) >= k).select(
-        "doc_id", _words().alias("words")
-    )
-    tg = words.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(sliding_join(F.col("words"), k), lambda g: F.md5(g))
-        ).alias("pos", "g"),
-    )
     eg = (
         eval_docs.filter(F.size(_words()) >= k)
         .select(
@@ -411,38 +416,13 @@ def eval_gram_leaks(
         )
         .distinct()
     )
-    matched = tg.join(F.broadcast(eg), "g", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = matched.select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_span"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span"),
-    )
-    spans = islands.groupBy("doc_id", "span").agg(
-        F.min("pos").alias("s"), (F.max("pos") - F.min("pos") + k).alias("l")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_leaked_spans"),
-        F.sum("l").cast("long").alias("leaked_words"),
-        F.max("l").cast("long").alias("max_span_len"),
-    )
-    sizes = train.select("doc_id", F.size(_words()).cast("long").alias("n_words"))
-    return per_doc.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_words",
+    matched = _doc_grams(train, k).join(F.broadcast(eg), "g", "left_semi")
+    return _span_report(
+        _merge_offsets(matched, k),
+        train,
         "n_leaked_spans",
         "leaked_words",
-        "max_span_len",
-        rnd(F.col("leaked_words") / F.col("n_words"), 4).alias("leak_fraction"),
+        "leak_fraction",
     )
 
 
