@@ -744,6 +744,11 @@ def image_quality_stats(assets: DataFrame) -> DataFrame:
                     rows.append((aid, None, None, None, None, False))
                     continue
                 w, h, rgb = decoded
+                if w * h == 0:
+                    # zero-pixel payload: decodable but statless —
+                    # NULL stats (no NaN), the dims gate rejects it
+                    rows.append((aid, w, h, None, None, True))
+                    continue
                 px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
                 # ITU-R 601 luma
                 luma = px @ np.array([0.299, 0.587, 0.114])

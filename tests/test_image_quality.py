@@ -71,3 +71,17 @@ def test_release_builder_image_side(spark, tmp_path):
     kept = {d["asset_id"] for d in load_json("assets")}
     assert drops == {2: "flat", 3: "too_small", 4: "bad_aspect", 5: "undecodable"}
     assert kept == {1}
+
+
+def test_zero_pixel_image_rejected_without_nan(spark):
+    """A decodable 0-pixel payload must classify too_small with NULL
+    stats, never NaN."""
+    import math
+
+    zero = encode_ppm(0, 0, b"")
+    [r] = classify_image_quality(
+        spark.createDataFrame([(9, zero)], ASSET_SCHEMA)
+    ).collect()
+    assert not r.keep and r.reason == "too_small"
+    assert r.mean_luma is None and r.std_luma is None
+    assert not (isinstance(r.score, float) and math.isnan(r.score))
