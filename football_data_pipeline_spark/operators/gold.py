@@ -472,6 +472,7 @@ def team_stats_trend(team_statistics: DataFrame, team_id: Column) -> DataFrame:
     """
     return (
         team_statistics.filter(F.col("team_id") == team_id)
+        .orderBy("collection_date", "league_id", "created_at")
         .select(
             "team_id",
             "league_id",
@@ -481,7 +482,6 @@ def team_stats_trend(team_statistics: DataFrame, team_id: Column) -> DataFrame:
             "goals_against",
             "matches_played",
         )
-        .orderBy("collection_date", "league_id")
     )
 
 

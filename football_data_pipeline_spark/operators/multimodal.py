@@ -793,8 +793,12 @@ def classify_image_quality(assets: DataFrame) -> DataFrame:
         .when(aspect > IMG_MAX_ASPECT, "bad_aspect")
         .when(F.col("std_luma") < IMG_MIN_STD, "flat")
     )
+    # keyed on std_luma (not `decoded`): a decoded-but-statless
+    # zero-pixel asset must score 0.0 like every other reject, not
+    # NULL (downstream aggregates would silently skip it) and not
+    # 1.0 (least() skips NULL operands)
     score = F.when(
-        F.col("decoded"),
+        F.col("std_luma").isNotNull(),
         F.round(F.least(F.col("std_luma") / IMG_STD_FULL, F.lit(1.0)), 4),
     ).otherwise(0.0)
     return stats.select(

@@ -132,7 +132,10 @@ def build_release(
     if assets is not None:
         from .multimodal import classify_image_quality
 
-        gated = classify_image_quality(assets)
+        # localCheckpoint: the Arrow decode pass is the expensive
+        # stage — materialize once instead of re-decoding for each of
+        # the two writes below (same device as phash_near_dup)
+        gated = classify_image_quality(assets).localCheckpoint()
         write_report_json(
             gated.filter(~F.col("keep")).select("asset_id", "reason", "score"),
             f"{path}/image_drops",

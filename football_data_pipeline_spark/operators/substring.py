@@ -236,9 +236,11 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     Mixed-ownership spans cut exactly the foreign windows — the merge
     happens over foreign offsets only, so owned words survive.
 
-    Returns (doc_id, text) for EVERY input doc — non-matched docs
-    (including sub-k ones) pass through verbatim, so the output is a
-    drop-in replacement corpus.
+    Returns (doc_id, text) for EVERY input doc. Uncut docs (clean,
+    sub-k, NULL-text) pass through byte-verbatim — a drop-in
+    replacement corpus; cut docs are rebuilt word-joined, so their
+    whitespace is single-space-normalized (the engine's canonical
+    text form — unavoidable when reassembling from word offsets).
 
     Scale shape: the same linear gram index as the report (one
     gram-keyed shuffle, min aggregate instead of distinct-count),
@@ -251,7 +253,6 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     sf0.1 2.23 s / 5 000 docs → 21.7 s / 50 000 docs with matched
     offsets ~100× denser — linear in corpus size.
     """
-    words = docs.select("doc_id", F.coalesce(_words(), F.array()).alias("words"))
     grams = _doc_grams(docs, k)
     owners = grams.groupBy("g").agg(
         F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
@@ -273,23 +274,28 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
             ).alias("cuts")
         )
     )
-    cut = words.join(spans, "doc_id", "left")
+    cut = docs.select("doc_id", "text").join(spans, "doc_id", "left")
+    words = F.coalesce(F.array_remove(F.split("text", " "), ""), F.array())
     kept = F.filter(
         F.zip_with(
-            F.col("words"),
-            F.sequence(F.lit(0), F.size("words") - 1),
+            words,
+            F.sequence(F.lit(0), F.size(words) - 1),
             lambda wd, i: F.struct(wd.alias("w"), i.alias("i")),
         ),
-        lambda p: ~F.coalesce(
-            F.exists(
-                F.col("cuts"), lambda c: (p["i"] >= c["s"]) & (p["i"] < c["e"])
-            ),
-            F.lit(False),
+        lambda p: ~F.exists(
+            F.col("cuts"), lambda c: (p["i"] >= c["s"]) & (p["i"] < c["e"])
         ),
     )
+    # cut docs are rebuilt word-joined (single-spaced); UNCUT docs
+    # keep their original bytes — truly verbatim pass-through, NULL
+    # text included
     return cut.select(
         "doc_id",
-        F.concat_ws(" ", F.transform(kept, lambda p: p["w"])).alias("text"),
+        F.when(
+            F.col("cuts").isNull(), F.col("text")
+        )
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda p: p["w"])))
+        .alias("text"),
     )
 
 
@@ -332,20 +338,24 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
       ) GROUP BY doc_id
     ),
     stripped AS (
-      SELECT w0.doc_id,
-             -- coalesce: DuckDB array_to_string([]) is NULL where
-             -- Spark concat_ws of an empty array is '' (fully-cut
-             -- docs hit this)
-             coalesce(array_to_string(
+      -- uncut docs pass through VERBATIM (original bytes, NULLs
+      -- included); only cut docs are rebuilt word-joined. coalesce:
+      -- DuckDB array_to_string([]) is NULL where Spark concat_ws of
+      -- an empty array is '' (fully-cut docs hit this)
+      SELECT d.doc_id,
+             CASE WHEN spans.cuts IS NULL THEN d.text
+             ELSE coalesce(array_to_string(
                list_transform(
                  list_filter(
                    list_transform(range(1, len(w0.words) + 1),
                                   i -> {{'w': w0.words[i], 'i': i - 1}}),
-                   p -> spans.cuts IS NULL OR len(list_filter(
+                   p -> len(list_filter(
                         spans.cuts, c -> p.i >= c.s AND p.i < c.e)) = 0
                  ),
-                 p -> p.w), ' '), '') AS text
-      FROM w0 LEFT JOIN spans ON w0.doc_id = spans.doc_id
+                 p -> p.w), ' '), '') END AS text
+      FROM documents d
+      JOIN w0 ON d.doc_id = w0.doc_id
+      LEFT JOIN spans ON d.doc_id = spans.doc_id
     )
     SELECT doc_id, md5(text) AS text_md5,
            CAST(len({_WORDS_SQL.replace("text", "text")}) AS BIGINT) AS n_words_after
@@ -396,10 +406,11 @@ def eval_gram_leaks(
     Scale shape: train pays the same linear gram index as the dedup
     family; the eval side of any decontamination scan is tiny
     (benchmarks are thousands of docs) so its DISTINCT gram set
-    broadcasts and the probe is a broadcast semi-join — the big side
-    never shuffles on gram at all; only the per-doc span merge
-    shuffles (doc_id-keyed). With an oversized eval set the planner
-    falls back to a shuffled semi-join and the plan is the dedup
+    auto-broadcasts under the join threshold and the probe is a
+    broadcast semi-join — the big side never shuffles on gram at
+    all; only the per-doc span merge shuffles (doc_id-keyed). With
+    an oversized eval set the planner (deliberately un-hinted) falls
+    back to a shuffled semi-join and the plan is the dedup
     report's — still linear.
 
     10× probe (perturbed corpus: the eval holdout grows 10× with the
@@ -416,7 +427,11 @@ def eval_gram_leaks(
         )
         .distinct()
     )
-    matched = _doc_grams(train, k).join(F.broadcast(eg), "g", "left_semi")
+    # no explicit broadcast hint: the planner auto-broadcasts eg
+    # under the threshold (the production case — benchmarks are
+    # small) and an oversized eval set degrades to a shuffled
+    # semi-join instead of a broadcast OOM
+    matched = _doc_grams(train, k).join(eg, "g", "left_semi")
     return _span_report(
         _merge_offsets(matched, k),
         train,

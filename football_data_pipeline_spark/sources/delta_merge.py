@@ -41,15 +41,53 @@ def delta_available() -> bool:
         return False
 
 
+def _has_delta_log(spark: SparkSession, path: str) -> bool:
+    """Filesystem probe for a ``_delta_log`` directory — works with
+    or without the Delta bindings (Hadoop FS, so object stores count)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    """True → use the Delta fast path. False → the table is PLAIN
+    parquet and the rewrite emulation is safe.
+
+    SAFETY RAIL: a path that carries a ``_delta_log`` but cannot be
+    handled as Delta in THIS session (bindings missing, extension
+    unconfigured) raises instead of falling back — the parquet
+    emulation would read files tombstoned by earlier commits
+    (resurrecting deleted rows) and its overwrite would corrupt the
+    log. Falling back is only ever sound on a log-less path.
+    """
+    looks_delta = _has_delta_log(spark, path)
     if not delta_available():
+        if looks_delta:
+            raise RuntimeError(
+                f"{path} is a Delta table but delta-spark is not "
+                "installed; refusing the plain-parquet rewrite (it "
+                "would resurrect tombstoned rows and corrupt the log)"
+            )
         return False
     from delta.tables import DeltaTable
 
     try:
-        return DeltaTable.isDeltaTable(spark, path)
-    except Exception:  # extension not loaded in this session
+        is_delta = bool(DeltaTable.isDeltaTable(spark, path))
+    except Exception as exc:  # extension not loaded in this session
+        if looks_delta:
+            raise RuntimeError(
+                f"{path} carries a _delta_log but this session cannot "
+                "load it as Delta (is the SQL extension configured?); "
+                "refusing the plain-parquet rewrite"
+            ) from exc
         return False
+    if looks_delta and not is_delta:
+        raise RuntimeError(
+            f"{path} carries a _delta_log but DeltaTable does not "
+            "recognize it; refusing the plain-parquet rewrite"
+        )
+    return is_delta
 
 
 def merge_upsert(

@@ -262,6 +262,10 @@ def injury_alert_embed(event: dict, team_name: str, now_iso: str) -> dict:
 #: kept; the rest become one overflow-notice embed with the exact
 #: suppressed count.
 MAX_ALERTS_PER_BATCH = 25
+#: Discord rejects webhook messages with more than 10 embeds
+#: (HTTP 400) — the sink chunks its sends under this limit so the
+#: capped batch is deliverable exactly when alerts spike
+DISCORD_MAX_EMBEDS = 10
 
 
 def notification_sink(
@@ -299,8 +303,8 @@ def notification_sink(
                 )
             )
         sink.overflow_total += overflow
-        if embeds:
-            send({"embeds": embeds})
+        for i in range(0, len(embeds), DISCORD_MAX_EMBEDS):
+            send({"embeds": embeds[i : i + DISCORD_MAX_EMBEDS]})
 
     sink.overflow_total = 0
     return sink

@@ -60,3 +60,20 @@ def test_merge_upsert_delta_matches_fallback(spark, tmp_path):
     assert {tuple(r) for r in spark.read.format("delta").load(dp).collect()} == _state(
         spark, fb
     )
+
+
+def test_refuses_parquet_rewrite_on_delta_log(spark, tmp_path):
+    """SAFETY RAIL: a path carrying a _delta_log must never take the
+    plain-parquet rewrite (it would resurrect tombstoned rows and
+    corrupt the log) — refuse loudly instead."""
+    import os
+
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    os.makedirs(f"{path}/_delta_log")
+    with pytest.raises(RuntimeError, match="_delta_log|Delta"):
+        merge_upsert(
+            spark, path, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"]
+        )
+    with pytest.raises(RuntimeError, match="_delta_log|Delta"):
+        merge_delete(spark, path, "id = 1")

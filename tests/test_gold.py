@@ -63,14 +63,14 @@ def test_games_horizon_parameterized(spark):
 def test_team_stats_trend_series(spark):
     stats = spark.createDataFrame(
         [
-            (10, 7, "2024-01-01", 50.0, 3, 1, 4),
-            (10, 7, "2024-01-08", 60.0, 5, 2, 5),
-            (11, 7, "2024-01-01", 10.0, 0, 9, 4),
+            (10, 7, "2024-01-01", 50.0, 3, 1, 4, "2024-01-01 09:00:00"),
+            (10, 7, "2024-01-08", 60.0, 5, 2, 5, "2024-01-08 09:00:00"),
+            (11, 7, "2024-01-01", 10.0, 0, 9, 4, "2024-01-01 09:00:00"),
         ],
         "team_id long, league_id long, collection_date string, "
         "win_percentage double, goals_for int, goals_against int, "
-        "matches_played int",
-    )
+        "matches_played int, c string",
+    ).select("*", F.to_timestamp("c").alias("created_at")).drop("c")
     rows = team_stats_trend(stats, F.lit(10)).collect()
     assert [r.collection_date for r in rows] == ["2024-01-01", "2024-01-08"]
     assert [r.win_percentage for r in rows] == [50.0, 60.0]

@@ -84,4 +84,4 @@ def test_zero_pixel_image_rejected_without_nan(spark):
     ).collect()
     assert not r.keep and r.reason == "too_small"
     assert r.mean_luma is None and r.std_luma is None
-    assert not (isinstance(r.score, float) and math.isnan(r.score))
+    assert r.score == 0.0  # uniform reject score, never NULL/NaN

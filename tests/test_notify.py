@@ -73,19 +73,25 @@ def test_notification_sink_caps_collect(spark):
         "away_odds double, prev_away double, home_change_pct double, "
         "home_team string, away_team string",
     )
+    from football_data_pipeline_spark.streaming.notify import DISCORD_MAX_EMBEDS
+
     sent = []
     sink = notification_sink(sent.append, NOW)
     sink(batch, batch_id=0)
-    [payload] = sent
-    # MAX alert embeds + 1 overflow notice
-    assert len(payload["embeds"]) == MAX_ALERTS_PER_BATCH + 1
+    embeds = [e for payload in sent for e in payload["embeds"]]
+    # MAX alert embeds + 1 overflow notice, chunked under Discord's
+    # 10-embeds-per-message webhook limit
+    assert all(len(p["embeds"]) <= DISCORD_MAX_EMBEDS for p in sent)
+    assert len(sent) == -(-(MAX_ALERTS_PER_BATCH + 1) // DISCORD_MAX_EMBEDS)
+    assert len(embeds) == MAX_ALERTS_PER_BATCH + 1
     assert sink.overflow_total == 17
-    assert f"17 additional movement alerts" in payload["embeds"][-1]["description"]
+    assert f"17 additional movement alerts" in embeds[-1]["description"]
     # the kept alerts are the LARGEST movements (highest |Δ%|)
-    assert f"H{n - 1} vs A{n - 1}" in payload["embeds"][0]["title"]
+    assert f"H{n - 1} vs A{n - 1}" in embeds[0]["title"]
     # non-overflowing batch leaves the counter alone
+    n_msgs = len(sent)
     sink(_movements(spark), batch_id=1)
-    assert sink.overflow_total == 17 and len(sent) == 2
+    assert sink.overflow_total == 17 and len(sent) == n_msgs + 1
 
 
 def test_odds_lookup_embed_shape(spark):

@@ -192,3 +192,15 @@ def test_exact_decontam_planted_leak(spark):
     assert set(got) == {1}
     assert got[1].n_leaked_spans == 1 and got[1].leaked_words == 9
     assert got[1].max_span_len == 9 and got[1].n_words == 13
+
+
+def test_strip_uncut_doc_is_byte_verbatim(spark):
+    """An uncut doc keeps its exact original bytes — odd whitespace
+    and all (cut docs are rebuilt single-spaced by construction)."""
+    from football_data_pipeline_spark.operators.substring import strip_dup_spans
+
+    odd = "a  double  spaced   doc " + _w("u", 8)
+    docs = _docs(spark, [(1, odd), (2, None)])
+    out = {r.doc_id: r.text for r in strip_dup_spans(docs, K).collect()}
+    assert out[1] == odd
+    assert out[2] is None
