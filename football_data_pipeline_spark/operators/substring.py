@@ -511,3 +511,103 @@ def q_exact_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(b != 0)
     ev = docs.filter(b == 0)
     return eval_gram_leaks(train, ev)
+
+
+def source_substring_overlap(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
+    """Verbatim-span contamination between sources — the exact-match
+    twin of dedup's minhash source-overlap matrix: for every source
+    pair, how many DISTINCT ``k``-grams they share verbatim, with
+    each side's gram-set size and the containment of the smaller
+    side. Where the minhash matrix ESTIMATES whole-doc set overlap,
+    this measures literal shared text — the provenance signal behind
+    "source B is a scrape of source A" audits.
+
+    Scale shape: one distinct (source, gram) projection (the gram
+    shuffle, combine-reduced to one row per source×gram), then a
+    gram-keyed self-join whose per-gram cost is bounded by the
+    SOURCE count squared — sources are a dim (tens), so a
+    boilerplate gram shared by every source yields |S|² pair rows,
+    never doc². The pair rollup is a tiny aggregate.
+    """
+    gs = (
+        docs.filter(F.size(_words()) >= k)
+        .select(
+            "source",
+            F.explode(
+                F.transform(sliding_join(_words(), k), lambda g: F.md5(g))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    totals = gs.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a = gs.select(F.col("source").alias("source_a"), "g")
+    b = gs.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("source").alias("__sa"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("__sb"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), shared.source_a == ta.__sa)
+        .join(F.broadcast(tb), shared.source_b == tb.__sb)
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            rnd(
+                F.col("shared_grams") / F.least("grams_a", "grams_b"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+@query(
+    "q_source_substring_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, {_WORDS_SQL} AS words FROM documents
+    ),
+    gs AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(words[i:i+{_K - 1}], ' ')) AS g
+      FROM w CROSS JOIN UNNEST(range(1, greatest(len(words) - {_K} + 1, 1) + 1)) t(i)
+      WHERE len(words) >= {_K}
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM gs GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.shared_grams,
+           ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+           floor(s.shared_grams * 1.0 / least(ta.n_grams, tb.n_grams)
+                 * 10000 + 0.5) / 10000 AS containment
+    FROM shared s
+    JOIN totals ta ON s.source_a = ta.source
+    JOIN totals tb ON s.source_b = tb.source
+    """,
+)
+def q_source_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`source_substring_overlap` over
+    ``documents``: which source pairs share verbatim 8-gram text,
+    with gram-set sizes and smaller-side containment.
+
+    What the hash proves: the distinct (source, gram) projection
+    (within-source repeats collapse), the pair self-join's ordering
+    predicate (each pair counted once, a < b), and the containment
+    arithmetic against both sides' totals.
+    """
+    return source_substring_overlap(load(spark, sf_dir, "documents"))

@@ -98,6 +98,7 @@ CHECK_PRIORITY = [
     "q_substring_dedup",
     "q_substring_strip",
     "q_exact_decontam",
+    "q_source_substring_overlap",
     # --- r4-green but their own plan changed in r5: the snapshot-diff
     # ghost ids moved to -doc_id-1 (ADVICE r4 collision fix), and
     # upcoming_games_with_odds grew the horizon_hours parameter (its

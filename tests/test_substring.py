@@ -204,3 +204,29 @@ def test_strip_uncut_doc_is_byte_verbatim(spark):
     out = {r.doc_id: r.text for r in strip_dup_spans(docs, K).collect()}
     assert out[1] == odd
     assert out[2] is None
+
+
+def test_source_substring_overlap_planted(spark):
+    """A 10-word quote shared between src A and B yields exactly the
+    6 shared 5-grams; the pair appears once (a < b); containment is
+    against the smaller gram set."""
+    from football_data_pipeline_spark.operators.substring import (
+        source_substring_overlap,
+    )
+
+    quote = _w("q", 10)
+    docs = spark.createDataFrame(
+        [
+            (1, quote + " " + _w("a", 10), "A"),
+            (2, _w("b", 3) + " " + quote, "B"),
+            (3, _w("z", 20), "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_substring_overlap(docs, K).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.shared_grams == 6  # 10-word run → 10-5+1 shared 5-grams
+    assert r.grams_a == 16 and r.grams_b == 9
+    assert r.containment == round(6 / 9, 4)
