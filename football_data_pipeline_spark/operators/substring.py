@@ -129,6 +129,42 @@ def _span_report(
     )
 
 
+def apply_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut ``spans`` ((doc_id, span_start, span_len)) out of
+    ``docs``'s text: one doc_id join attaches each doc's span list
+    (array column, bounded by doc length), then a per-row
+    (word, index) filter drops covered words. Cut docs are rebuilt
+    word-joined (single-spaced — the engine's canonical text form);
+    UNCUT docs keep their original bytes verbatim, NULL text
+    included. Returns (doc_id, text) for EVERY input doc."""
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("cuts")
+    )
+    cut = docs.select("doc_id", "text").join(cuts, "doc_id", "left")
+    words = F.coalesce(F.array_remove(F.split("text", " "), ""), F.array())
+    kept = F.filter(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(0), F.size(words) - 1),
+            lambda wd, i: F.struct(wd.alias("w"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            F.col("cuts"), lambda c: (p["i"] >= c["s"]) & (p["i"] < c["e"])
+        ),
+    )
+    return cut.select(
+        "doc_id",
+        F.when(F.col("cuts").isNull(), F.col("text"))
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda p: p["w"])))
+        .alias("text"),
+    )
+
+
 def substring_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     """(doc_id, span_start, span_len): every maximal span of ≥ ``k``
     consecutive words that appears verbatim in at least one OTHER
@@ -262,41 +298,7 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
         .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
         .select("doc_id", "pos")
     )
-    spans = (
-        _merge_offsets(foreign, k)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    (F.col("span_start") + F.col("span_len")).alias("e"),
-                )
-            ).alias("cuts")
-        )
-    )
-    cut = docs.select("doc_id", "text").join(spans, "doc_id", "left")
-    words = F.coalesce(F.array_remove(F.split("text", " "), ""), F.array())
-    kept = F.filter(
-        F.zip_with(
-            words,
-            F.sequence(F.lit(0), F.size(words) - 1),
-            lambda wd, i: F.struct(wd.alias("w"), i.alias("i")),
-        ),
-        lambda p: ~F.exists(
-            F.col("cuts"), lambda c: (p["i"] >= c["s"]) & (p["i"] < c["e"])
-        ),
-    )
-    # cut docs are rebuilt word-joined (single-spaced); UNCUT docs
-    # keep their original bytes — truly verbatim pass-through, NULL
-    # text included
-    return cut.select(
-        "doc_id",
-        F.when(
-            F.col("cuts").isNull(), F.col("text")
-        )
-        .otherwise(F.concat_ws(" ", F.transform(kept, lambda p: p["w"])))
-        .alias("text"),
-    )
+    return apply_cuts(docs, _merge_offsets(foreign, k))
 
 
 @query(

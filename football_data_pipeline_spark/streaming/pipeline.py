@@ -393,3 +393,93 @@ def start_dedup_pipeline(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def substring_trim_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for streaming EXACT-SUBSTRING dedup — the
+    micro-batch form of operators.substring.strip_dup_spans: every
+    ≥ k-word run a new document shares with the ACCEPTED HISTORY (or
+    with a smaller-id doc in the same batch) is cut before the doc
+    lands, preserving the corpus-wide one-canonical-occurrence
+    invariant batch strip gives a static corpus.
+
+    Per micro-batch:
+
+    1. within-batch foreign offsets — the batch's own gram index,
+       min-doc_id owner rule (identical to the batch strip);
+    2. history foreign offsets — batch gram offsets whose gram exists
+       in ``{root}/gram_index`` (history always owns what it holds;
+       offsets only, the history TEXT is never read);
+    3. the union merges to cut spans (substring.apply_cuts) →
+       trimmed docs land in ``{root}/trimmed/batch_id=N``;
+    4. the TRIMMED text's grams (what actually survived — indexing
+       pre-trim grams would let a cut run evict future copies of
+       text nobody carries anymore) append to
+       ``{root}/gram_index/batch_id=N``.
+
+    Exactly-once: both writes are batchId-keyed partition overwrites
+    and the history read prunes to ``batch_id < this`` — a
+    crash-restart re-running batch N never sees its own partial
+    index (which would cut every one of its runs as 'already seen').
+
+    Scale shape: the history index is probed by ONE gram-keyed semi
+    join per batch (combine-reduced distinct grams on the history
+    side); nothing re-pairs history with itself and the per-batch
+    cost is bounded by arrival rate × history-index lookup, the same
+    asymptote as the incremental doc-level dedup.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        _trim_one_batch(batch, batch_id, corpus_root)
+
+    return write_batch
+
+
+def _trim_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
+    from pyspark.sql import functions as F
+
+    from ..operators.substring import (
+        MIN_MATCH_WORDS,
+        _doc_grams,
+        _merge_offsets,
+        apply_cuts,
+    )
+
+    spark = batch.sparkSession
+    k = MIN_MATCH_WORDS
+    grams = _doc_grams(batch, k).cache()
+    try:
+        owners = grams.groupBy("g").agg(
+            F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+        )
+        within = (
+            grams.join(owners, "g")
+            .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+            .select("doc_id", "pos")
+        )
+        try:
+            hist = (
+                spark.read.option("basePath", f"{corpus_root}/gram_index")
+                .parquet(f"{corpus_root}/gram_index")
+                .filter(F.col("batch_id") < batch_id)
+                .select("g")
+                .distinct()
+            )
+            against_hist = grams.join(hist, "g", "left_semi").select("doc_id", "pos")
+        except AnalysisException:
+            against_hist = within.limit(0)
+        foreign = within.unionByName(against_hist).dropDuplicates(["doc_id", "pos"])
+        trimmed = apply_cuts(batch, _merge_offsets(foreign, k)).join(
+            batch.drop("text"), "doc_id"
+        )
+        trimmed.write.mode("overwrite").parquet(
+            f"{corpus_root}/trimmed/batch_id={batch_id}"
+        )
+        new_grams = _doc_grams(
+            spark.read.parquet(f"{corpus_root}/trimmed/batch_id={batch_id}"), k
+        ).select("g").distinct()
+        new_grams.write.mode("overwrite").parquet(
+            f"{corpus_root}/gram_index/batch_id={batch_id}"
+        )
+    finally:
+        grams.unpersist()

@@ -1,0 +1,93 @@
+"""Streaming exact-substring dedup: cross-batch trim against the
+accepted gram index, within-batch owner rule, surviving-text
+indexing, and crash-replay idempotence.
+"""
+
+from __future__ import annotations
+
+from football_data_pipeline_spark.streaming.pipeline import substring_trim_batch_writer
+
+SCHEMA = "doc_id long, text string, lang string, source string"
+K = 8  # MIN_MATCH_WORDS — the writer uses the engine default
+
+
+def _w(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+RUN = _w("r", 12)
+
+
+def _trimmed(spark, root, batch_id):
+    return {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{root}/trimmed/batch_id={batch_id}").collect()
+    }
+
+
+def test_cross_batch_and_within_batch_trim(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    write = substring_trim_batch_writer(root)
+
+    # batch 0: doc 1 introduces RUN; docs 2/3 share a within-batch
+    # run — min-id owner keeps it
+    b0 = spark.createDataFrame(
+        [
+            (1, RUN + " " + _w("a", 6), "en", "s0"),
+            (2, _w("x", 10), "en", "s0"),
+            (3, _w("x", 10) + " " + _w("t", 4), "en", "s0"),
+        ],
+        SCHEMA,
+    )
+    write(b0, 0)
+    t0 = _trimmed(spark, root, 0)
+    assert t0[1] == RUN + " " + _w("a", 6)  # first occurrence kept
+    assert t0[2] == _w("x", 10)  # within-batch owner keeps
+    assert t0[3] == _w("t", 4)  # within-batch copy trimmed
+
+    # batch 1: doc 11 quotes RUN (cut against history), doc 12 clean
+    b1 = spark.createDataFrame(
+        [
+            (11, _w("b", 5) + " " + RUN, "en", "s1"),
+            (12, _w("c", 15), "en", "s1"),
+        ],
+        SCHEMA,
+    )
+    write(b1, 1)
+    t1 = _trimmed(spark, root, 1)
+    assert t1[11] == _w("b", 5)  # history-owned run cut
+    assert t1[12] == _w("c", 15)  # clean doc byte-verbatim
+    # non-text columns survive the trim join
+    row = spark.read.parquet(f"{root}/trimmed/batch_id=1").filter("doc_id = 11").first()
+    assert row.lang == "en" and row.source == "s1"
+
+
+def test_index_holds_surviving_text_only(spark, tmp_path):
+    """A run cut from a later doc must not be indexed AGAIN by that
+    doc — and a run cut from EVERY future doc keeps tracing to the
+    batch that owns it."""
+    root = str(tmp_path / "corpus")
+    write = substring_trim_batch_writer(root)
+    write(spark.createDataFrame([(1, RUN, "en", "s")], SCHEMA), 0)
+    write(spark.createDataFrame([(2, RUN + " " + _w("d", 6), "en", "s")], SCHEMA), 1)
+    write(spark.createDataFrame([(3, RUN + " " + _w("e", 6), "en", "s")], SCHEMA), 2)
+    assert _trimmed(spark, root, 1)[2] == _w("d", 6)
+    assert _trimmed(spark, root, 2)[3] == _w("e", 6)
+    # batch 1's index holds only the SURVIVING text's grams — none of
+    # RUN's grams re-enter from batch 1 (its survivor is 6 words < k)
+    idx1 = spark.read.parquet(f"{root}/gram_index/batch_id=1")
+    assert idx1.count() == 0
+
+
+def test_crash_replay_idempotent(spark, tmp_path):
+    """Re-running a batch (crash between the two writes) produces
+    identical output — the history read never sees the batch's own
+    partial index."""
+    root = str(tmp_path / "corpus")
+    write = substring_trim_batch_writer(root)
+    write(spark.createDataFrame([(1, RUN, "en", "s")], SCHEMA), 0)
+    b1 = spark.createDataFrame([(2, RUN + " " + _w("d", 9), "en", "s")], SCHEMA)
+    write(b1, 1)
+    first = _trimmed(spark, root, 1)
+    write(b1, 1)  # replay
+    assert _trimmed(spark, root, 1) == first == {2: _w("d", 9)}
