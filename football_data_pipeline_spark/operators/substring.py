@@ -165,6 +165,40 @@ def apply_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+
+def foreign_offsets(grams: DataFrame) -> DataFrame:
+    """(doc_id, pos): offsets whose gram exists in a SMALLER doc —
+    the canonical-owner rule (min doc_id holding a gram owns it)
+    shared by the batch strip and the streaming trim writer."""
+    owners = grams.groupBy("g").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        grams.join(owners, "g")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "pos")
+    )
+
+
+def _gram_set(docs: DataFrame, k: int, key: str | None = "source") -> DataFrame:
+    """Distinct (<key>, g) pairs — or bare distinct grams when
+    ``key`` is None — the position-free gram-set projection shared
+    by the decontam probe and the source-overlap matrix. ONE
+    definition of the k-gram recipe feeds every operator here
+    (offsets come from _doc_grams, sets from this)."""
+    cols = [key] if key else []
+    return (
+        docs.filter(F.size(_words()) >= k)
+        .select(
+            *cols,
+            F.explode(
+                F.transform(sliding_join(_words(), k), lambda g: F.md5(g))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
 def substring_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     """(doc_id, span_start, span_len): every maximal span of ≥ ``k``
     consecutive words that appears verbatim in at least one OTHER
@@ -289,16 +323,7 @@ def strip_dup_spans(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataFrame:
     sf0.1 2.23 s / 5 000 docs → 21.7 s / 50 000 docs with matched
     offsets ~100× denser — linear in corpus size.
     """
-    grams = _doc_grams(docs, k)
-    owners = grams.groupBy("g").agg(
-        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
-    )
-    foreign = (
-        grams.join(owners, "g")
-        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
-        .select("doc_id", "pos")
-    )
-    return apply_cuts(docs, _merge_offsets(foreign, k))
+    return apply_cuts(docs, _merge_offsets(foreign_offsets(_doc_grams(docs, k)), k))
 
 
 @query(
@@ -420,15 +445,7 @@ def eval_gram_leaks(
     sf0.1 1.22 s / 24 flagged docs → 6.1 s / 18 757 flagged — 5×
     time for 780× output; cost tracks the leaked-offset volume.
     """
-    eg = (
-        eval_docs.filter(F.size(_words()) >= k)
-        .select(
-            F.explode(
-                F.transform(sliding_join(_words(), k), lambda g: F.md5(g))
-            ).alias("g")
-        )
-        .distinct()
-    )
+    eg = _gram_set(eval_docs, k, key=None)
     # no explicit broadcast hint: the planner auto-broadcasts eg
     # under the threshold (the production case — benchmarks are
     # small) and an oversized eval set degrades to a shuffled
@@ -531,16 +548,7 @@ def source_substring_overlap(docs: DataFrame, k: int = MIN_MATCH_WORDS) -> DataF
     boilerplate gram shared by every source yields |S|² pair rows,
     never doc². The pair rollup is a tiny aggregate.
     """
-    gs = (
-        docs.filter(F.size(_words()) >= k)
-        .select(
-            "source",
-            F.explode(
-                F.transform(sliding_join(_words(), k), lambda g: F.md5(g))
-            ).alias("g"),
-        )
-        .distinct()
-    )
+    gs = _gram_set(docs, k)
     totals = gs.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
     a = gs.select(F.col("source").alias("source_a"), "g")
     b = gs.select(F.col("source").alias("source_b"), "g")

@@ -219,6 +219,25 @@ def dedup_stream(events: DataFrame, id_cols: list[str], ts_col: str = "ts",
     return events.dropDuplicates(id_cols)
 
 
+
+def _read_history(spark, root: str, sub: str, batch_id: int):
+    """Batch-pruned history read shared by the incremental dedup and
+    substring-trim writers: returns rows of ``{root}/{sub}`` from
+    batches BEFORE ``batch_id`` (a crash-restart re-running batch N
+    must never see its own partial output as history), or None when
+    the directory does not exist yet (first batch)."""
+    from pyspark.sql import functions as F
+
+    try:
+        return (
+            spark.read.option("basePath", f"{root}/{sub}")
+            .parquet(f"{root}/{sub}")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+    except AnalysisException:
+        return None
+
 def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for a DOCUMENT stream: classify each
     micro-batch against the accumulated accepted corpus
@@ -276,14 +295,8 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         batch_near_dup_drops(collapsed), "doc_id", "left_anti"
     ).cache()
     try:
-        try:
-            history = (
-                spark.read.option("basePath", f"{corpus_root}/accepted")
-                .parquet(f"{corpus_root}/accepted")
-                .filter(F.col("batch_id") < batch_id)
-                .drop("batch_id")
-            )
-        except AnalysisException:
+        history = _read_history(spark, corpus_root, "accepted", batch_id)
+        if history is None:
             history = spark.createDataFrame([], batch.schema)
         classified = dedup_against_corpus(batch, history)
         classified.write.mode("overwrite").parquet(
@@ -443,35 +456,39 @@ def _trim_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         _doc_grams,
         _merge_offsets,
         apply_cuts,
+        foreign_offsets,
     )
 
     spark = batch.sparkSession
     k = MIN_MATCH_WORDS
+    # collapse same-id re-collections first (deterministically: min
+    # text wins) — duplicate doc_ids would fan out the metadata
+    # re-attach join and defeat the within-batch owner rule
+    # (countDistinct(doc_id) = 1 across copies of one id)
+    idw = Window.partitionBy("doc_id").orderBy("text")
+    batch = (
+        batch.withColumn("__rn", F.row_number().over(idw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     grams = _doc_grams(batch, k).cache()
     try:
-        owners = grams.groupBy("g").agg(
-            F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
-        )
-        within = (
-            grams.join(owners, "g")
-            .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
-            .select("doc_id", "pos")
-        )
-        try:
-            hist = (
-                spark.read.option("basePath", f"{corpus_root}/gram_index")
-                .parquet(f"{corpus_root}/gram_index")
-                .filter(F.col("batch_id") < batch_id)
-                .select("g")
-                .distinct()
-            )
-            against_hist = grams.join(hist, "g", "left_semi").select("doc_id", "pos")
-        except AnalysisException:
+        within = foreign_offsets(grams)
+        hist = _read_history(spark, corpus_root, "gram_index", batch_id)
+        if hist is not None:
+            against_hist = grams.join(
+                hist.select("g").distinct(), "g", "left_semi"
+            ).select("doc_id", "pos")
+        else:
             against_hist = within.limit(0)
         foreign = within.unionByName(against_hist).dropDuplicates(["doc_id", "pos"])
         trimmed = apply_cuts(batch, _merge_offsets(foreign, k)).join(
             batch.drop("text"), "doc_id"
         )
+        # keep text-derived metadata honest after the cut (the same
+        # convention curation_batch_writer follows post-redaction)
+        if "n_chars" in trimmed.columns:
+            trimmed = trimmed.withColumn("n_chars", F.length("text").cast("long"))
         trimmed.write.mode("overwrite").parquet(
             f"{corpus_root}/trimmed/batch_id={batch_id}"
         )

@@ -91,3 +91,29 @@ def test_crash_replay_idempotent(spark, tmp_path):
     first = _trimmed(spark, root, 1)
     write(b1, 1)  # replay
     assert _trimmed(spark, root, 1) == first == {2: _w("d", 9)}
+
+
+def test_duplicate_ids_and_metadata_honesty(spark, tmp_path):
+    """Same-id re-collections collapse to one row, and n_chars is
+    re-derived from the trimmed text."""
+    root = str(tmp_path / "corpus")
+    write = substring_trim_batch_writer(root)
+    write(
+        spark.createDataFrame([(1, RUN, "en", "s", len(RUN))],
+                              SCHEMA + ", n_chars long"),
+        0,
+    )
+    kept_tail = _w("d", 6)
+    b1 = spark.createDataFrame(
+        [
+            (2, RUN + " " + kept_tail, "en", "s", len(RUN) + 1 + len(kept_tail)),
+            (2, RUN + " " + kept_tail, "en", "s", len(RUN) + 1 + len(kept_tail)),
+        ],
+        SCHEMA + ", n_chars long",
+    )
+    write(b1, 1)
+    rows = spark.read.parquet(f"{root}/trimmed/batch_id=1").collect()
+    assert len(rows) == 1  # duplicate id collapsed, no join fan-out
+    [r] = rows
+    assert r.text == kept_tail
+    assert r.n_chars == len(kept_tail)  # re-derived post-trim
