@@ -514,3 +514,86 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- bounded-frame EWMA (exponentially-weighted trend smoothing) ---
+
+#: EWMA smoothing factor. 0.25 is exactly representable in binary
+#: (2^-2), so `acc*0.75 + 0.25*x` is the same correctly-rounded IEEE
+#: sequence in every engine — the fold needs no decimal lift.
+EWMA_ALPHA = 0.25
+#: frame bound: contributions older than 64 observations carry
+#: weight (1-α)^64 ≈ 1e-8 — below the 6-dp output resolution — so
+#: the recursive EWMA is truncated to a 64-row sliding frame. This
+#: is what makes the operator DISTRIBUTABLE: the exact recursive
+#: form is a sequential scan over the whole series (unbounded state,
+#: no frame), while the bounded frame is a plain WindowExec.
+EWMA_WINDOW = 64
+
+_EWMA_FOLD_SQL = (
+    "list_reduce("
+    " list(value) OVER (PARTITION BY user_id"
+    "                   ORDER BY epoch_us(ts), event_id"
+    f"                  ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW),"
+    f" (acc, x) -> acc * {1 - EWMA_ALPHA} + {EWMA_ALPHA} * x)"
+)
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {oracle_rnd('value', 4)} AS value,
+           {oracle_rnd(_EWMA_FOLD_SQL, 6)} AS ewma
+    FROM events
+    WHERE event_type = 'view'
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame exponentially-weighted moving average per
+    series — the denoised companion of the reference's raw >10%
+    movement alerts (/root/reference/discord_integration.py:477-498
+    compares adjacent snapshots; an EWMA baseline suppresses
+    one-tick flapping the way q_anomaly's z-score does, but with
+    recency weighting).
+
+    Semantics: pandas `ewm(alpha=0.25, adjust=False)` truncated to
+    the trailing EWMA_WINDOW observations — y = fold(frame, y₀=x₁,
+    y←0.75·y + 0.25·x) over the (ts, event_id)-ordered frame.
+    Truncation error ≤ (1-α)^64 · max|x| ≈ 1e-8·x, below the 6-dp
+    output rounding.
+
+    Float parity: both engines fold the identical value sequence
+    with the identical exactly-representable constants, so every
+    intermediate is the same correctly-rounded double; the 6-dp
+    stable-round is belt-and-braces.
+
+    Scale shape: ONE shuffle (hash by user_id), one WindowExec; the
+    sliding frame materializes ≤64 doubles per row, so cost is
+    O(n·64) time and O(frame) memory per partition — linear in the
+    series, constant in history length, unlike the unbounded
+    recursive form. Per-key partitions are activity-bounded; a
+    pathological hot key salts the same way sessionize documents.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + F.lit(EWMA_ALPHA) * x,
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        rnd(F.col("value"), 4).alias("value"),
+        rnd(fold, 6).alias("ewma"),
+    )

@@ -186,6 +186,12 @@ CHECK_PRIORITY = [
 # All carried names are additionally re-verified green at HEAD by
 # the local all-queries oracle gate (tests/test_queries_oracle.py).
 CARRY_TO_NEXT_ROUND = [
+    # NEW late in r5, after the head was already at the 50-cap with
+    # the honored r4 carry (never-checked — verified this round only
+    # by the local all-queries oracle gate; MUST head r6):
+    "q_ewma",
+    "q_mixture_epochs",
+    "q_temperature_sample",
     # gold.py/form.py grew in r5; these compositions' own functions
     # are byte-untouched since their green r4 rows:
     "q_team_form",
@@ -204,7 +210,11 @@ CARRY_TO_NEXT_ROUND = [
     "q_dedup_embed",
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above):
+    # r5 carry (see ledger above; the first three are new-in-late-r5
+    # additions that arrived after the head hit the cap):
+    "q_ewma",
+    "q_mixture_epochs",
+    "q_temperature_sample",
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",

@@ -620,3 +620,118 @@ def test_snapshot_diff_identity_properties(spark):
     assert (
         removed.n_added, removed.n_removed, removed.n_changed, removed.n_unchanged
     ) == (0, 8, 0, 0)
+
+
+# --- round-5 additions: EWMA, epoch mixture, temperature sampling --
+
+
+def test_ewma_matches_pandas_and_truncates(spark):
+    """Short series: exact pandas ewm(alpha=0.25, adjust=False)
+    parity. Long series: the 64-row frame truncation stays below the
+    6-dp output resolution vs the full recursion."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from football_data_pipeline_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        EWMA_WINDOW,
+        q_ewma,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    short = [10.0, 20.0, 5.0, 40.0, 2.5]
+    long = [float((i * 37) % 100) for i in range(EWMA_WINDOW + 40)]
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, "view", v)
+        for i, v in enumerate(short)
+    ] + [
+        (1000 + i, t0 + dt.timedelta(minutes=i), 2, "view", v)
+        for i, v in enumerate(long)
+    ]
+    d = tempfile.mkdtemp(prefix="ewma-test-")
+    spark.createDataFrame(rows, ev_schema).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {r.event_id: r.ewma for r in q_ewma(spark, d).collect()}
+    want_short = pd.Series(short).ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    for i, w in enumerate(want_short):
+        assert abs(out[i + 1] - w) < 1e-6, (i, out[i + 1], w)
+    want_long = pd.Series(long).ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    tail = len(long) - 1
+    assert abs(out[1000 + tail] - want_long.iloc[tail]) < 1e-6
+
+
+def test_epoch_mixture_plan_and_emit(spark):
+    """Scarce stratum is repeated up to MAX_EPOCHS whole copies;
+    abundant stratum only contributes a sampled remainder; the
+    emitted stream carries 1-based epoch tags and drops nothing it
+    shouldn't."""
+    from football_data_pipeline_spark.operators.mixing import (
+        MAX_EPOCHS,
+        epoch_mixture_emit,
+        epoch_mixture_plan,
+    )
+
+    # en 200 docs (target 350 pm), zh 20 docs (target 250 pm):
+    # T = min(200*4000/350, 20*4000/250) = min(2285, 320) = 320
+    # need_en = 112 -> 0 full epochs + 112/200 sampled remainder
+    # need_zh = 80  -> exactly 4 whole epochs, no remainder
+    rows = [(i, "en" if i < 200 else "zh", "w", "x") for i in range(220)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    plan = {r.lang: r for r in epoch_mixture_plan(docs).collect()}
+    assert plan["zh"].need_docs == 80
+    assert plan["zh"].full_epochs == MAX_EPOCHS and plan["zh"].rem_rate_bp == 0
+    assert plan["en"].need_docs == 112
+    assert plan["en"].full_epochs == 0
+    assert plan["en"].rem_rate_bp == 112 * RESOLUTION // 200
+    emitted = epoch_mixture_emit(docs).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in emitted:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # every zh doc appears exactly MAX_EPOCHS times, epochs 1..4
+    for i in range(200, 220):
+        assert sorted(by_doc[i]) == list(range(1, MAX_EPOCHS + 1))
+    # en docs appear 0 or 1 times; the total is binomial around 112
+    n_en = sum(len(v) for d, v in by_doc.items() if d < 200)
+    assert all(len(v) <= 1 for d, v in by_doc.items() if d < 200)
+    assert abs(n_en - 112) <= 20
+
+
+def test_temperature_rates_damping(spark):
+    """The smallest stratum keeps everything; larger strata are
+    damped by exactly floor(R*sqrt(n_min/n)); sampled shares are
+    flatter than raw shares (that is the point of temperature)."""
+    import math
+
+    from football_data_pipeline_spark.operators.mixing import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "en" if i < 400 else ("de" if i < 500 else "fr"), "w", "x")
+            for i in range(525)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    rates = {r.lang: r for r in temperature_rates(docs).collect()}
+    assert rates["fr"].rate_bp == RESOLUTION  # n_min stratum kept whole
+    for lang, n in (("en", 400), ("de", 100)):
+        assert rates[lang].rate_bp == math.floor(
+            RESOLUTION * math.sqrt(25 / n)
+        )
+    n = {
+        r.lang: r.n
+        for r in temperature_sample(docs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # raw en:fr is 16:1; sqrt-damped target is 4:1 — allow binomial
+    # slack but require the flattening to be unmistakable
+    assert n["fr"] == 25
+    assert 2.0 <= n["en"] / n["fr"] <= 7.0
