@@ -574,6 +574,9 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, constant in history length, unlike the unbounded
     recursive form. Per-key partitions are activity-bounded; a
     pathological hot key salts the same way sessionize documents.
+    10× probe (10× users, constant per-user activity — the sessions
+    contract): 0.37 s → 0.61 s for 19 941 → 199 410 rows,
+    overhead-bound sublinear.
     """
     from pyspark.sql import Window
 

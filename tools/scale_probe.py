@@ -61,6 +61,11 @@ PROBED = [
 #: stage at all — it must be plainly linear.
 VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam"]
 
+#: document-side mixture probes (round 5): both are one count
+#: aggregate + a broadcast-rate scan pass — the pass criterion is
+#: plain linearity (report size is constant: one row per stratum).
+MIX_PROBED = ["q_mixture_epochs", "q_temperature_sample"]
+
 #: events-side probes (late round 4): the 10× events build spreads
 #: user_id over COPIES distinct users per source user (10× users,
 #: constant per-user activity), the contract under which session
@@ -73,6 +78,7 @@ VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam"]
 #: (benchmarks don't grow with the crawl), where the pass is plainly
 #: linear in the pool.
 EVT_PROBED = [
+    "q_ewma",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",
