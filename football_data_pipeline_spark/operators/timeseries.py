@@ -523,8 +523,9 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sequence in every engine — the fold needs no decimal lift.
 EWMA_ALPHA = 0.25
 #: frame bound: contributions older than 64 observations carry
-#: weight (1-α)^64 ≈ 1e-8 — below the 6-dp output resolution — so
-#: the recursive EWMA is truncated to a 64-row sliding frame. This
+#: relative weight (1-α)^63 ≈ 1.4e-8, so truncating the recursion to
+#: a 64-row sliding frame deviates by ≲ 1.4e-8 × the value range
+#: (~5e-6 here — see the q_ewma docstring for the honest bound). This
 #: is what makes the operator DISTRIBUTABLE: the exact recursive
 #: form is a sequential scan over the whole series (unbounded state,
 #: no frame), while the bounded frame is a plain WindowExec.
@@ -546,7 +547,7 @@ _EWMA_FOLD_SQL = (
            {oracle_rnd('value', 4)} AS value,
            {oracle_rnd(_EWMA_FOLD_SQL, 6)} AS ewma
     FROM events
-    WHERE event_type = 'view'
+    WHERE event_type = 'view' AND value IS NOT NULL
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,8 +561,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics: pandas `ewm(alpha=0.25, adjust=False)` truncated to
     the trailing EWMA_WINDOW observations — y = fold(frame, y₀=x₁,
     y←0.75·y + 0.25·x) over the (ts, event_id)-ordered frame.
-    Truncation error ≤ (1-α)^64 · max|x| ≈ 1e-8·x, below the 6-dp
-    output rounding.
+    Truncation replaces the state carried into the frame edge with
+    the edge VALUE, so the deviation from the unbounded recursion is
+    (1-α)^63·|y−x| at the edge ≈ 1.4e-8·range(x) — ~5e-6 on this
+    data's 0–340 value range. That is noise for any analytic use but
+    CAN exceed the 6-dp half-ulp, so the operator is defined as the
+    truncated-frame EWMA (its own oracle folds the identical frame),
+    not as 6-dp-equal to the infinite-history form.
 
     Float parity: both engines fold the identical value sequence
     with the identical exactly-representable constants, so every
@@ -580,7 +586,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    # NULL values must be filtered on BOTH sides: Spark's
+    # collect_list silently drops frame NULLs while DuckDB's list()
+    # keeps them (folding to NULL) — one NULL would shift 64 frames
+    # on one engine only and hash-mismatch every affected row
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     w = (
         Window.partitionBy("user_id")

@@ -109,18 +109,36 @@ def vector_ingest_batch_writer(
 
     1. collapse same-vec_id re-collections (deterministically: min
        array wins — the analogue of the trim writer's min-text rule);
-    2. within-batch near-dups: band-bucket candidate pairs, cosine
-       ≥ tau, smaller vec_id owns (chains collapse toward the min id,
-       the same star-ownership convention as the doc-level drops);
-    3. history near-dups: batch signatures probe
+       zero-norm vectors (cosine undefined) are rejected up front
+       with ``scope='degenerate'`` — under the session's ANSI mode
+       an unguarded cosine would DIVIDE_BY_ZERO and poison-pill the
+       stream (replay re-crashes forever);
+    2. history near-dups: batch signatures probe
        ``{root}/sig_index`` (accepted vectors only) by ONE sig-keyed
-       equi join + cosine verify;
+       equi join + cosine verify at ≥ tau;
+    3. within-batch near-dups: band-bucket candidate pairs →
+       connected components (the dedup.py pointer-jumping kernel —
+       near-dup clusters are near-cliques, so it converges in 1-2
+       rounds on a batch-sized graph); each cluster's min id is
+       canonical, the rest reject with ``dup_of`` = the canonical
+       and ``cosine_sim`` = their strongest DIRECT match (cosine is
+       not transitive, so the direct-match cosine is the honest
+       audit number);
     4. survivors land in ``{root}/accepted/batch_id=N`` and their
        signatures in ``{root}/sig_index/batch_id=N`` — only ACCEPTED
        vectors are indexed, so a rejected near-copy can never evict
        future arrivals (the surviving-text invariant, vector form);
     5. every rejection is written to ``{root}/rejected/batch_id=N``
-       with its owning vector and cosine — audited, never silent.
+       with its owner and cosine — audited, never silent. Owner
+       resolution: a history owner is always accepted; a batch owner
+       (cluster canonical) is either accepted or carries its own
+       history-scope audit row in the SAME batch — ``dup_of`` chains
+       terminate in the accepted corpus in ≤ 2 hops, never dangling.
+
+    The band geometry is persisted to ``{root}/geometry`` on first
+    write and validated on every batch: restarting the writer with a
+    different (n_bands, bits_per_band) over an existing corpus_root
+    raises instead of silently matching nothing against history.
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -131,6 +149,30 @@ def vector_ingest_batch_writer(
     return write_batch
 
 
+def _check_geometry(
+    spark, corpus_root: str, n_bands: int, bits_per_band: int
+) -> None:
+    """Persist the band geometry on first write; raise on mismatch.
+    A geometry change makes every new signature disjoint from the
+    index — history screening would silently match NOTHING."""
+    from pyspark.errors import AnalysisException
+
+    path = f"{corpus_root}/geometry"
+    try:
+        row = spark.read.parquet(path).collect()[0]
+        if (row.n_bands, row.bits_per_band) != (n_bands, bits_per_band):
+            raise ValueError(
+                f"sig_index at {corpus_root} was built with "
+                f"{row.n_bands} bands x {row.bits_per_band} bits; "
+                f"writer configured for {n_bands} x {bits_per_band} — "
+                "rebuild the index or match the recorded geometry"
+            )
+    except AnalysisException:
+        spark.createDataFrame(
+            [(n_bands, bits_per_band)], "n_bands int, bits_per_band int"
+        ).write.mode("overwrite").parquet(path)
+
+
 def _ingest_one_batch(
     batch: DataFrame,
     batch_id: int,
@@ -139,35 +181,52 @@ def _ingest_one_batch(
     n_bands: int | None,
     bits_per_band: int | None,
 ) -> None:
+    from ..operators.dedup import connected_components
+    from ..operators.embedsearch import BITS_PER_BAND, N_BANDS, norm
     from .pipeline import _read_history
 
     spark = batch.sparkSession
+    _check_geometry(
+        spark,
+        corpus_root,
+        N_BANDS if n_bands is None else n_bands,
+        BITS_PER_BAND if bits_per_band is None else bits_per_band,
+    )
     idw = Window.partitionBy("vec_id").orderBy("embedding")
     batch = (
         batch.withColumn("__rn", F.row_number().over(idw))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # zero-norm vectors have no cosine: reject up front (ANSI mode
+    # would otherwise DIVIDE_BY_ZERO inside the verify and poison-
+    # pill the batch on every replay)
+    degenerate = batch.filter(norm(F.col("embedding")) == 0).select(
+        "vec_id",
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+        F.lit("degenerate").alias("scope"),
+    )
+    batch = batch.filter(norm(F.col("embedding")) > 0)
     sigs = band_signatures(batch, n_bands, bits_per_band).cache()
-    try:
-        cos = lambda a, b: _pair_cosine(a, b)  # noqa: E731
-
-        a, b = sigs.alias("a"), sigs.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.sig") == F.col("b.sig"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("b.vec_id").alias("vec_id"),
-                F.col("a.vec_id").alias("dup_of"),
-                cos("a", "b").alias("cosine_sim"),
-                F.lit("batch").alias("scope"),
-            )
-            .filter(F.col("cosine_sim") >= tau)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _pair_cosine("a", "b").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= tau)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+        .cache()
+    )
+    try:
         hist = _read_history(spark, corpus_root, "sig_index", batch_id)
         if hist is not None:
             h = hist.alias("h")
@@ -177,32 +236,59 @@ def _ingest_one_batch(
                 .select(
                     F.col("a.vec_id").alias("vec_id"),
                     F.col("h.vec_id").alias("dup_of"),
-                    cos("a", "h").alias("cosine_sim"),
-                    F.lit("history").alias("scope"),
+                    _pair_cosine("a", "h").alias("cosine_sim"),
                 )
                 .filter(F.col("cosine_sim") >= tau)
+                .withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.partitionBy("vec_id").orderBy(
+                            F.col("cosine_sim").desc(), F.col("dup_of")
+                        )
+                    ),
+                )
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+                .withColumn("scope", F.lit("history"))
             )
         else:
-            against_hist = within.limit(0)
-
-        # one audit row per rejected vector: its strongest owner,
-        # history before batch on ties (history is the canonical
-        # corpus), then min owner id — fully deterministic
-        rejected = (
-            within.unionByName(against_hist)
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("cosine_sim").desc(),
-                        F.when(F.col("scope") == "history", 0).otherwise(1),
-                        F.col("dup_of"),
-                    )
-                ),
+            against_hist = spark.createDataFrame(
+                [], "vec_id long, dup_of long, cosine_sim double, scope string"
             )
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
+
+        # within-batch: cluster the pair graph, each cluster's min id
+        # is canonical; non-canonicals reject with dup_of = canonical
+        # and cosine = their strongest DIRECT match (cosine is not
+        # transitive — the direct number is the honest audit value)
+        comp = connected_components(
+            pairs.select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
         )
+        direct = (
+            pairs.select(F.col("vec_a").alias("vec_id"), "cosine_sim")
+            .unionByName(
+                pairs.select(F.col("vec_b").alias("vec_id"), "cosine_sim")
+            )
+            .groupBy("vec_id")
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+        )
+        within = (
+            comp.filter(~F.col("is_canonical"))
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("component").alias("dup_of"),
+            )
+            .join(direct, "vec_id")
+            .withColumn("scope", F.lit("batch"))
+        )
+
+        # history owns on overlap (the canonical corpus); a batch
+        # owner not itself history-rejected is accepted, so dup_of
+        # chains terminate in the accepted corpus in <= 2 hops
+        rejected = against_hist.unionByName(
+            within.join(against_hist.select("vec_id"), "vec_id", "left_anti")
+        ).unionByName(degenerate)
         rejected.write.mode("overwrite").parquet(
             f"{corpus_root}/rejected/batch_id={batch_id}"
         )
@@ -214,14 +300,14 @@ def _ingest_one_batch(
         accepted.write.mode("overwrite").parquet(
             f"{corpus_root}/accepted/batch_id={batch_id}"
         )
-        band_signatures(
-            spark.read.parquet(f"{corpus_root}/accepted/batch_id={batch_id}"),
-            n_bands,
-            bits_per_band,
-        ).write.mode("overwrite").parquet(
+        # index from the already-cached signatures — recomputing the
+        # n_bands*bits_per_band plane dots per accepted vector would
+        # double the batch's dominant cost for no reason
+        sigs.join(rej, "vec_id", "left_anti").write.mode("overwrite").parquet(
             f"{corpus_root}/sig_index/batch_id={batch_id}"
         )
     finally:
+        pairs.unpersist()
         sigs.unpersist()
 
 

@@ -665,7 +665,10 @@ def test_ewma_matches_pandas_and_truncates(spark):
         assert abs(out[i + 1] - w) < 1e-6, (i, out[i + 1], w)
     want_long = pd.Series(long).ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     tail = len(long) - 1
-    assert abs(out[1000 + tail] - want_long.iloc[tail]) < 1e-6
+    # truncated-frame deviation bound is (1-a)^63 * |y-x| at the
+    # frame edge (~1.3e-6 for this 0..99 series) — assert an order
+    # of magnitude of headroom, not false 6-dp equality
+    assert abs(out[1000 + tail] - want_long.iloc[tail]) < 1e-5
 
 
 def test_epoch_mixture_plan_and_emit(spark):

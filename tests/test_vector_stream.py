@@ -113,3 +113,127 @@ def test_replay_idempotent_and_duplicate_ids_collapse(spark, tmp_path):
     assert {
         k: (v.dup_of, v.scope) for k, v in _rejected(spark, root, 1).items()
     } == first_rej
+
+
+def test_within_batch_chain_owner_is_canonical(spark, tmp_path):
+    """Cosine is not transitive: with A~B and B~C but A!~C, the
+    cluster canonical (min id) owns every non-canonical, and no
+    audit row ever names an owner that dangles outside
+    accepted ∪ same-batch-rejected."""
+    import math
+
+    root = str(tmp_path / "vecs")
+    write = vector_ingest_batch_writer(root)
+    # three vectors on a plane at 0°, 15°, 30° within dims (0, 8):
+    # cos(15°)=0.966 >= tau for adjacent pairs, cos(30°)=0.866 < tau.
+    # 15° is chosen against the ACTUAL md5 hyperplanes: both adjacent
+    # pairs share >= 2 LSH bands (checked offline), so candidacy is
+    # deterministic, not banding luck
+    def planar(theta):
+        v = [0.0] * DIMS
+        v[0] = math.cos(theta)
+        v[8] = math.sin(theta)
+        return v
+
+    step = math.radians(15)
+    b0 = spark.createDataFrame(
+        [(5, planar(0.0)), (6, planar(step)), (7, planar(2 * step))],
+        SCHEMA,
+    )
+    write(b0, 0)
+    assert _accepted(spark, root, 0) == {5}
+    rej = _rejected(spark, root, 0)
+    assert set(rej) == {6, 7}
+    # both owners point at the ACCEPTED canonical 5, even though 7's
+    # only direct >= tau match is the rejected 6
+    assert rej[6].dup_of == 5 and rej[7].dup_of == 5
+    assert rej[6].scope == "batch" and rej[7].scope == "batch"
+    # audit cosine is the strongest DIRECT match (6~7 at ~0.94, not
+    # the sub-tau 5~7 similarity)
+    assert rej[7].cosine_sim >= VECTOR_DUP_TAU
+
+
+def test_zero_norm_vector_rejected_not_crashing(spark, tmp_path):
+    """A zero-norm embedding has no cosine: it must land in the
+    audit as 'degenerate' instead of DIVIDE_BY_ZERO-poisoning the
+    batch under ANSI mode."""
+    root = str(tmp_path / "vecs")
+    write = vector_ingest_batch_writer(root)
+    b0 = spark.createDataFrame(
+        [(1, _block(0)), (2, [0.0] * DIMS)], SCHEMA
+    )
+    write(b0, 0)
+    assert _accepted(spark, root, 0) == {1}
+    rej = _rejected(spark, root, 0)
+    assert set(rej) == {2}
+    assert rej[2].scope == "degenerate"
+    assert rej[2].dup_of is None and rej[2].cosine_sim is None
+
+
+def test_geometry_mismatch_raises(spark, tmp_path):
+    """Restarting the writer with a different band geometry over an
+    existing corpus must fail loudly — new signatures would silently
+    match nothing against history."""
+    import pytest
+
+    root = str(tmp_path / "vecs")
+    write = vector_ingest_batch_writer(root)
+    write(spark.createDataFrame([(1, _block(0))], SCHEMA), 0)
+    bad = vector_ingest_batch_writer(root, bits_per_band=16)
+    with pytest.raises(ValueError, match="geometry|bands"):
+        bad(spark.createDataFrame([(2, _block(8))], SCHEMA), 1)
+
+
+def test_band_signatures_match_batch_dedup_pass(spark):
+    """The streaming signature assembly and q_dedup_embed must stay
+    ONE family: reconstructing the batch pass's near-dup pair report
+    from band_signatures reproduces it exactly. (The assembly is
+    duplicated by design this round — refactoring embedsearch.py
+    would void the rotation ledger's byte-untouched carry for its 7
+    queries; this test pins bit-equivalence until the shared-kernel
+    refactor lands when those queries head CHECK_PRIORITY.)"""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.catalog import load
+    from football_data_pipeline_spark.operators.embedsearch import (
+        COSINE_VERIFY,
+        q_dedup_embed,
+    )
+    from football_data_pipeline_spark.streaming.vectors import band_signatures
+
+    sf = "/root/testdata/sf0.001"
+    sigs = band_signatures(load(spark, sf, "embeddings"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    mine = {
+        (r.vec_a, r.vec_b)
+        for r in (
+            a.join(
+                b,
+                (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "a.embedding",
+                            "b.embedding",
+                            lambda x, y: x.cast("double") * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                ).alias("sim"),
+            )
+            .distinct()
+            .filter(F.col("sim") >= COSINE_VERIFY)
+            .collect()
+        )
+    }
+    theirs = {
+        (r.vec_a, r.vec_b) for r in q_dedup_embed(spark, sf).collect()
+    }
+    assert mine == theirs and len(theirs) > 0

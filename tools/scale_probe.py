@@ -64,6 +64,8 @@ VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam"]
 #: document-side mixture probes (round 5): both are one count
 #: aggregate + a broadcast-rate scan pass — the pass criterion is
 #: plain linearity (report size is constant: one row per stratum).
+#: They need only the always-built documents corpus; reachable via
+#: --queries all (or by name) like every list here.
 MIX_PROBED = ["q_mixture_epochs", "q_temperature_sample"]
 
 #: events-side probes (late round 4): the 10× events build spreads
@@ -181,10 +183,17 @@ def build_probe_events(spark, out_dir: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
-    ap.add_argument("--queries", default=",".join(PROBED))
+    ap.add_argument(
+        "--queries",
+        default=",".join(PROBED),
+        help="comma list of query names, or 'all' for every probed family",
+    )
     ap.add_argument("--corpus", default=None, help="build-once/reuse dir")
     args = ap.parse_args()
-    probed = [q.strip() for q in args.queries.split(",") if q.strip()]
+    if args.queries.strip() == "all":
+        probed = PROBED + VEC_PROBED + EVT_PROBED + MIX_PROBED
+    else:
+        probed = [q.strip() for q in args.queries.split(",") if q.strip()]
 
     spark = get_spark(app_name="fdps-scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
