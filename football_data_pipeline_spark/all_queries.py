@@ -29,6 +29,7 @@ from .operators import (  # noqa: F401
     selection,
     semdedup,
     sessions,
+    skew,
     substring,
     textstats,
     timeseries,
@@ -36,4 +37,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, substring, textstats, timeseries, versioning, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, skew, substring, textstats, timeseries, versioning, windows]
