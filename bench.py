@@ -81,6 +81,12 @@ HEADLINE = [
     # added in round 5 (compare across rounds on the common prefix):
     # the exact-substring dedup family
     "q_substring_dedup",
+    # added late in round 5: the skew-mitigation and sketch-pruning
+    # families (salted replicate-join, bounded-state heavy hitters,
+    # bloom-pruned semi-join)
+    "q_salted_join",
+    "q_heavy_hitters",
+    "q_bloom_semi",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

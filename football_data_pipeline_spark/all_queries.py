@@ -25,11 +25,14 @@ from .operators import (  # noqa: F401
     quality,
     redact,
     relational,
+    rules,
     sampling,
     selection,
     semdedup,
     sessions,
+    sketches,
     skew,
+    stats,
     substring,
     textstats,
     timeseries,
@@ -37,4 +40,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, sampling, selection, semdedup, sessions, skew, substring, textstats, timeseries, versioning, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, windows]

@@ -3,6 +3,11 @@ runs to turn a raw document table into a training-ready release
 directory. Chains the engine's own passes (never re-implements
 them):
 
+0. rule gate           — optional (apply_rules=True):
+                         rules.gopher_gate fronts the pipeline (it
+                         runs at scan speed, so it sheds bulk before
+                         anything priced-per-row); each reject is
+                         audited with the FIRST failed rule's name
 1. quality gate        — quality.classify_quality (model scores;
                          rejects audited, never silently dropped)
 2. PII redaction       — redact.redact_pii (text rewritten BEFORE
@@ -51,6 +56,7 @@ def build_release(
     epoch: int = 0,
     assets: DataFrame | None = None,
     strip_substrings: bool = False,
+    apply_rules: bool = False,
 ) -> None:
     """Materialize a training-corpus release at ``path`` (see module
     docstring for stages and layout).
@@ -65,6 +71,28 @@ def build_release(
     contract as the text side. Accounting closure on the asset side
     mirrors the doc side: every input asset lands in exactly one of
     the two outputs."""
+    rule_drops = None
+    if apply_rules:
+        from .rules import RULE_NAMES, gopher_gate
+
+        gated = gopher_gate(docs)
+        # attribute each reject to the FIRST failed rule (RULE_NAMES
+        # order), so the drop audit says WHICH rule shed the doc
+        first_fail = F.coalesce(
+            *[
+                F.when(~F.col(f"r_{k}"), F.lit(f"rule:{k}"))
+                for k in RULE_NAMES
+            ]
+        )
+        rule_drops = gated.filter(~F.col("passes")).select(
+            "doc_id",
+            "lang",
+            "source",
+            first_fail.alias("reason"),
+            F.lit(None).cast("double").alias("score"),
+        )
+        docs = gated.filter(F.col("passes")).select(*docs.columns)
+
     scored = classify_quality(docs).select("doc_id", "score", "keep")
     flagged = docs.join(scored, "doc_id", "left")
     rejected = flagged.filter(~F.coalesce(F.col("keep"), F.lit(False))).select(
@@ -121,7 +149,10 @@ def build_release(
             .withColumn("n_chars", F.length("text").cast("long"))
         )
 
-    write_report_json(rejected.unionByName(dup_drops), f"{path}/drops")
+    drops = rejected.unionByName(dup_drops)
+    if rule_drops is not None:
+        drops = rule_drops.unionByName(drops)
+    write_report_json(drops, f"{path}/drops")
     write_report_json(dataset_card(final), f"{path}/card")
     write_training_shards(
         final.select("doc_id", "text", "lang", "source", "n_chars"),

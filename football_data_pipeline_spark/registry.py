@@ -194,6 +194,12 @@ CARRY_TO_NEXT_ROUND = [
     "q_temperature_sample",
     "q_salted_distinct",
     "q_salted_join",
+    "q_heavy_hitters",
+    "q_bloom_semi",
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_gopher_rules",
+    "q_corr_profile",
     # gold.py/form.py grew in r5; these compositions' own functions
     # are byte-untouched since their green r4 rows:
     "q_team_form",
@@ -212,13 +218,19 @@ CARRY_TO_NEXT_ROUND = [
     "q_dedup_embed",
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above; the first five are new-in-late-r5
+    # r5 carry (see ledger above; the first eleven are new-in-late-r5
     # additions that arrived after the head hit the cap):
     "q_ewma",
     "q_mixture_epochs",
     "q_temperature_sample",
     "q_salted_distinct",
     "q_salted_join",
+    "q_heavy_hitters",
+    "q_bloom_semi",
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_gopher_rules",
+    "q_corr_profile",
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",

@@ -1,0 +1,104 @@
+"""Sketch-backed operators: the pruned/sketched plans must be
+row-identical to their naive forms (heavy hitters == GROUP BY HAVING,
+bloom semi-join == plain semi-join — even when the bloom geometry is
+deliberately starved to force false positives), and the estimator
+audits must flag honestly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.operators.sketches import (
+    bloom_bitmap,
+    bloom_semi_join,
+    heavy_hitters,
+)
+
+
+def _facts(spark, spec):
+    """spec: {key: n_rows} -> (key long, payload long) frame."""
+    rows = [
+        (k, k * 1000 + i) for k, n in spec.items() for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "key long, payload long")
+
+
+def test_heavy_hitters_matches_group_by_having(spark):
+    spec = {1: 50, 2: 20, 3: 19, 4: 21, 5: 3, 6: 1, 7: 20}
+    df = _facts(spark, spec)
+    out = {
+        r.key_value: r.n_rows
+        for r in heavy_hitters(df, "key", threshold=20, width=64).collect()
+    }
+    assert out == {k: n for k, n in spec.items() if n >= 20}
+
+
+def test_heavy_hitters_boundary_and_partition_independent(spark):
+    # exactly-at-threshold keys must be INCLUDED (HAVING >=), on any
+    # partitioning, including width=1 (every row in one bucket: the
+    # prune degrades to a no-op but the answer must not change)
+    spec = {10: 7, 11: 6, 12: 8}
+    for width in (1, 8, 1 << 17):
+        for df in (
+            _facts(spark, spec),
+            _facts(spark, spec).repartition(13),
+        ):
+            out = {
+                r.key_value: r.n_rows
+                for r in heavy_hitters(df, "key", 7, width).collect()
+            }
+            assert out == {10: 7, 12: 8}, (width,)
+
+
+def test_heavy_hitters_excludes_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, i) for i in range(30)] + [(1, i) for i in range(30)],
+        "key long, payload long",
+    )
+    out = heavy_hitters(df, "key", 10, width=64).collect()
+    assert [(r.key_value, r.n_rows) for r in out] == [(1, 30)]
+
+
+def test_bloom_semi_join_matches_plain_semi_join(spark):
+    facts = _facts(spark, {k: 5 for k in range(1, 40)})
+    keys = spark.createDataFrame(
+        [(k,) for k in range(1, 80, 3)], "key long"
+    )
+    plain = facts.join(keys, "key", "left_semi")
+    pruned = bloom_semi_join(facts, keys, "key")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bloom_semi_join_exact_under_forced_false_positives(spark):
+    # 64-bit filter, 100 keys: the bitmap saturates, every probe is a
+    # false positive candidate — the verify join must still produce
+    # the exact semi-join
+    facts = _facts(spark, {k: 2 for k in range(200)})
+    keys = spark.createDataFrame([(k,) for k in range(0, 200, 2)], "key long")
+    plain = facts.join(keys, "key", "left_semi")
+    pruned = bloom_semi_join(facts, keys, "key", num_bits=64, k=3)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bloom_semi_join_empty_and_duplicate_keys(spark):
+    facts = _facts(spark, {1: 3, 2: 3})
+    empty = spark.createDataFrame([], "key long")
+    assert bloom_semi_join(facts, empty, "key").count() == 0
+    # duplicate + NULL key rows must not duplicate facts or match NULLs
+    dup = spark.createDataFrame(
+        [(1,), (1,), (1,), (None,)], "key long"
+    )
+    out = bloom_semi_join(facts, dup, "key").collect()
+    assert sorted(r.key for r in out) == [1, 1, 1]
+
+
+def test_bloom_bitmap_materializes_only_nonzero_words(spark):
+    keys = spark.createDataFrame([(7,)], "key long")
+    bmap = bloom_bitmap(keys, "key", num_bits=1 << 13, k=5).collect()[0].bmap
+    # 5 probes of one key touch at most 5 of the 128 words
+    assert 1 <= len(bmap) <= 5
+    assert all(bits != 0 for bits in bmap.values())
