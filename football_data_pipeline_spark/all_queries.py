@@ -37,7 +37,8 @@ from .operators import (  # noqa: F401
     textstats,
     timeseries,
     versioning,
+    weighted,
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]

@@ -468,3 +468,47 @@ def q_team_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
     )
+
+
+@query(
+    "q_cube_report",
+    oracle=f"""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: CUBE rollup — the (priority × status) report with all
+    four aggregation grains (both dims, each dim alone, grand total)
+    in ONE pass, the OLAP-dashboard shape the reference emulates by
+    issuing a separate SQL query per grain
+    (/root/reference/streamlit_dashboard.py league/status breakdown
+    tabs). Spark expands the cube map-side into grouping-set tuples
+    and one hash aggregate covers every grain — at 100 TB that is one
+    fact scan instead of four.
+
+    Rolled-up dimensions are labeled 'ALL' via coalesce: both source
+    columns are non-nullable in this schema (asserted by the
+    validation gate q_validate_counts), so the label cannot collide
+    with a real NULL group, and the output is engine-portable without
+    relying on grouping_id() bit conventions, which differ across
+    engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_price",
+        )
+    )

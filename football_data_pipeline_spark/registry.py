@@ -200,6 +200,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_quantile_audit",
     "q_gopher_rules",
     "q_corr_profile",
+    "q_cube_report",
+    "q_weighted_sample",
     # gold.py/form.py grew in r5; these compositions' own functions
     # are byte-untouched since their green r4 rows:
     "q_team_form",
@@ -218,8 +220,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_dedup_embed",
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above; the first eleven are new-in-late-r5
-    # additions that arrived after the head hit the cap):
+    # r5 carry (see ledger above; the first thirteen are new-in-late-
+    # r5 additions that arrived after the head hit the cap):
     "q_ewma",
     "q_mixture_epochs",
     "q_temperature_sample",
@@ -231,6 +233,8 @@ ROTATE_TAIL = [
     "q_quantile_audit",
     "q_gopher_rules",
     "q_corr_profile",
+    "q_cube_report",
+    "q_weighted_sample",
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",
