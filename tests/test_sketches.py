@@ -102,3 +102,42 @@ def test_bloom_bitmap_materializes_only_nonzero_words(spark):
     # 5 probes of one key touch at most 5 of the 128 words
     assert 1 <= len(bmap) <= 5
     assert all(bits != 0 for bits in bmap.values())
+
+
+def test_round5_sketch_plan_shapes(spark):
+    """Plan-shape regression locks for the scale properties the
+    operators exist for. q_bloom_semi: the bloom predicate must sit
+    BELOW the verify semi-join (in the fact scan's Filter), not above
+    it — Catalyst once hoisted the semi-join under the bloom
+    cross-join, running the prune as dead code (the literal-bitmap
+    form pins the order via plain predicate pushdown).
+    q_heavy_hitters: the candidate-bucket set reaches the fact side
+    by BROADCAST, never a shuffle join."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    plan = (
+        QUERIES["q_bloom_semi"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    semi_at = plan.index("LeftSemi")
+    # the bloom probe (element_at over the literal word array) must
+    # appear below (after, in tree print order) the semi join, on the
+    # fact branch
+    assert "element_at" in plan[semi_at:], "bloom prune hoisted above semi-join"
+
+    plan2 = (
+        QUERIES["q_heavy_hitters"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan2 and "LeftSemi" in plan2
+    assert "SortMergeJoin" not in plan2
