@@ -183,8 +183,18 @@ CHECK_PRIORITY = [
 #   byte-untouched → the embedsearch queries carry to r6 below.
 # - versioning.py: ghost-id fix → q_corpus_diff re-checked in head.
 # - notify.py / bench.py: no registered-query lineage.
+# - relational.py (late r5): APPENDED q_cube_report at EOF. Every
+#   other relational query is already in the head (tier 0/1) and
+#   gets a fresh r5 row — EXCEPT q_star_join, whose r3-green tail
+#   slot relied on "relational.py untouched"; its own function is
+#   byte-untouched (the diff is one append hunk), so it moves to the
+#   carry list below rather than silently keeping the stale claim.
+# - release.py (late r5): grew the optional apply_rules stage; no
+#   registered query (pytest-only composition of green operators).
 # All carried names are additionally re-verified green at HEAD by
-# the local all-queries oracle gate (tests/test_queries_oracle.py).
+# the local all-queries oracle gate (tests/test_queries_oracle.py)
+# and by this round's repeated full driver-contract sims (116 -> 124
+# queries, ALL MATCH each time).
 CARRY_TO_NEXT_ROUND = [
     # NEW late in r5, after the head was already at the 50-cap with
     # the honored r4 carry (never-checked — verified this round only
@@ -218,6 +228,10 @@ CARRY_TO_NEXT_ROUND = [
     "q_ivf_centroids",
     "q_ivf_reassign",
     "q_dedup_embed",
+    # relational.py grew q_cube_report late in r5; q_star_join's own
+    # function is byte-untouched since its green r3 row (see the
+    # shared-dep ledger above):
+    "q_star_join",
 ]
 ROTATE_TAIL = [
     # r5 carry (see ledger above; the first thirteen are new-in-late-
@@ -292,7 +306,8 @@ ROTATE_TAIL = [
     "q_moving_avg",
     "q_anomaly",
     # green r3 rows, modules untouched r4 AND r5 (profiling /
-    # sampling / prep / relational-star / streaming-jobs):
+    # sampling / prep / streaming-jobs; q_star_join moved to the
+    # carry list when relational.py grew q_cube_report):
     "q_profile_documents",
     "q_length_quantiles",
     "q_length_filter",
