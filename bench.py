@@ -36,6 +36,16 @@ warning from q_fuzzy_join — resolution.rank_candidates's deliberate
 global sort of the DIM-SIZED candidate universe (never the pair
 stream); its input size is enforced by a plan-embedded guard
 (resolution.py MAX_RANK_CANDIDATES).
+
+Cross-SESSION comparability caveat (measured in round 5): two runs
+hours apart on this shared box can differ by a roughly UNIFORM
+multiplicative factor (observed ~+15% on every query at once,
+including queries whose modules and plans were byte-identical across
+the runs, with same-session back-to-back runs agreeing closely) —
+host-neighbor contention, not plan drift. Read round-over-round
+deltas against the SHAPE of the common-prefix ratio distribution: a
+plan regression shows up as an outlier ratio on specific queries; a
+uniform shift across all of them is the box, not the code.
 """
 
 from __future__ import annotations
