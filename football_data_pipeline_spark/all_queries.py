@@ -16,11 +16,13 @@ from .operators import (  # noqa: F401
     etl,
     events,
     form,
+    ivfpq,
     lm,
     mixing,
     multimodal,
     ordering,
     prep,
+    privacy,
     profiling,
     quality,
     redact,
@@ -41,4 +43,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, lm, mixing, multimodal, ordering, prep, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]
+MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, ivfpq, lm, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]

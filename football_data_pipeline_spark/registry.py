@@ -212,6 +212,8 @@ CARRY_TO_NEXT_ROUND = [
     "q_corr_profile",
     "q_cube_report",
     "q_weighted_sample",
+    "q_knn_ivfpq",
+    "q_k_anonymity",
     # gold.py/form.py grew in r5; these compositions' own functions
     # are byte-untouched since their green r4 rows:
     "q_team_form",
@@ -234,7 +236,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_star_join",
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above; the first thirteen are new-in-late-
+    # r5 carry (see ledger above; the first fifteen are new-in-late-
     # r5 additions that arrived after the head hit the cap):
     "q_ewma",
     "q_mixture_epochs",
@@ -249,6 +251,8 @@ ROTATE_TAIL = [
     "q_corr_profile",
     "q_cube_report",
     "q_weighted_sample",
+    "q_knn_ivfpq",
+    "q_k_anonymity",
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",
