@@ -8,6 +8,7 @@ from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
     bpe,
     chunking,
+    cdc,
     datacard,
     dedup,
     dims,
@@ -43,4 +44,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, bpe, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, ivfpq, lm, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]
+MODULES = [windowed, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, ivfpq, lm, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]

@@ -214,6 +214,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_weighted_sample",
     "q_knn_ivfpq",
     "q_k_anonymity",
+    "q_cdc_apply",
     # gold.py/form.py grew in r5; these compositions' own functions
     # are byte-untouched since their green r4 rows:
     "q_team_form",
@@ -236,7 +237,7 @@ CARRY_TO_NEXT_ROUND = [
     "q_star_join",
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above; the first fifteen are new-in-late-
+    # r5 carry (see ledger above; the first sixteen are new-in-late-
     # r5 additions that arrived after the head hit the cap):
     "q_ewma",
     "q_mixture_epochs",
@@ -253,6 +254,7 @@ ROTATE_TAIL = [
     "q_weighted_sample",
     "q_knn_ivfpq",
     "q_k_anonymity",
+    "q_cdc_apply",
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",
