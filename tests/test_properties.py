@@ -368,3 +368,119 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     # 10:00 has NO match (the NULL-ts row must not fill in); 12:00
     # matches the 11:00 row
     assert out == [("2026-01-01T10:00:00", None), ("2026-01-01T12:00:00", 42.0)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@FAST
+def test_salted_distinct_matches_exact_model(spark, rows):
+    """salted two-stage COUNT(DISTINCT) == the exact python model on
+    arbitrary (group, value) multisets."""
+    from football_data_pipeline_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [(f"g{g}", v) for g, v in rows], "g string, v long"
+    )
+    out = {
+        r.g: r.n_distinct
+        for r in salted_distinct_count(df, "g", "v", n=4).collect()
+    }
+    model = {}
+    for g, v in rows:
+        model.setdefault(f"g{g}", set()).add(v)
+    assert out == {g: len(vs) for g, vs in model.items()}
+
+
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=80),
+    st.integers(1, 6),
+)
+@FAST
+def test_heavy_hitters_matches_having_model(spark, keys, threshold):
+    """two-pass heavy hitters == GROUP BY HAVING for any key multiset
+    and threshold, at a width small enough to force candidate-bucket
+    collisions."""
+    from collections import Counter
+
+    from football_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {
+        r.key_value: r.n_rows
+        for r in heavy_hitters(df, "k", threshold, width=8).collect()
+    }
+    model = {k: n for k, n in Counter(keys).items() if n >= threshold}
+    assert out == model
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=0, max_size=40),
+    st.lists(st.integers(0, 40), min_size=1, max_size=40),
+)
+@FAST
+def test_bloom_semi_join_matches_set_model(spark, key_rows, fact_rows):
+    """bloom-pruned semi-join == plain membership for arbitrary key
+    and fact multisets, with the filter deliberately starved (64
+    bits) so false positives are routine and the verify join must
+    earn its keep."""
+    from football_data_pipeline_spark.operators.sketches import bloom_semi_join
+
+    facts = spark.createDataFrame([(k,) for k in fact_rows], "k long")
+    keys = spark.createDataFrame([(k,) for k in key_rows], "k long") if key_rows else (
+        spark.createDataFrame([], "k long")
+    )
+    out = sorted(r.k for r in bloom_semi_join(facts, keys, "k", num_bits=64, k=3).collect())
+    keyset = set(key_rows)
+    assert out == sorted(k for k in fact_rows if k in keyset)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)), max_size=10),
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),   # key
+            st.integers(0, 4),   # seq (small -> ties likely)
+            st.booleans(),       # True -> 'U'
+            st.integers(0, 9),   # payload
+        ),
+        max_size=16,
+    ),
+)
+@FAST
+def test_cdc_apply_matches_python_model(spark, base_rows, change_rows):
+    """apply_changes == a direct python model of its documented
+    semantics (max (seq, op, payload) wins; 'U' upserts, 'D'
+    removes, untouched base survives), including equal-seq ties."""
+    from football_data_pipeline_spark.operators.cdc import apply_changes
+
+    base_map = {}
+    for k, v in base_rows:
+        base_map[k] = v  # duplicate base keys: last write wins in model
+    base_rows = [(k, v) for k, v in base_map.items()]
+    base = spark.createDataFrame(base_rows or [], "k long, v long")
+    chg = spark.createDataFrame(
+        [(k, s, "U" if u else "D", p) for k, s, u, p in change_rows] or [],
+        "k long, seq long, op string, v long",
+    )
+    out = {
+        r.k: r.v
+        for r in apply_changes(base, chg, "k", "seq", "op", ["v"]).collect()
+    }
+    winners = {}
+    for k, s, u, p in change_rows:
+        op = "U" if u else "D"
+        cand = (s, op, p)
+        if k not in winners or cand > winners[k]:
+            winners[k] = cand
+    model = dict(base_map)
+    for k, (s, op, p) in winners.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = p
+    assert out == model
