@@ -51,10 +51,13 @@ from ..catalog import load
 from ..functions.stable import rnd
 from ..registry import query
 from .embedsearch import N_QUERIES, TOP_K
-from .semdedup import PQ_K, PQ_M, PQ_PACK_SCALE, PQ_SUB
+from .semdedup import PQ_K, PQ_M, PQ_PACK_SCALE, PQ_SUB, pq_encode
 
 
 def _subvectors() -> Column:
+    """Mirrors pq_encode's canonical subvector slicing
+    (semdedup.py pq_encode) — needed here only for the per-QUERY
+    lookup table; the candidate codes come from pq_encode itself."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
@@ -62,6 +65,9 @@ def _subvectors() -> Column:
 
 
 def _d2(a: Column | str, b: Column | str) -> Column:
+    """Squared-L2 fold, the same expression pq_encode packs — kept
+    textually identical so the LUT distances and the encoder's
+    argmin distances share one definition of 'distance'."""
     return F.aggregate(
         F.zip_with(
             a,
@@ -160,31 +166,24 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition and scale argument.
     """
     emb = load(spark, sf_dir, "embeddings")
-    sub = emb.select("vec_id", "label", F.posexplode(_subvectors()).alias("m", "vs"))
+    # candidate codes come from THE encoder (semdedup.pq_encode), not
+    # a re-implementation, so this audit always measures the encoder
+    # q_pq_encode ships; the coarse-cell label rides back in on a
+    # vec_id equi-join (co-keyed with the encode output's own grain)
+    codes = (
+        pq_encode(emb)
+        .select("vec_id", F.col("sub_idx").alias("m"), "code")
+        .join(emb.select("vec_id", "label"), "vec_id")
+    )
     cb = (
         emb.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").alias("code"), F.posexplode(_subvectors()).alias("m", "cs"))
     )
     fp = lambda c: F.floor(c * PQ_PACK_SCALE + F.lit(0.5)).cast("long")  # noqa: E731
-    codes = (
-        sub.join(F.broadcast(cb), "m")
-        .select(
-            "vec_id",
-            "label",
-            "m",
-            (fp(_d2(F.col("vs"), F.col("cs"))) * PQ_K + F.col("code")).alias("pk"),
-        )
-        .groupBy("vec_id", "m")
-        .agg(
-            F.first("label").alias("label"),
-            (F.min("pk") % PQ_K).cast("long").alias("code"),
-        )
-    )
-    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
-        "m",
-        F.col("vs").alias("qs"),
+        F.posexplode(_subvectors()).alias("m", "qs"),
     )
     lut = q.join(F.broadcast(cb), "m").select(
         "q_id",

@@ -154,9 +154,9 @@ def _oracle() -> str:
       SELECT lang,
              len(list_filter(string_split(text, ' '), w -> w <> ''))
                AS n_words,
-             list_sum(list_transform(
+             coalesce(list_sum(list_transform(
                list_filter(string_split(text, ' '), w -> w <> ''),
-               w -> length(w))) AS total_wchars,
+               w -> length(w))), 0) AS total_wchars,
              len(list_filter(string_split(text, ' '),
                w -> w <> '' AND regexp_matches(w, '[A-Za-z]')))
                AS n_alpha,

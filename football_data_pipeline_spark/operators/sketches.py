@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.stable import dsum, oracle_dsum
 from ..registry import query
+from .skew import hash_bucket
 
 #: pass-1 bucket width for heavy hitters. Sizing rule: the prune
 #: only bites while the expected bucket load N/width stays well
@@ -83,8 +84,9 @@ BLOOM_HASHES = 5
 
 
 def bucket_of(key: Column, width: int = HH_WIDTH) -> Column:
-    """Deterministic count-min bucket in [0, width)."""
-    return F.pmod(F.xxhash64(key), F.lit(width)).cast("long")
+    """Deterministic count-min bucket in [0, width) — the shared
+    stable-hash primitive (skew.hash_bucket)."""
+    return hash_bucket(key, width)
 
 
 def heavy_hitters(
@@ -196,7 +198,9 @@ def bloom_semi_join(
     # which is the only order that shrinks the shuffle at 100 TB.
     rows = bloom_bitmap(keys, key_col, num_bits, k).collect()
     sparse = rows[0].bmap if rows else {}
-    dense = [0] * (num_bits // 64)
+    # ceil-sized: positions address word num_bits//64 when num_bits
+    # is not a multiple of 64 (the top partial word)
+    dense = [0] * ((num_bits + 63) // 64)
     for w, bits in (sparse or {}).items():
         dense[int(w)] = bits
     with_probes = facts.withColumn(

@@ -54,13 +54,21 @@ from ..registry import query
 SALT_N = 8
 
 
+def hash_bucket(col: Column, n: int) -> Column:
+    """THE engine's deterministic hash-mod primitive (long in
+    [0, n)): every salt/bucket/cell derivation routes through this
+    one expression so the stable-hash discipline (xxhash64, never
+    rand() — task retries and speculative duplicates must agree)
+    lives in exactly one place. Shared by fact_salt here,
+    sketches.bucket_of, and weighted_topk's phase-1 cells."""
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("long")
+
+
 def fact_salt(secondary: Column, n: int = SALT_N) -> Column:
     """Deterministic salt in [0, n) from a SECONDARY column (not the
-    join key — salting the key with itself spreads nothing). Using a
-    stable hash, never rand(): task retries and speculative
-    duplicates must land every row in the same cell or the join
-    duplicates/drops rows."""
-    return F.pmod(F.xxhash64(secondary), F.lit(n)).cast("int")
+    join key — salting the key with itself spreads nothing); see
+    hash_bucket for the retry-safety argument."""
+    return hash_bucket(secondary, n).cast("int")
 
 
 def salted_join(

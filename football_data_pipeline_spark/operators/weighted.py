@@ -40,6 +40,7 @@ from ..catalog import load
 from ..functions.stable import rnd
 from ..registry import query
 from .sampling import RESOLUTION, _bucket_sql, sample_bucket
+from .skew import hash_bucket
 
 AES_SALT = "aes-v1"
 AES_K = 40
@@ -71,9 +72,7 @@ def weighted_topk(
     naive single window."""
     keyed = df.withColumn(
         "__key", aes_key(F.col(id_col), F.col(weight_col), salt)
-    ).withColumn(
-        "__cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(cells))
-    )
+    ).withColumn("__cell", hash_bucket(F.col(id_col), cells))
     local = Window.partitionBy(stratum_col, "__cell").orderBy(
         F.desc("__key"), F.asc(id_col)
     )

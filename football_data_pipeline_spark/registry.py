@@ -193,8 +193,9 @@ CHECK_PRIORITY = [
 #   registered query (pytest-only composition of green operators).
 # All carried names are additionally re-verified green at HEAD by
 # the local all-queries oracle gate (tests/test_queries_oracle.py)
-# and by this round's repeated full driver-contract sims (116 -> 124
-# queries, ALL MATCH each time).
+# and by this round's repeated full driver-contract sims (re-run at
+# every late addition as the registry grew 116 -> 127 queries, ALL
+# MATCH each time).
 CARRY_TO_NEXT_ROUND = [
     # NEW late in r5, after the head was already at the 50-cap with
     # the honored r4 carry (never-checked — verified this round only

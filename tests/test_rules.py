@@ -60,8 +60,9 @@ def test_stopword_rule(spark):
 
 
 def test_symbol_ratio_and_unicode_ellipsis(spark):
+    # 5 symbols over 55 words (~9%) passes the 10% cap
+    assert _gate_one(spark, BASE + " " + "# # # # #").r_symbol_ratio
     # 50 words, 5 '#' chars = exactly 10% passes; 6 fails
-    assert _gate_one(spark, BASE + " " + "# # # # #").r_symbol_ratio is not None
     ok = "the and " + " ".join(["word"] * 43) + " # # # # #"
     r = _gate_one(spark, ok)
     assert r.r_symbol_ratio  # 5 symbols / 50 words == 10%
@@ -121,3 +122,35 @@ def test_release_builder_rule_stage(spark, tmp_path):
     shards = pd.concat([pd.read_parquet(f) for f in shard_files]) if shard_files else pd.DataFrame(columns=["doc_id"])
     assert len(shards) + len(drops) == len(rows)
     assert 2 not in set(shards.get("doc_id", []))
+
+
+def test_oracle_parity_includes_empty_documents(spark, tmp_path):
+    """The driver-grade oracle comparison on a crafted corpus WITH an
+    empty and a whitespace-only document (regression: DuckDB
+    list_sum([]) is NULL, so the un-coalesced oracle counted a
+    mean_word_len failure Spark does not)."""
+    import duckdb
+
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import assert_matches_oracle
+
+    rows = [
+        (1, "en", "a", BASE),
+        (2, "en", "a", ""),            # zero words
+        (3, "en", "a", "   "),         # whitespace-only -> zero words
+        (4, "fr", "b", "tiny doc"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", __import__("pyspark").sql.functions.length("text").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES["q_gopher_rules"]
+    assert_matches_oracle(q.fn(spark, d), con, q.oracle, "q_gopher_rules-empty")

@@ -141,3 +141,17 @@ def test_round5_sketch_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in plan2 and "LeftSemi" in plan2
     assert "SortMergeJoin" not in plan2
+
+
+def test_bloom_semi_join_non_multiple_of_64_bits(spark):
+    """num_bits that is not a multiple of 64 must still address the
+    top partial word (regression: floor-sized dense array truncated
+    it, crashing on build or silently filtering everything)."""
+    facts = _facts(spark, {k: 2 for k in range(30)})
+    keys = spark.createDataFrame([(k,) for k in range(0, 30, 2)], "key long")
+    plain = sorted(map(tuple, facts.join(keys, "key", "left_semi").collect()))
+    for bits in (100, 32, 65):
+        out = sorted(
+            map(tuple, bloom_semi_join(facts, keys, "key", num_bits=bits, k=3).collect())
+        )
+        assert out == plain, bits
