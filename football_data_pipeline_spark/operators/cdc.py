@@ -41,19 +41,18 @@ from ..functions.stable import dsum, oracle_dsum
 from ..registry import query
 
 
-def apply_changes(
-    base: DataFrame,
+def collapse_log(
     changes: DataFrame,
     key: str,
     seq_col: str,
     op_col: str,
     payload_cols: list[str],
 ) -> DataFrame:
-    """Snapshot after applying ``changes`` to ``base``. ``changes``
-    carries (key, seq, op in {'U','D'}, payload...); ``base`` carries
-    (key, payload...). Returns (key, payload...) — the latest state
-    per surviving key (see module docstring for semantics)."""
-    winner = (
+    """Per-key winner of a change log: (key, __seq, __op,
+    payload...) for the highest-(seq, op, payload) change — ONE
+    map-side-combinable max-struct hash aggregate, the collapse both
+    the batch apply and the streaming log writer/reader share."""
+    return (
         changes.groupBy(key)
         .agg(
             F.max(
@@ -66,9 +65,29 @@ def apply_changes(
         )
         .select(
             key,
+            F.col("__w.__seq").alias("__seq"),
             F.col("__w.__op").alias("__op"),
-            *[F.col(f"__w.{c}").alias(f"__new_{c}") for c in payload_cols],
+            *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
         )
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Snapshot after applying ``changes`` to ``base``. ``changes``
+    carries (key, seq, op in {'U','D'}, payload...); ``base`` carries
+    (key, payload...). Returns (key, payload...) — the latest state
+    per surviving key (see module docstring for semantics)."""
+    winner = collapse_log(changes, key, seq_col, op_col, payload_cols).select(
+        key,
+        "__op",
+        *[F.col(c).alias(f"__new_{c}") for c in payload_cols],
     )
     joined = base.join(winner, key, "full_outer")
     surviving = joined.filter(
