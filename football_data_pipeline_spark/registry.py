@@ -91,182 +91,81 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # --- never-checked first: new in round 5 (dashboard trend +
-    # league roster read paths):
-    "q_team_stats_trend",
-    "q_league_teams",
-    "q_substring_dedup",
-    "q_substring_strip",
-    "q_exact_decontam",
-    "q_source_substring_overlap",
-    # --- r4-green but their own plan changed in r5: the snapshot-diff
-    # ghost ids moved to -doc_id-1 (ADVICE r4 collision fix), and
-    # upcoming_games_with_odds grew the horizon_hours parameter (its
-    # function body changed; default None keeps the view semantics,
-    # re-proven by the driver row):
-    "q_corpus_diff",
-    "q_upcoming_games",
-    # --- THE r4 CARRY LEDGER, honored in full (VERDICT r4 item 1):
-    # all 42 CARRY_TO_NEXT_ROUND names, q_corpus_clean first (the
-    # only carried query whose own plan changed in r4 — bigram
-    # projection rewrite):
-    "q_corpus_clean",
-    # tier 0 — displaced late in r4; modules untouched since their
-    # green rows (see r4 ledger for the per-name argument):
-    "q_team_search",
-    "q_upsert_latest",
-    "q_h2h_flatten",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_odds_flatten",
-    "q_leagues_extract",
-    "q_teams_extract",
-    "q_fixtures_extract",
-    "q_validate_counts",
+    # =========== ROUND 6 CURATION ===========
+    # --- THE r5 CARRY LEDGER, honored in full (VERDICT r5 item 1):
+    # all 27 CARRY_TO_NEXT_ROUND names head the round, the 16
+    # never-driver-checked late-r5 queries first:
+    "q_ewma",
+    "q_mixture_epochs",
+    "q_temperature_sample",
+    "q_salted_distinct",
+    "q_salted_join",
+    "q_heavy_hitters",
+    "q_bloom_semi",
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_gopher_rules",
+    "q_corr_profile",
+    "q_cube_report",
+    "q_weighted_sample",
+    "q_knn_ivfpq",
+    "q_k_anonymity",
+    "q_cdc_apply",
+    # --- the 11 provenance carries (green r3/r4 rows, modules grew
+    # by append in r5; re-checked here so the stale-claim question
+    # closes with a fresh row):
+    "q_team_form",
+    "q_odds_trends",
+    "q_team_odds_lookup",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_semantic_decontam",
+    "q_knn_recall",
+    "q_ivf_centroids",
+    "q_ivf_reassign",
+    "q_dedup_embed",
+    "q_star_join",
+    # --- modules edited in r6 (multimodal.py grows the optional-PIL
+    # JPEG decode path, VERDICT r5 item 7 — plan for the registered
+    # query is unchanged but the module changed, so it re-checks):
     "q_multimodal_meta",
-    # tier 3 — timeseries.py / resolution.py edits post-dated their
-    # r3 rows:
-    "q_asof_join",
-    "q_kpi_ratio",
-    "q_weighted_sum",
-    "q_range_join",
-    "q_before_after",
-    "q_learned_mapping",
-    "q_difflib_ratio",
-    "q_resolve_alternatives",
-    "q_fuzzy_join",
-    "q_normalize_names",
-    # tier 1 — relational.py, untouched r3/r4:
-    "q_scalar_agg",
-    "q_count_distinct",
-    "q_group_multi",
-    "q_conditional_agg",
-    "q_topk_group",
-    "q_date_trunc_trend",
-    "q_semi_join",
-    "q_anti_join",
-    "q_or_join",
-    "q_union_roles",
-    "q_left_join_count",
-    "q_json_extract",
-    # tier 2 — textstats.py/prep.py, file changed in r4:
-    "q_text_stats",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_token_count",
-    "q_seq_histogram",
-    "q_tfidf_terms",
-    "q_pii_scan",
-    "q_token_packing",
+    # --- oldest green rows in the registry (r3) get a freshness
+    # re-check with the spare head room:
+    "q_profile_documents",
+    "q_length_quantiles",
+    "q_length_filter",
+    "q_skew_report",
+    "q_job_expiry",
 ]
 
-# --- r5 SHARED-DEP LEDGER (VERDICT r4 item 2, codified) -------------
-# Rule clarification: registry.py's curation lists and session.py's
-# conf seeding are EXEMPT from the "shared dep untouched" clause —
-# both are orchestration that is semantically inert for oracle
-# output (the `query` decorator body and `configure_for_oracle`'s
-# pinned confs are what matter; any edit to THOSE must be named
-# here). Every other shared-dep edit in-round must be named below
-# with the queries it could touch and the re-verification cited.
-#
-# r5 shared-dep edits:
-# - gold.py: horizon_hours param inside upcoming_games_with_odds
-#   (its query q_upcoming_games is re-checked in head), plus
-#   APPENDED team_stats_trend/league_teams (new code, no existing
-#   lineage). team_form / odds_trends / team_odds_lookup bodies are
-#   byte-untouched (git diff shows no hunk in them) → their queries
-#   carry to r6 below rather than silently rotating.
-# - form.py: appended q_team_stats_trend only → q_team_form carries.
-# - embedsearch.py: ADVICE r4 fixes touch only the non-oracle Arrow
-#   kernel (eval_max_similarity_arrow — no registered query's
-#   lineage) and a docstring; the fold path every oracle row uses is
-#   byte-untouched → the embedsearch queries carry to r6 below.
-# - versioning.py: ghost-id fix → q_corpus_diff re-checked in head.
-# - notify.py / bench.py: no registered-query lineage.
-# - relational.py (late r5): APPENDED q_cube_report at EOF. Every
-#   other relational query is already in the head (tier 0/1) and
-#   gets a fresh r5 row — EXCEPT q_star_join, whose r3-green tail
-#   slot relied on "relational.py untouched"; its own function is
-#   byte-untouched (the diff is one append hunk), so it moves to the
-#   carry list below rather than silently keeping the stale claim.
-# - release.py (late r5): grew the optional apply_rules stage; no
-#   registered query (pytest-only composition of green operators).
-# All carried names are additionally re-verified green at HEAD by
-# the local all-queries oracle gate (tests/test_queries_oracle.py)
-# and by this round's repeated full driver-contract sims (re-run at
-# every late addition as the registry grew 116 -> 127 queries, ALL
-# MATCH each time).
-CARRY_TO_NEXT_ROUND = [
-    # NEW late in r5, after the head was already at the 50-cap with
-    # the honored r4 carry (never-checked — verified this round only
-    # by the local all-queries oracle gate; MUST head r6):
-    "q_ewma",
-    "q_mixture_epochs",
-    "q_temperature_sample",
-    "q_salted_distinct",
-    "q_salted_join",
-    "q_heavy_hitters",
-    "q_bloom_semi",
-    "q_hll_audit",
-    "q_quantile_audit",
-    "q_gopher_rules",
-    "q_corr_profile",
-    "q_cube_report",
-    "q_weighted_sample",
-    "q_knn_ivfpq",
-    "q_k_anonymity",
-    "q_cdc_apply",
-    # gold.py/form.py grew in r5; these compositions' own functions
-    # are byte-untouched since their green r4 rows:
-    "q_team_form",
-    "q_odds_trends",
-    "q_team_odds_lookup",
-    # embedsearch.py r5 edit is confined to the non-oracle Arrow
-    # kernel + one docstring; fold/oracle paths byte-untouched since
-    # their green rows (r4: knn_bruteforce/knn_ivf/semantic_decontam;
-    # r3: knn_recall/ivf_centroids/ivf_reassign/dedup_embed):
-    "q_knn_bruteforce",
-    "q_knn_ivf",
-    "q_semantic_decontam",
-    "q_knn_recall",
-    "q_ivf_centroids",
-    "q_ivf_reassign",
-    "q_dedup_embed",
-    # relational.py grew q_cube_report late in r5; q_star_join's own
-    # function is byte-untouched since its green r3 row (see the
-    # shared-dep ledger above):
-    "q_star_join",
+# --- r6 SHARED-DEP LEDGER --------------------------------------------
+# Modules edited in r6 and the queries their edits could touch (the
+# codified rule: every touched module's registered queries must be in
+# CHECK_PRIORITY or carry with an argument):
+# - sketches.py (ADVICE r5: bloom literal num_bits ceiling, heavy-
+#   hitters broadcast fallback) -> q_heavy_hitters/q_bloom_semi/
+#   q_hll_audit/q_quantile_audit: ALL in head.
+# - ivfpq.py + embedsearch.py (VERDICT r5 item 2: trained codebook +
+#   nprobe routing) -> q_knn_ivfpq + the 7 embedsearch queries: ALL
+#   in head.
+# - multimodal.py (optional-PIL JPEG) -> q_multimodal_meta: in head.
+# - streaming/cdc_stream.py (auto-compaction), sources/manifest.py
+#   (basePath), sources/delta_merge.py (temp-swap fallback),
+#   streaming/notify.py (driver-side re-sort): pytest-only surfaces,
+#   no registered-query lineage.
+# - New r6 operators live in NEW modules; their queries register
+#   after the head and land in the mid section (checked while
+#   head+mid fit under the cap — _validate_curation enforces it).
+# Everything in ROTATE_TAIL below holds a green r5 (or earlier,
+# noted) driver row and its module + shared deps are untouched in
+# r6; any r6 edit that invalidates a tail entry must move it here.
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # (empty at curation time — grows only if r6 additions overflow
+    # the cap; every name added here must head r7's CHECK_PRIORITY)
 ]
 ROTATE_TAIL = [
-    # r5 carry (see ledger above; the first sixteen are new-in-late-
-    # r5 additions that arrived after the head hit the cap):
-    "q_ewma",
-    "q_mixture_epochs",
-    "q_temperature_sample",
-    "q_salted_distinct",
-    "q_salted_join",
-    "q_heavy_hitters",
-    "q_bloom_semi",
-    "q_hll_audit",
-    "q_quantile_audit",
-    "q_gopher_rules",
-    "q_corr_profile",
-    "q_cube_report",
-    "q_weighted_sample",
-    "q_knn_ivfpq",
-    "q_k_anonymity",
-    "q_cdc_apply",
-    "q_team_form",
-    "q_odds_trends",
-    "q_team_odds_lookup",
-    "q_knn_bruteforce",
-    "q_knn_ivf",
-    "q_semantic_decontam",
-    "q_knn_recall",
-    "q_ivf_centroids",
-    "q_ivf_reassign",
-    "q_dedup_embed",
-    # green r4 driver rows, modules untouched in r5:
+    # green r5 driver rows (CORRECTNESS_r05.json), modules untouched
+    # in r6 — registration order:
     "q_windowed_volatility",
     "q_bpe_merges",
     "q_bpe_tokenize",
@@ -291,36 +190,76 @@ ROTATE_TAIL = [
     "q_lag_movement",
     "q_first_last_change",
     "q_scd2_history",
+    "q_teams_extract",
+    "q_leagues_extract",
+    "q_fixtures_extract",
+    "q_upcoming_games",
+    "q_validate_counts",
+    "q_league_teams",
+    "q_normalize_names",
+    "q_fuzzy_join",
+    "q_learned_mapping",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
+    "q_json_extract",
+    "q_upsert_latest",
+    "q_odds_flatten",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_h2h_flatten",
     "q_team_events",
+    "q_team_stats_trend",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
     "q_lm_score",
     "q_fluency_buckets",
     "q_lm_bigram",
     "q_target_mixture",
     "q_epoch_order",
+    "q_pii_scan",
+    "q_token_packing",
     "q_decontaminate",
+    "q_corpus_clean",
     "q_pii_redact",
+    "q_left_join_count",
+    "q_group_multi",
+    "q_topk_group",
+    "q_conditional_agg",
+    "q_scalar_agg",
+    "q_count_distinct",
+    "q_date_trunc_trend",
+    "q_semi_join",
+    "q_anti_join",
+    "q_or_join",
+    "q_union_roles",
+    "q_team_search",
     "q_dsir_weights",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",
     "q_rollup_report",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
     "q_repetition",
+    "q_seq_histogram",
+    "q_tfidf_terms",
     "q_winnow_fingerprints",
     "q_containment",
+    "q_substring_dedup",
+    "q_substring_strip",
+    "q_exact_decontam",
+    "q_source_substring_overlap",
+    "q_before_after",
+    "q_range_join",
+    "q_weighted_sum",
+    "q_kpi_ratio",
+    "q_asof_join",
     "q_moving_avg",
     "q_anomaly",
-    # green r3 rows, modules untouched r4 AND r5 (profiling /
-    # sampling / prep / streaming-jobs; q_star_join moved to the
-    # carry list when relational.py grew q_cube_report):
-    "q_profile_documents",
-    "q_length_quantiles",
-    "q_length_filter",
-    "q_skew_report",
-    "q_star_join",
-    "q_job_expiry",
+    "q_corpus_diff",
 ]
 
 
