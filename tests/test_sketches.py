@@ -155,3 +155,41 @@ def test_bloom_semi_join_non_multiple_of_64_bits(spark):
             map(tuple, bloom_semi_join(facts, keys, "key", num_bits=bits, k=3).collect())
         )
         assert out == plain, bits
+
+
+def test_heavy_hitters_broadcast_cap(spark):
+    """ADVICE r5: past HH_BROADCAST_WIDTH_CAP the broadcast hint
+    comes off (no BroadcastHashJoin on the bucket semi-join) and the
+    result is unchanged."""
+    from football_data_pipeline_spark.operators.sketches import (
+        HH_BROADCAST_WIDTH_CAP,
+    )
+
+    spec = {1: 30, 2: 5, 3: 30}
+    df = _facts(spark, spec)
+    wide = heavy_hitters(df, "key", threshold=20, width=HH_BROADCAST_WIDTH_CAP * 2)
+    assert {r.key_value: r.n_rows for r in wide.collect()} == {1: 30, 3: 30}
+    # past the cap the FORCED hint is gone from the logical plan —
+    # AQE may still choose broadcast at runtime from the ACTUAL size
+    # (that is the point: estimate-blind forcing is what's unsafe)
+    logical = wide._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    # explicit override forces the hint back on
+    forced = heavy_hitters(df, "key", 20, HH_BROADCAST_WIDTH_CAP * 2, broadcast_buckets=True)
+    assert {r.key_value: r.n_rows for r in forced.collect()} == {1: 30, 3: 30}
+    assert "strategy=broadcast" in forced._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bloom_semi_join_literal_ceiling(spark):
+    """ADVICE r5: the literal-bitmap form refuses geometries whose
+    plan literal would choke serialization."""
+    import pytest as _pytest
+
+    from football_data_pipeline_spark.operators.sketches import (
+        BLOOM_LITERAL_BITS_CAP,
+    )
+
+    facts = spark.createDataFrame([(1, 1)], "key long, payload long")
+    keys = spark.createDataFrame([(1,)], "key long")
+    with _pytest.raises(ValueError, match="literal-bitmap ceiling"):
+        bloom_semi_join(facts, keys, "key", num_bits=BLOOM_LITERAL_BITS_CAP * 2)
