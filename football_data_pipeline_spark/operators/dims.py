@@ -431,7 +431,7 @@ def q_team_odds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN teams_dim ta ON f.away_team_id = ta.id
       WHERE (f.home_team_id IN (SELECT id FROM matched)
              OR f.away_team_id IN (SELECT id FROM matched))
-        AND f.kickoff_utc > TIMESTAMP '1998-06-01 00:00:00'
+        AND f.kickoff_utc > TIMESTAMP '1995-05-01 00:00:00'
       ORDER BY f.kickoff_utc, f.id
       LIMIT 1
     ),
@@ -475,7 +475,9 @@ def q_odds_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/discord_integration.py:183-230 +
     database_integration.py:358-367) end-to-end over the engine's own
     silver tables: '%T10%' resolution → next fixture after the
-    1998-06-01 replay now → its full odds trail joined with the
+    1995-05-01 replay now (chosen so the next game carries an odds
+    trail at BOTH sf0.001 and sf0.01 — the prior 1998-06-01 pin made
+    the sf0.01 driver row trivially empty, r6 fix) → its full odds trail joined with the
     per-(bookmaker, market) first-vs-last movement summary.
 
     What the hash proves: the trail point-lookup (4 snapshots: 2
@@ -485,7 +487,7 @@ def q_odds_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto every trail row.
     """
     bronze = _game_bronze(load(spark, sf_dir, "orders"))
-    now = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    now = F.lit("1995-05-01 00:00:00").cast("timestamp")
     return odds_trends(
         fixtures=extract_fixtures(bronze),
         teams=extract_teams(bronze),

@@ -70,6 +70,12 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql: str, name: str = "") -
     assert len(actual) == len(expected), (
         f"{name}: row count mismatch spark={len(actual)} duck={len(expected)}"
     )
+    if len(actual) == 0:
+        # columns + count already matched; DataFrame.equals on empty
+        # frames compares construction dtypes, which differ between
+        # an empty Spark collect and an empty DuckDB fetch (the
+        # driver's value-hash treats empty == empty)
+        return
     if not actual.equals(expected):
         diff_mask = (actual != expected).any(axis=1)
         raise AssertionError(
