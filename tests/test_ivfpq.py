@@ -1,19 +1,34 @@
-"""Composed IVF-PQ path: routing must actually restrict candidates
-to the query's coarse cell (a cross-cell exact neighbor is MISSED —
-that's routing loss, the thing the recall number measures), and a
-same-cell identical vector must be found at rank 1."""
+"""Trained IVF-PQ + refine path invariants.
+
+Since round 6 the cells are TRAINED (full-width k-means), not the
+external label column — so an exact copy of a query is always
+routed to the query's own cell (identical vectors share a trained
+cell by construction) and, being at distance 0, must survive the
+ADC shortlist and exact re-rank at rank 1. The label column is
+deliberately set to DISAGREE between copies here: finding the copy
+anyway is precisely the round-6 improvement (label-cell routing
+missed 84-92% of true neighbors on the driver's own data — module
+docstring).
+"""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from football_data_pipeline_spark.operators.embedsearch import DIMS, N_QUERIES
-from football_data_pipeline_spark.operators.ivfpq import q_knn_ivfpq
+from football_data_pipeline_spark.operators.ivfpq import (
+    COARSE_K,
+    NPROBE,
+    _assign,
+    q_knn_ivfpq,
+    train_codebook,
+)
 from football_data_pipeline_spark.operators.semdedup import PQ_K
 
 
 def _vec(seed: float):
-    # PQ_K codebook rows (vec_id < PQ_K) must exist; keep vectors
+    # COARSE_K seed rows (vec_id < COARSE_K) must exist; keep vectors
     # spread so codes differ
     return [float((seed * (i + 3)) % 7) for i in range(DIMS)]
 
@@ -22,17 +37,14 @@ def _vec(seed: float):
 def crafted_dir(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivfpq") / "sf")
     rows = []
-    # codebook donors + queries: ids 0..15 in cell 0 (N_QUERIES=10 of
-    # them are queries)
-    for i in range(PQ_K):
+    # codebook/cell seed donors + queries: ids 0..max(PQ_K, COARSE_K)-1
+    for i in range(max(PQ_K, COARSE_K)):
         rows.append((i, _vec(i + 1), 0))
-    # same-cell EXACT COPY of query 3 -> must be its rank-1 ADC hit
-    rows.append((100, _vec(4), 0))
-    # cross-cell exact copies of every query -> exact top-k includes
-    # them, routing must miss them
+    # exact copies of every query under a DIFFERENT label — trained
+    # cells must route to them anyway
     for i in range(N_QUERIES):
         rows.append((200 + i, _vec(i + 1), 1))
-    # filler in both cells
+    # filler in both labels
     for i in range(40):
         rows.append((300 + i, _vec(100 + 13 * i), i % 2))
     df = spark.createDataFrame(
@@ -42,15 +54,52 @@ def crafted_dir(spark, tmp_path_factory):
     return path
 
 
-def test_routing_misses_cross_cell_and_hits_same_cell(spark, crafted_dir):
+def test_exact_copies_found_despite_label_disagreement(spark, crafted_dir):
     out = {r.query_id: r for r in q_knn_ivfpq(spark, crafted_dir).collect()}
     assert set(out) == set(range(N_QUERIES))
-    # query 3's exact duplicate lives in BOTH cells (id 100 same
-    # cell, id 203 cross cell); the same-cell one is reachable so
-    # query 3 must overlap at least once
-    assert out[3].n_overlap >= 1
-    # recall can never be perfect here: each query's cross-cell
-    # exact copy is unreachable by construction
-    assert all(r.recall_at_k < 1.0 for r in out.values())
-    # and the composed path still returns a full report row per query
+    # every query has an exact copy at distance 0 in the OTHER label;
+    # trained cells + refine must find it (label-routing could not)
+    assert all(r.n_overlap >= 1 for r in out.values())
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in out.values())
+
+
+def test_trained_cells_put_identical_vectors_together(spark, crafted_dir):
+    emb = spark.read.parquet(f"{crafted_dir}/embeddings.parquet")
+    fullv = emb.select(
+        "vec_id", F.lit(0).alias("m"), F.col("embedding").alias("vs")
+    )
+    cb = train_codebook(fullv, COARSE_K)
+    # codebook stays bounded: at most COARSE_K codewords for m=0
+    assert cb.count() <= COARSE_K
+    cells = _assign(fullv, cb, COARSE_K).select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    got = {r.vec_id: r.cell for r in cells.collect()}
+    # identical vectors -> identical trained cell, labels be damned
+    for i in range(N_QUERIES):
+        assert got[i] == got[200 + i]
+    # every vector got exactly one cell in [0, COARSE_K)
+    assert all(0 <= c < COARSE_K for c in got.values())
+    assert len(got) == emb.count()
+
+
+def test_assign_is_deterministic_across_runs(spark, crafted_dir):
+    emb = spark.read.parquet(f"{crafted_dir}/embeddings.parquet")
+    fullv = emb.select(
+        "vec_id", F.lit(0).alias("m"), F.col("embedding").alias("vs")
+    ).repartition(7)
+    a = sorted(
+        (r.vec_id, r.code)
+        for r in _assign(fullv, train_codebook(fullv, COARSE_K), COARSE_K).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.code)
+        for r in _assign(
+            fullv.repartition(3), train_codebook(fullv.repartition(3), COARSE_K), COARSE_K
+        ).collect()
+    )
+    assert a == b
+
+
+def test_probe_count_is_nprobe():
+    assert 1 <= NPROBE <= COARSE_K
