@@ -97,6 +97,11 @@ HEADLINE = [
     "q_salted_join",
     "q_heavy_hitters",
     "q_bloom_semi",
+    # added in round 6 (compare across rounds on the common prefix):
+    # the CDC apply and weighted-reservoir families get
+    # round-over-round timing accountability (VERDICT r5 item 8)
+    "q_cdc_apply",
+    "q_weighted_sample",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

@@ -266,15 +266,47 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     return None
 
 
+#: magics PIL can decode that the pure codecs cannot — probe these
+#: (and ONLY these) on the optional path so text payloads never pay
+#: a PIL.open attempt
+_PIL_MAGICS = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"RIFF")
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Optional-PIL decode for compressed formats (JPEG/GIF/WEBP).
+    None when PIL is absent or the payload doesn't parse — the
+    byte-fallback contract of ``try_decode_pixels`` holds either
+    way (VERDICT r5 item 7)."""
+    if not bytes(payload[:6]).startswith(_PIL_MAGICS):
+        return None
+    if not _try_import_decoder():
+        return None
+    import io
+
+    import PIL.Image
+
+    try:
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, img.tobytes()
+    except Exception:
+        return None
+
+
 def try_decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     """decode_pixels that treats ANY parse failure as "not an image"
     (None) instead of raising — a payload that merely starts with
     'P6'/'BM'/the PNG magic (e.g. text beginning 'BMW') must take the
-    fallback path, not kill a whole mapInPandas stage."""
+    fallback path, not kill a whole mapInPandas stage. Compressed
+    formats (JPEG/GIF/WEBP) decode when PIL is importable and fall
+    back to bytes otherwise — same contract, wider coverage when the
+    environment provides the lib."""
     try:
-        return decode_pixels(payload)
+        direct = decode_pixels(payload)
     except (ValueError, struct.error, IndexError, MemoryError, OverflowError):
         return None
+    if direct is not None:
+        return direct
+    return _pil_decode(payload)
 
 
 def resize_nearest(

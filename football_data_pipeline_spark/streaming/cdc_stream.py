@@ -11,25 +11,37 @@ micro-batch never rewrites the snapshot:
   crash-restart re-running batch N overwrites exactly its partition
   and nothing else. Write cost is bounded by the batch, never by the
   snapshot.
-- READ path (``read_cdc_snapshot``): union the optional base (as
-  seq=BASE_SEQ pseudo-changes that lose to ANY real change) with
+- READ path (``read_cdc_snapshot``): union the managed compacted
+  base at ``{root}/base`` (if present — rows re-enter at their
+  recorded __seq/__op) with any caller-supplied external base (as
+  seq=BASE_SEQ pseudo-changes that lose to ANY real change) and
   every committed log partition, collapse once, drop 'D' winners.
   Out-of-order delivery ACROSS batches is handled by construction —
   a late low-seq change loses the global collapse, so state never
   regresses (the property the batch operator cannot give a naive
   per-batch applier).
-- COMPACTION: when the log grows long, materialize
-  ``read_cdc_snapshot`` output (with ``keep_seq=True``) as the new
-  base and drop consumed partitions — the same fold-history-forward
-  move as sinks.compact_partitions; the reader's semantics are
-  unchanged because base rows re-enter the collapse at their
-  recorded __seq, not BASE_SEQ.
+- AUTO-COMPACTION (VERDICT r5 #4 — the read amplification was
+  previously unbounded until someone compacted by hand): pass
+  ``compact_every=K`` to the writer and, whenever the committed log
+  reaches K partitions, the writer folds base+log into a new
+  ``{root}/base`` (crash-safe temp-sibling write + two metadata
+  renames, the delta_merge._swap_rewrite discipline) and deletes
+  exactly the partitions it folded. The compacted base keeps the
+  winning __seq AND the 'D' tombstones: a tombstone dropped at
+  compaction would let a late lower-seq 'U' resurrect the key with
+  stale state, so deletes stay in the base until their key is
+  overwritten by a higher change. Crash between base swap and
+  partition cleanup only double-folds identical winners — the
+  max-struct collapse is idempotent, so the reader is correct at
+  every intermediate state.
 
 At 100 TB: the log partitions are per-batch winner sets (small), the
 snapshot collapse is one hash aggregate keyed on the CDC key — the
-reader is the same shape as the batch apply's winner side, and the
-expensive join against a huge base happens only at compaction or in
-a table format's MERGE (sources/delta_merge.py seam), not per batch.
+reader is the same shape as the batch apply's winner side; the
+expensive fold against the big base happens only every K batches (the
+knob trades write amplification against read amplification, exactly
+an LSM level-0 compaction) or in a table format's MERGE
+(sources/delta_merge.py seam), never per batch.
 
 Real seqs must be >= 0 (BASE_SEQ = -1 sits strictly below them);
 enforced by a plan-embedded check in the writer.
@@ -45,8 +57,28 @@ from pyspark.sql.utils import AnalysisException
 
 from ..operators.cdc import collapse_log
 
-#: base rows enter the collapse below every real change
+#: external base rows enter the collapse below every real change
 BASE_SEQ = -1
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(hconf), jvm
+
+
+def _list_log_partitions(spark: SparkSession, root: str) -> list[str]:
+    """Names (``batch_id=N``) of the committed log partition dirs."""
+    fs, jvm = _fs(spark, root)
+    log_path = jvm.org.apache.hadoop.fs.Path(f"{root}/log")
+    if not fs.exists(log_path):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(log_path)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    )
 
 
 def cdc_log_batch_writer(
@@ -55,11 +87,17 @@ def cdc_log_batch_writer(
     seq_col: str,
     op_col: str,
     payload_cols: list[str],
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: collapse this micro-batch's changes per key
     and persist them to ``{root}/log/batch_id=N`` (idempotent
     partition overwrite). Negative sequence numbers are rejected
-    in-plan (they would collide with the base sentinel)."""
+    in-plan (they would collide with the base sentinel). With
+    ``compact_every=K``, a write that brings the committed log to
+    >= K partitions triggers the fold into ``{root}/base`` (module
+    docstring: tombstone-preserving, crash-safe, idempotent)."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def write_batch(changes: DataFrame, batch_id: int) -> None:
         # the guard REPLACES the seq value (a dropped side column's
@@ -79,8 +117,59 @@ def cdc_log_batch_writer(
         winners.write.mode("overwrite").parquet(
             f"{root}/log/batch_id={batch_id}"
         )
+        if compact_every is not None:
+            spark = changes.sparkSession
+            if len(_list_log_partitions(spark, root)) >= compact_every:
+                compact_cdc_log(spark, root, key, payload_cols)
 
     return write_batch
+
+
+def compact_cdc_log(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    payload_cols: list[str],
+) -> int:
+    """Fold ``{root}/base`` (if any) + every committed log partition
+    into a new compacted base, then delete exactly the folded
+    partitions. Returns how many partitions were consumed.
+
+    The compacted base keeps __seq and the 'D' tombstones so late
+    lower-seq changes still lose after the rebase (the monotonicity
+    property ``test_cdc_stream.py`` pins). Crash-safety: the new
+    base is written to a temp sibling and swapped in with two
+    metadata renames (sources/delta_merge._swap_rewrite); a crash
+    before partition cleanup leaves winners duplicated between base
+    and log, which the idempotent max-struct collapse absorbs."""
+    consumed = _list_log_partitions(spark, root)
+    if not consumed:
+        return 0
+    snap = read_cdc_snapshot(
+        spark,
+        root,
+        key,
+        payload_cols,
+        keep_seq=True,
+        keep_tombstones=True,
+    )
+    fs, jvm = _fs(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = f"{root}/base"
+    if fs.exists(hpath(base)):
+        from ..sources.delta_merge import _swap_rewrite
+
+        _swap_rewrite(spark, base, snap)
+    else:
+        tmp = base + ".__compact_tmp__"
+        if fs.exists(hpath(tmp)):
+            fs.delete(hpath(tmp), True)
+        snap.write.mode("overwrite").parquet(tmp)
+        if not fs.rename(hpath(tmp), hpath(base)):
+            raise RuntimeError(f"compaction: could not move {tmp} into place")
+    for name in consumed:
+        fs.delete(hpath(f"{root}/log/{name}"), True)
+    return len(consumed)
 
 
 def read_cdc_snapshot(
@@ -90,34 +179,45 @@ def read_cdc_snapshot(
     payload_cols: list[str],
     base: DataFrame | None = None,
     keep_seq: bool = False,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
-    """Current snapshot from the committed log (+ optional base):
-    (key, payload...) of the latest surviving state per key —
+    """Current snapshot from the managed compacted base (if
+    ``{root}/base`` exists) + the committed log (+ optional external
+    base): (key, payload...) of the latest surviving state per key —
     identical semantics to operators/cdc.apply_changes, robust to
-    out-of-order and duplicate delivery across batches. With
-    ``keep_seq=True`` the winning __seq is kept (the compaction
-    form: re-basing preserves monotonicity)."""
+    out-of-order and duplicate delivery across batches.
+
+    An external ``base`` with __seq/__op columns re-enters at those
+    recorded values (the pre-r6 manual compaction form); otherwise
+    its rows enter at seq=BASE_SEQ/op='U' and lose to any real
+    change. ``keep_seq``/``keep_tombstones`` expose the compaction
+    form: winning __seq kept, 'D' winners retained."""
+    parts: list[DataFrame] = []
     try:
         log = (
             spark.read.option("basePath", f"{root}/log")
             .parquet(f"{root}/log")
             .drop("batch_id")
         )
-    except AnalysisException:
-        log = None
-    parts = []
-    if log is not None:
         parts.append(log.select(key, "__seq", "__op", *payload_cols))
+    except AnalysisException:
+        pass
+    try:
+        managed = spark.read.parquet(f"{root}/base")
+        parts.append(managed.select(key, "__seq", "__op", *payload_cols))
+    except AnalysisException:
+        pass
     if base is not None:
         base_cols = set(base.columns)
         base_seq = (
             F.col("__seq") if "__seq" in base_cols else F.lit(BASE_SEQ)
         ).cast("long")
+        base_op = F.col("__op") if "__op" in base_cols else F.lit("U")
         parts.append(
             base.select(
                 key,
                 base_seq.alias("__seq"),
-                F.lit("U").alias("__op"),
+                base_op.alias("__op"),
                 *payload_cols,
             )
         )
@@ -126,8 +226,12 @@ def read_cdc_snapshot(
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    snap = collapse_log(union, key, "__seq", "__op", payload_cols).filter(
-        F.col("__op") != "D"
-    )
-    keep = [key, *payload_cols] + (["__seq"] if keep_seq else [])
+    snap = collapse_log(union, key, "__seq", "__op", payload_cols)
+    if not keep_tombstones:
+        snap = snap.filter(F.col("__op") != "D")
+    keep = [key, *payload_cols]
+    if keep_seq:
+        keep.append("__seq")
+    if keep_tombstones:
+        keep.append("__op")
     return snap.select(*keep)

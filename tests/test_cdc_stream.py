@@ -89,3 +89,70 @@ def test_negative_seq_rejected_and_empty_state_errors(spark, tmp_path):
         w(_chg(spark, [(1, -1, "U", "a")]), 0)
     with pytest.raises(ValueError, match="no log yet"):
         read_cdc_snapshot(spark, str(tmp_path / "none"), "k", ["v"])
+
+
+def _log_parts(root):
+    log = root / "log"
+    if not log.is_dir():
+        return []
+    return sorted(p.name for p in log.iterdir() if p.name.startswith("batch_id="))
+
+
+def test_auto_compaction_triggers_at_k_and_parity_holds(spark, tmp_path):
+    root = tmp_path / "cdc"
+    w = cdc_log_batch_writer(
+        str(root), "k", "seq", "op", ["v"], compact_every=3
+    )
+    w(_chg(spark, [(1, 10, "U", "a"), (2, 10, "U", "b")]), 0)
+    w(_chg(spark, [(2, 20, "D", None)]), 1)
+    assert len(_log_parts(root)) == 2 and not (root / "base").is_dir()
+    # batch 3 brings the log to K=3 partitions -> rebase fires
+    w(_chg(spark, [(3, 30, "U", "c")]), 2)
+    assert (root / "base").is_dir()
+    assert _log_parts(root) == []
+    assert _snap(spark, root) == {1: "a", 3: "c"}
+    # the compacted base keeps the winning __seq AND the tombstone
+    managed = spark.read.parquet(str(root / "base"))
+    rows = {r["k"]: (r["__seq"], r["__op"]) for r in managed.collect()}
+    assert rows == {1: (10, "U"), 2: (20, "D"), 3: (30, "U")}
+
+
+def test_late_low_seq_update_loses_after_rebase_even_for_deleted_key(
+    spark, tmp_path
+):
+    root = tmp_path / "cdc"
+    w = cdc_log_batch_writer(
+        str(root), "k", "seq", "op", ["v"], compact_every=2
+    )
+    w(_chg(spark, [(1, 50, "U", "live")]), 0)
+    w(_chg(spark, [(2, 60, "D", None)]), 1)  # triggers rebase at K=2
+    assert _log_parts(root) == []
+    # a LATE lower-seq 'U' for the DELETED key arrives after the
+    # rebase: the retained tombstone must still win
+    w(_chg(spark, [(2, 10, "U", "ghost"), (1, 20, "U", "stale")]), 2)
+    assert _snap(spark, root) == {1: "live"}
+    # ...and a genuinely newer 'U' resurrects it
+    w(_chg(spark, [(2, 70, "U", "back")]), 3)  # triggers 2nd rebase
+    assert _snap(spark, root) == {1: "live", 2: "back"}
+
+
+def test_interrupted_compaction_is_idempotent(spark, tmp_path):
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        compact_cdc_log,
+    )
+
+    root = tmp_path / "cdc"
+    w = cdc_log_batch_writer(str(root), "k", "seq", "op", ["v"])
+    w(_chg(spark, [(1, 10, "U", "a"), (2, 20, "D", None)]), 0)
+    w(_chg(spark, [(3, 30, "U", "c")]), 1)
+    n = compact_cdc_log(spark, str(root), "k", ["v"])
+    assert n == 2
+    before = _snap(spark, root)
+    # simulate the crash window: winners exist in base AND a replayed
+    # log partition (cleanup died) — the fold must absorb duplicates
+    w(_chg(spark, [(3, 30, "U", "c")]), 1)
+    assert _snap(spark, root) == before == {1: "a", 3: "c"}
+    assert compact_cdc_log(spark, str(root), "k", ["v"]) == 1
+    assert _snap(spark, root) == before
+    # nothing left to fold
+    assert compact_cdc_log(spark, str(root), "k", ["v"]) == 0

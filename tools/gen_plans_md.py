@@ -31,8 +31,10 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 
 HEADER = """# PLANS — physical-plan inventory (generated)
 
-One row per bench headline query: the plan signals that decide
-behavior at 100 TB, extracted from the executed-plan string at
+One row per bench headline query AND per driver-rotation head query
+(registry.CHECK_PRIORITY — so every carried/late-added family has a
+plan regression record, VERDICT r5 item 5): the plan signals that
+decide behavior at 100 TB, extracted from the executed-plan string at
 sf0.01 (static plan; AQE runtime re-planning can only improve the
 join choices shown). Counts are plan-STRING-level: a reused exchange
 subtree re-prints under every consumer but executes once, so large
@@ -132,9 +134,16 @@ def plan_row(name: str, plan: str) -> str:
 def main() -> None:
     import bench
 
+    from football_data_pipeline_spark.registry import CHECK_PRIORITY
+
     spark = get_spark(app_name="fdps-gen-plans")
+    # bench headliners first (stable diff vs earlier rounds), then the
+    # round's rotation head — every carried/late-added family gets a
+    # plan-shape record (VERDICT r5 item 5)
+    names = list(bench.HEADLINE)
+    names += [n for n in CHECK_PRIORITY if n not in set(names)]
     rows = []
-    for name in bench.HEADLINE:
+    for name in names:
         df = QUERIES[name].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append(plan_row(name, plan))
