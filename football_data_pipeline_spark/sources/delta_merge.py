@@ -90,6 +90,30 @@ def _is_delta_table(spark: SparkSession, path: str) -> bool:
     return is_delta
 
 
+def recover_swap_orphan(spark: SparkSession, path: str) -> bool:
+    """Crash-window recovery (ADVICE r6): a crash between
+    ``_swap_rewrite``'s two renames leaves the target missing with the
+    only copy at ``<path>.__merge_old__``. Rename it back and return
+    True. Callers that treat a missing table as empty (e.g. the CDC
+    snapshot reader) MUST run this first — otherwise they serve a view
+    missing every previously-swapped row, and a later rewrite makes
+    the loss permanent. A no-op (False) when the target exists or no
+    orphan is present."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(hconf)
+    base = path.rstrip("/")
+    old = base + ".__merge_old__"
+    if fs.exists(hpath(base)) or not fs.exists(hpath(old)):
+        return False
+    if not fs.rename(hpath(old), hpath(base)):
+        raise RuntimeError(
+            f"recovery failed: could not rename {old} back to {base}"
+        )
+    return True
+
+
 def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
     """Crash-safe full-table rewrite for the non-Delta fallback
     (ADVICE r5): the previous form localCheckpoint-ed the merged plan
@@ -114,6 +138,12 @@ def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
     fs = hpath(path).getFileSystem(hconf)
     base = path.rstrip("/")
     tmp, old = base + ".__merge_tmp__", base + ".__merge_old__"
+    # never delete __merge_old__ while it may be the sole surviving
+    # copy: restore it first when the target vanished mid-swap
+    # (ADVICE r6 — the old unconditional delete destroyed the data,
+    # or silently discarded it when a caller had recreated the
+    # target from partial state in between)
+    recover_swap_orphan(spark, base)
     for leftover in (tmp, old):
         if fs.exists(hpath(leftover)):
             fs.delete(hpath(leftover), True)
@@ -147,6 +177,10 @@ def merge_upsert(
     """
     from ..operators.upsert import keep_latest, upsert_replace
 
+    # a prior merge may have crashed between the swap renames; the
+    # read below would otherwise fail (or a caller-recreated target
+    # would shadow the orphaned data) — restore before reading
+    recover_swap_orphan(spark, path)
     src = keep_latest(delta_df, keys, order_cols)
     if _is_delta_table(spark, path):
         from delta.tables import DeltaTable
@@ -173,6 +207,7 @@ def merge_delete(spark: SparkSession, path: str, cond: Column | str) -> None:
     keep-the-complement rewrite (operators/upsert.delete_where
     semantics — NULL conditions keep the row, matching SQL DELETE).
     """
+    recover_swap_orphan(spark, path)  # crashed-swap orphan, as above
     cond_col = F.expr(cond) if isinstance(cond, str) else cond
     if _is_delta_table(spark, path):
         from delta.tables import DeltaTable

@@ -21,9 +21,10 @@ micro-batch never rewrites the snapshot:
   regresses (the property the batch operator cannot give a naive
   per-batch applier).
 - AUTO-COMPACTION (VERDICT r5 #4 — the read amplification was
-  previously unbounded until someone compacted by hand): pass
-  ``compact_every=K`` to the writer and, whenever the committed log
-  reaches K partitions, the writer folds base+log into a new
+  previously unbounded until someone compacted by hand; ON BY
+  DEFAULT since r7, VERDICT r6 #5): whenever the committed log
+  reaches ``compact_every`` partitions (default
+  DEFAULT_COMPACT_EVERY), the writer folds base+log into a new
   ``{root}/base`` (crash-safe temp-sibling write + two metadata
   renames, the delta_merge._swap_rewrite discipline) and deletes
   exactly the partitions it folded. The compacted base keeps the
@@ -60,6 +61,18 @@ from ..operators.cdc import collapse_log
 #: external base rows enter the collapse below every real change
 BASE_SEQ = -1
 
+#: default compaction cadence (VERDICT r6 #5: the opt-in knob left
+#: unbounded read amplification as the default behavior). 32 level-0
+#: partitions before a fold is the LSM-ish middle ground: write
+#: amplification stays ~1/32 of a per-batch rewrite while the reader
+#: unions at most 32 small winner sets + one base.
+DEFAULT_COMPACT_EVERY = 32
+
+#: with compaction explicitly disabled, warn when the committed log
+#: passes this many partitions — every snapshot read now unions
+#: 2x the default fold cadence worth of files and keeps growing
+UNCOMPACTED_WARN_THRESHOLD = 64
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
@@ -87,15 +100,19 @@ def cdc_log_batch_writer(
     seq_col: str,
     op_col: str,
     payload_cols: list[str],
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: collapse this micro-batch's changes per key
     and persist them to ``{root}/log/batch_id=N`` (idempotent
     partition overwrite). Negative sequence numbers are rejected
-    in-plan (they would collide with the base sentinel). With
-    ``compact_every=K``, a write that brings the committed log to
-    >= K partitions triggers the fold into ``{root}/base`` (module
-    docstring: tombstone-preserving, crash-safe, idempotent)."""
+    in-plan (they would collide with the base sentinel). A write that
+    brings the committed log to >= ``compact_every`` partitions
+    triggers the fold into ``{root}/base`` (module docstring:
+    tombstone-preserving, crash-safe, idempotent). Compaction is ON
+    by default (VERDICT r6 #5); pass ``compact_every=None`` to manage
+    compaction yourself — the writer then warns once the log passes
+    UNCOMPACTED_WARN_THRESHOLD partitions instead of growing
+    silently."""
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
 
@@ -117,10 +134,22 @@ def cdc_log_batch_writer(
         winners.write.mode("overwrite").parquet(
             f"{root}/log/batch_id={batch_id}"
         )
+        spark = changes.sparkSession
+        n_parts = len(_list_log_partitions(spark, root))
         if compact_every is not None:
-            spark = changes.sparkSession
-            if len(_list_log_partitions(spark, root)) >= compact_every:
+            if n_parts >= compact_every:
                 compact_cdc_log(spark, root, key, payload_cols)
+        elif n_parts >= UNCOMPACTED_WARN_THRESHOLD:
+            import warnings
+
+            warnings.warn(
+                f"CDC log at {root} holds {n_parts} uncompacted "
+                "partitions with compaction disabled; every snapshot "
+                "read unions all of them. Call compact_cdc_log() or "
+                "pass compact_every= to the writer.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     return write_batch
 
@@ -142,6 +171,13 @@ def compact_cdc_log(
     metadata renames (sources/delta_merge._swap_rewrite); a crash
     before partition cleanup leaves winners duplicated between base
     and log, which the idempotent max-struct collapse absorbs."""
+    # a crash between the swap's renames may have left the previous
+    # base orphaned at base.__merge_old__; restore it BEFORE folding,
+    # or the fold reads a log-only view and the partition cleanup
+    # below makes the loss permanent (ADVICE r6)
+    from ..sources.delta_merge import recover_swap_orphan
+
+    recover_swap_orphan(spark, f"{root}/base")
     consumed = _list_log_partitions(spark, root)
     if not consumed:
         return 0
@@ -203,6 +239,14 @@ def read_cdc_snapshot(
     except AnalysisException:
         pass
     try:
+        # a missing base with a base.__merge_old__ sibling is a
+        # crashed swap, not an empty base — restore before the
+        # AnalysisException fallback treats it as log-only
+        # (ADVICE r6: serving that view, then compacting, loses
+        # every previously-compacted key permanently)
+        from ..sources.delta_merge import recover_swap_orphan
+
+        recover_swap_orphan(spark, f"{root}/base")
         managed = spark.read.parquet(f"{root}/base")
         parts.append(managed.select(key, "__seq", "__op", *payload_cols))
     except AnalysisException:

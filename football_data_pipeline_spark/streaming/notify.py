@@ -81,9 +81,18 @@ def movement_alert_embeds(movements: DataFrame, now_iso: str) -> DataFrame:
     # rows driver-side — row order across a projection after
     # orderBy().limit() is an artifact of the current
     # TakeOrderedAndProject planning, not a guarantee (ADVICE r5)
+    # NULL-safe ranking key: the movement filter is an OR over home
+    # and away legs, so a row can qualify on away movement while
+    # home_change_pct is NULL (prev_home NULL/0 on partially
+    # backfilled stats). -inf matches the desc_nulls_last semantics
+    # the pre-r6 orderBy-only form had; a bare None would TypeError
+    # the driver-side sort and kill the whole foreachBatch sink
+    # (ADVICE r6).
     return movements.select(
         F.to_json(embed).alias("embed_json"),
-        F.abs(F.col("home_change_pct")).alias("rank_abs_change"),
+        F.coalesce(
+            F.abs(F.col("home_change_pct")), F.lit(float("-inf"))
+        ).alias("rank_abs_change"),
         F.col("fixture_id").alias("rank_fixture_id"),
         F.col("bookmaker").alias("rank_bookmaker"),
     )

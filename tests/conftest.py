@@ -61,7 +61,9 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return c.sort_values(by=list(c.columns), kind="mergesort").reset_index(drop=True)
 
 
-def assert_matches_oracle(spark_df, duck_con, oracle_sql: str, name: str = "") -> None:
+def assert_matches_oracle(
+    spark_df, duck_con, oracle_sql: str, name: str = "", expect_nonempty: bool = False
+) -> None:
     actual = canonicalize(spark_df.toPandas())
     expected = canonicalize(duck_con.sql(oracle_sql).df())
     assert list(actual.columns) == list(expected.columns), (
@@ -74,7 +76,22 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql: str, name: str = "") -
         # columns + count already matched; DataFrame.equals on empty
         # frames compares construction dtypes, which differ between
         # an empty Spark collect and an empty DuckDB fetch (the
-        # driver's value-hash treats empty == empty)
+        # driver's value-hash treats empty == empty). But empty==empty
+        # is trivial parity — a query that regresses to empty on BOTH
+        # engines (the r6 q_odds_trends 1998-pin case) would read green
+        # — so the main gate opts into expect_nonempty (ADVICE r6).
+        if expect_nonempty:
+            raise AssertionError(
+                f"{name}: both engines returned 0 rows — trivially-empty "
+                "parity; either the query regressed to empty on both "
+                "sides or it belongs in EXPECTED_EMPTY_OK"
+            )
+        import warnings
+
+        warnings.warn(
+            f"{name}: oracle parity was trivially-empty (0 rows both sides)",
+            stacklevel=2,
+        )
         return
     if not actual.equals(expected):
         diff_mask = (actual != expected).any(axis=1)

@@ -156,3 +156,67 @@ def test_interrupted_compaction_is_idempotent(spark, tmp_path):
     assert _snap(spark, root) == before
     # nothing left to fold
     assert compact_cdc_log(spark, str(root), "k", ["v"]) == 0
+
+
+def test_crashed_base_swap_recovers_on_read_and_compaction(spark, tmp_path):
+    """ADVICE r6 regression: a crash between _swap_rewrite's two
+    renames leaves {root}/base missing with the sole copy at
+    base.__merge_old__. The reader must restore it (NOT serve a
+    log-only snapshot), and a subsequent compaction must fold the
+    restored base (NOT write the log-only fold as the new base,
+    which made the loss permanent)."""
+    import shutil
+
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        compact_cdc_log,
+    )
+
+    root = tmp_path / "cdc"
+    w = cdc_log_batch_writer(str(root), "k", "seq", "op", ["v"])
+    w(_chg(spark, [(1, 10, "U", "a"), (2, 10, "U", "b")]), 0)
+    assert compact_cdc_log(spark, str(root), "k", ["v"]) == 1
+    w(_chg(spark, [(3, 20, "U", "c")]), 1)
+    # simulate the crash window: base renamed aside, new base never
+    # moved into place
+    base = root / "base"
+    shutil.move(str(base), str(root / "base.__merge_old__"))
+    assert not base.exists()
+    # read path restores the orphan instead of serving log-only state
+    assert _snap(spark, root) == {1: "a", 2: "b", 3: "c"}
+    assert base.exists() and not (root / "base.__merge_old__").exists()
+    # crash again, this time recover via the compaction entry point
+    shutil.move(str(base), str(root / "base.__merge_old__"))
+    assert compact_cdc_log(spark, str(root), "k", ["v"]) == 1
+    assert _snap(spark, root) == {1: "a", 2: "b", 3: "c"}
+    assert not (root / "base.__merge_old__").exists()
+
+
+def test_uncompacted_log_warns_past_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #5: compaction is now on by default; explicitly
+    disabling it must warn loudly once the committed log passes the
+    threshold instead of growing silently."""
+    import warnings as warnings_mod
+
+    from football_data_pipeline_spark.streaming import cdc_stream
+
+    monkeypatch.setattr(cdc_stream, "UNCOMPACTED_WARN_THRESHOLD", 2)
+    root = tmp_path / "cdc"
+    w = cdc_log_batch_writer(str(root), "k", "seq", "op", ["v"], compact_every=None)
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error")  # no warning below threshold
+        w(_chg(spark, [(1, 1, "U", "a")]), 0)
+    with pytest.warns(RuntimeWarning, match="uncompacted"):
+        w(_chg(spark, [(2, 2, "U", "b")]), 1)
+    # the default is compaction-on (a real value, not None)
+    assert cdc_stream.DEFAULT_COMPACT_EVERY >= 1
+    import inspect
+
+    sig = inspect.signature(cdc_log_batch_writer)
+    assert sig.parameters["compact_every"].default == cdc_stream.DEFAULT_COMPACT_EVERY
+    # and the compaction-on path folds at K instead of warning
+    root2 = tmp_path / "cdc2"
+    w2 = cdc_log_batch_writer(str(root2), "k", "seq", "op", ["v"], compact_every=2)
+    w2(_chg(spark, [(1, 1, "U", "a")]), 0)
+    w2(_chg(spark, [(2, 2, "U", "b")]), 1)
+    assert (root2 / "base").exists()
+    assert _snap(spark, root2) == {1: "a", 2: "b"}

@@ -110,3 +110,37 @@ def test_swap_rewrite_original_survives_heavy_write(spark, tmp_path):
     _write_base(spark, path)
     merge_delete(spark, path, "id = 1")
     assert _state(spark, path) == {(2, "old-two", 0), (3, "old-three", 0)}
+
+
+def test_swap_crash_window_orphan_is_restored_not_deleted(spark, tmp_path):
+    """ADVICE r6 regression: a crash BETWEEN the two renames leaves
+    the target missing and the sole copy at <path>.__merge_old__.
+    The old leftover-cleanup deleted it unconditionally — destroying
+    the only surviving data. Recovery must rename it back, and the
+    next merge must then operate on the restored state."""
+    import os
+    import shutil
+
+    from football_data_pipeline_spark.sources.delta_merge import (
+        recover_swap_orphan,
+    )
+
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    # simulate the crash window
+    shutil.move(path, path + ".__merge_old__")
+    assert not os.path.exists(path)
+    # explicit recovery entry point
+    assert recover_swap_orphan(spark, path) is True
+    assert _state(spark, path) == set(BASE)
+    assert not os.path.exists(path + ".__merge_old__")
+    assert recover_swap_orphan(spark, path) is False  # no-op when healthy
+
+    # crash again; this time the next merge call itself must recover
+    # (the pre-fix behavior deleted the orphan, losing rows 1 and 3)
+    shutil.move(path, path + ".__merge_old__")
+    merge_upsert(
+        spark, path, spark.createDataFrame(DELTA, SCHEMA), ["id"], ["priority"]
+    )
+    assert _state(spark, path) == EXPECT_UPSERT
+    assert not os.path.exists(path + ".__merge_old__")

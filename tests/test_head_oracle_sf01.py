@@ -50,4 +50,9 @@ def test_head_query_matches_oracle_at_driver_scale(name, spark, duck_sf01):
     if q.oracle is None:
         assert df.count() >= 0
         return
-    assert_matches_oracle(df, duck_sf01, q.oracle, name=name)
+    from .test_queries_oracle import EXPECTED_EMPTY_OK
+
+    assert_matches_oracle(
+        df, duck_sf01, q.oracle, name=name,
+        expect_nonempty=name not in EXPECTED_EMPTY_OK,
+    )

@@ -94,6 +94,34 @@ def test_notification_sink_caps_collect(spark):
     assert sink.overflow_total == 17 and len(sent) == n_msgs + 1
 
 
+def test_notification_sink_survives_null_home_change(spark):
+    """ADVICE r6 regression: the movement filter is an OR over home
+    and away legs, so a row can qualify on away movement while
+    home_change_pct is NULL (prev_home NULL on partially backfilled
+    stats). The driver-side re-sort must rank it last (the old
+    -r.rank_abs_change key raised TypeError on None and killed the
+    whole foreachBatch sink)."""
+    batch = spark.createDataFrame(
+        [
+            (1, "Bet365", 2.5, 2.0, 2.0, 2.2, 25.0, "Arsenal", "Chelsea"),
+            (2, "Bet365", 2.5, None, 2.0, 2.8, None, "Leeds", "Derby"),
+            (3, "Bet365", 2.2, 2.0, 2.0, 2.2, 10.0, "Spurs", "Wolves"),
+        ],
+        "fixture_id long, bookmaker string, home_odds double, prev_home double, "
+        "away_odds double, prev_away double, home_change_pct double, "
+        "home_team string, away_team string",
+    )
+    sent = []
+    sink = notification_sink(sent.append, NOW)
+    sink(batch, batch_id=0)
+    embeds = [e for payload in sent for e in payload["embeds"]]
+    assert len(embeds) == 3
+    # NULL-movement row sorts last, real movements by |Δ%| desc
+    assert "Arsenal" in embeds[0]["title"]
+    assert "Spurs" in embeds[1]["title"]
+    assert "Leeds" in embeds[2]["title"]
+
+
 def test_odds_lookup_embed_shape(spark):
     """!odds command end-to-end on crafted silver: LIKE resolution →
     next fixture → top-3 snapshots → the reference's embed document

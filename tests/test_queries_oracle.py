@@ -16,6 +16,12 @@ from football_data_pipeline_spark.registry import QUERIES
 
 from .conftest import SF_DIR, assert_matches_oracle
 
+#: queries whose result set is legitimately empty at small SF (the
+#: data simply has no qualifying rows) — everything else must return
+#: rows, so a both-engines-empty regression can't read green
+#: (ADVICE r6, conftest.assert_matches_oracle expect_nonempty)
+EXPECTED_EMPTY_OK: set[str] = set()
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
@@ -24,7 +30,10 @@ def test_query_matches_oracle(name, spark, duck):
     if q.oracle is None:
         assert df.count() >= 0  # rows-only check, mirrors the driver
         return
-    assert_matches_oracle(df, duck, q.oracle, name=name)
+    assert_matches_oracle(
+        df, duck, q.oracle, name=name,
+        expect_nonempty=name not in EXPECTED_EMPTY_OK,
+    )
 
 
 def test_entry_smoke(spark):
