@@ -33,9 +33,12 @@ The fix is the textbook one, all three stages trained/refined:
 
 Measured at sf0.01 (N=500, 64-dim, COARSE_K=16, NPROBE=3, M=8,
 K=16, SHORTLIST=50, k=5): mean recall@5 **0.86** vs the 0.88
-routing ceiling (exact search restricted to the probed cells), while
-ADC touches ~19% of the full pair space — vs **0.06** for r5's
-training-free/label-routed form. Quantization loss after the refine
+routing ceiling (exact search restricted to the probed cells) with
+full-corpus training, **0.82** vs a 0.84 ceiling with the
+TRAIN_SAMPLE=448 bounded-training knob the registered query ships
+(r7; full sweep at the constant), while ADC touches ~19% of the
+full pair space — vs **0.06** for r5's training-free/label-routed
+form. Quantization loss after the refine
 stage is 0.02; the residual is routing, bought back by NPROBE.
 
 Float/engine parity of the TRAINING loop: every Lloyd update sums
@@ -88,6 +91,21 @@ KMEANS_ITERS = 2  # unrolled Lloyd iterations (both engines, both quantizers)
 COARSE_K = 16  # IVF cells (full-width coarse quantizer)
 NPROBE = 3  # coarse cells probed per query
 SHORTLIST = 50  # ADC candidates re-ranked with exact L2
+#: training-sample bound (VERDICT r6 item 4): both quantizers train
+#: on the first TRAIN_SAMPLE vectors only (deterministic vec_id
+#: prefix, same rule as the k-means seed), while assignment/encode/
+#: serving still cover the whole corpus. This IS the 100 TB knob —
+#: a k-means codebook wants ~10k-100k training points, never the
+#: corpus. Measured sweep at sf0.01 (N=500, 10 queries, recall@5 /
+#: routing ceiling): full 0.86/0.88, 448 0.82/0.84, 384 0.74/0.76,
+#: 320 0.70/0.76, 256 0.64/0.70 — recall tracks its OWN ceiling
+#: within 0.02-0.06 at every sample, i.e. the quantizer+refine path
+#: is robust to the bound and what decays is coarse-cell geometry
+#: on a 500-vector toy corpus where any true bound is a huge
+#: fraction; at real scale the sample (10k+) is abundant relative
+#: to COARSE_K. 448 keeps the driver-scale recall at 0.82 while
+#: exercising the bounded code path on both engines.
+TRAIN_SAMPLE = 448
 
 
 def _subvectors() -> Column:
@@ -137,12 +155,21 @@ def _assign(sub: DataFrame, cb: DataFrame, k: int) -> DataFrame:
     )
 
 
-def train_codebook(sub: DataFrame, k: int) -> DataFrame:
+def train_codebook(
+    sub: DataFrame, k: int, sample_limit: int | None = None
+) -> DataFrame:
     """k-means codebook over (vec_id, m, vs) training rows:
     KMEANS_ITERS Lloyd rounds seeded from the vec_id < k rows
     (code = vec_id). Returns (m, code, cs). Works for both
     quantizers — PQ (m = subspace index) and coarse (m = 0, vs =
     the full vector).
+
+    ``sample_limit`` bounds the TRAINING set to the vec_id <
+    sample_limit prefix (deterministic, the same rule as the seed;
+    must be >= k) — the 100 TB knob (VERDICT r6 item 4): Lloyd cost
+    becomes (sample x k) distances per round regardless of corpus
+    size, while callers still assign/encode the full corpus against
+    the returned codebook. None trains on everything.
 
     Each round: packed-argmin assignment, then per-dim member means
     summed as DECIMAL(38,10) (exact, order-independent) rounded to
@@ -150,6 +177,10 @@ def train_codebook(sub: DataFrame, k: int) -> DataFrame:
     The rounding makes every iteration's codebook an engine-exact
     artifact, so the unrolled DuckDB mirror stays bit-identical.
     """
+    if sample_limit is not None:
+        if sample_limit < k:
+            raise ValueError(f"sample_limit {sample_limit} < k {k}")
+        sub = sub.filter(F.col("vec_id") < sample_limit)
     cb = sub.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("code"), F.col("vs").alias("cs")
     )
@@ -194,20 +225,29 @@ def _sql_fp(x: str) -> str:
     return f"CAST(floor({x} * {PQ_PACK_SCALE} + 0.5) AS BIGINT)"
 
 
-def _kmeans_oracle_ctes(prefix: str, src: str, k: int, dims: int) -> str:
+def _kmeans_oracle_ctes(
+    prefix: str, src: str, k: int, dims: int, sample_limit: int | None = None
+) -> str:
     """DuckDB mirror of train_codebook: {prefix}cb0 (seed) ->
     assign/means -> {prefix}cb1 -> ... unrolled KMEANS_ITERS times;
-    the final codebook CTE is named {prefix}cb (m, code, cs)."""
+    the final codebook CTE is named {prefix}cb (m, code, cs).
+    ``sample_limit`` mirrors the bounded-training knob — the Lloyd
+    rounds see only the vec_id prefix, exactly like the Spark side."""
+    tr = f"{prefix}tr"
+    tr_where = f"WHERE vec_id < {sample_limit}" if sample_limit is not None else ""
     parts = [
-        f"""{prefix}cb0 AS (
-      SELECT m, vec_id AS code, vs AS cs FROM {src} WHERE vec_id < {k}
+        f"""{tr} AS (
+      SELECT * FROM {src} {tr_where}
+    ),
+    {prefix}cb0 AS (
+      SELECT m, vec_id AS code, vs AS cs FROM {tr} WHERE vec_id < {k}
     ),
     {prefix}sd AS (
       SELECT vec_id, m, e.d AS d, e.v AS v
       FROM (SELECT vec_id, m,
                    unnest(list_transform(range(1, {dims} + 1),
                           i -> {{'d': i - 1, 'v': vs[i]}})) AS e
-            FROM {src}) t
+            FROM {tr}) t
     )"""
     ]
     prev = f"{prefix}cb0"
@@ -217,7 +257,7 @@ def _kmeans_oracle_ctes(prefix: str, src: str, k: int, dims: int) -> str:
       SELECT s.vec_id, s.m,
              CAST(min({_sql_fp(_sql_d2(dims, 's.vs', 'c.cs'))} * {k} + c.code)
                   % {k} AS BIGINT) AS code
-      FROM {src} s JOIN {prev} c ON c.m = s.m
+      FROM {tr} s JOIN {prev} c ON c.m = s.m
       GROUP BY s.vec_id, s.m
     ),
     {prefix}m{t} AS (
@@ -256,8 +296,8 @@ def _ivfpq_oracle() -> str:
       FROM embeddings CROSS JOIN ms
     ),
     fullv AS (SELECT vec_id, 0 AS m, embedding AS vs FROM embeddings),
-    {_kmeans_oracle_ctes('c_', 'fullv', COARSE_K, DIMS)},
-    {_kmeans_oracle_ctes('p_', 'sub', PQ_K, PQ_SUB)},
+    {_kmeans_oracle_ctes('c_', 'fullv', COARSE_K, DIMS, TRAIN_SAMPLE)},
+    {_kmeans_oracle_ctes('p_', 'sub', PQ_K, PQ_SUB, TRAIN_SAMPLE)},
     cells AS (
       SELECT s.vec_id,
              CAST(min({_sql_fp(d2f('s.vs', 'c.cs'))} * {COARSE_K} + c.code)
@@ -345,18 +385,20 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-L2 re-rank the top-SHORTLIST, take top-k, and compare
     against the exact full-corpus L2 top-k — the composed serving
     path's quality number (routing loss x quantization loss x refine
-    together). Mean recall@k at sf0.01: 0.86 (routing ceiling 0.88,
-    ~19% of the pair space ADC-scanned) vs 0.06 for r5's
-    training-free/label-routed form (module docstring has the full
-    decomposition).
+    together). Training is TRAIN_SAMPLE-bounded (the 100 TB knob,
+    r7): mean recall@k at sf0.01 is 0.82 vs a 0.84 routing ceiling
+    (full-corpus training: 0.86/0.88; ~19% of the pair space
+    ADC-scanned) vs 0.06 for r5's training-free/label-routed form
+    (module docstring has the full decomposition and the sample
+    sweep).
     """
     emb = load(spark, sf_dir, "embeddings")
     sub = emb.select("vec_id", F.posexplode(_subvectors()).alias("m", "vs"))
     fullv = emb.select(
         "vec_id", F.lit(0).alias("m"), F.col("embedding").alias("vs")
     )
-    pq_cb = train_codebook(sub, PQ_K)
-    coarse_cb = train_codebook(fullv, COARSE_K)
+    pq_cb = train_codebook(sub, PQ_K, TRAIN_SAMPLE)
+    coarse_cb = train_codebook(fullv, COARSE_K, TRAIN_SAMPLE)
     cells = _assign(fullv, coarse_cb, COARSE_K).select(
         "vec_id", F.col("code").alias("cell")
     )

@@ -91,10 +91,92 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # =========== ROUND 6 CURATION ===========
-    # --- THE r5 CARRY LEDGER, honored in full (VERDICT r5 item 1):
-    # all 27 CARRY_TO_NEXT_ROUND names head the round, the 16
-    # never-driver-checked late-r5 queries first:
+    # =========== ROUND 7 CURATION ===========
+    # --- modules edited in r7 (the codified rule: a touched module's
+    # queries head the round): ivfpq.py gains the TRAIN_SAMPLE
+    # bounded-training knob (VERDICT r6 item 4) — q_knn_ivfpq's
+    # output changes (recall 0.86 -> 0.82, sweep in the module
+    # docstring), so it MUST re-check:
+    "q_knn_ivfpq",
+    # --- freshness: every query whose latest green driver row is
+    # round 4 (the oldest rows in the ledger — 28 of them, verified
+    # against CORRECTNESS_r0{4,5,6}.json):
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_first_last_change",
+    "q_scd2_history",
+    "q_team_events",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
+    "q_minhash_error",
+    "q_quality_classifier",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_target_mixture",
+    "q_epoch_order",
+    "q_dsir_weights",
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_dataset_card",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rollup_report",
+    "q_moving_avg",
+    "q_anomaly",
+    "q_repetition",
+    "q_winnow_fingerprints",
+    "q_containment",
+    # --- freshness, next-oldest tier (green r5 rows): the football
+    # silver core — the ER/resolution cascade, the medallion
+    # flagship and the flatten family — refreshed with the spare
+    # head room:
+    "q_fuzzy_join",
+    "q_learned_mapping",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
+    "q_normalize_names",
+    "q_upcoming_games",
+    "q_validate_counts",
+    "q_league_teams",
+    "q_json_extract",
+    "q_upsert_latest",
+    "q_odds_flatten",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_h2h_flatten",
+    "q_teams_extract",
+    "q_leagues_extract",
+    "q_fixtures_extract",
+]
+
+# --- r7 SHARED-DEP LEDGER --------------------------------------------
+# Modules edited in r7 and their registered-query lineage:
+# - operators/ivfpq.py (TRAIN_SAMPLE bounded training, VERDICT r6
+#   item 4) -> q_knn_ivfpq: IN HEAD. The embedsearch family does NOT
+#   re-check: embedsearch.py is byte-untouched (ivfpq imports FROM
+#   embedsearch, not the reverse) and all 7 of its queries hold green
+#   r6 rows.
+# - streaming/cdc_stream.py (compaction default + crash recovery),
+#   sources/delta_merge.py (orphan recovery), streaming/notify.py
+#   (NULL-safe rank key): pytest-only surfaces, no registered-query
+#   lineage (verified: no registered query imports these modules;
+#   operators/cdc.py — q_cdc_apply, green r6 — is their DEPENDENCY,
+#   not a dependent, and is byte-untouched in r7).
+# - tests/* and tools/*: no runtime lineage.
+# Everything in ROTATE_TAIL holds a green r5 (32 names) or r6 (49
+# names) driver row and its module + shared deps are untouched since
+# that row; the 28 r4-latest rows all moved to HEAD this round, so
+# no row older than r5 remains unrefreshed.
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # (empty at curation time — grows only if r7 additions overflow
+    # the cap; every name added here must head r8's CHECK_PRIORITY)
+]
+ROTATE_TAIL = [
+    # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
+    # in r7 (except q_knn_ivfpq, which moved to HEAD):
     "q_ewma",
     "q_mixture_epochs",
     "q_temperature_sample",
@@ -108,12 +190,8 @@ CHECK_PRIORITY = [
     "q_corr_profile",
     "q_cube_report",
     "q_weighted_sample",
-    "q_knn_ivfpq",
     "q_k_anonymity",
     "q_cdc_apply",
-    # --- the 11 provenance carries (green r3/r4 rows, modules grew
-    # by append in r5; re-checked here so the stale-claim question
-    # closes with a fresh row):
     "q_team_form",
     "q_odds_trends",
     "q_team_odds_lookup",
@@ -125,47 +203,12 @@ CHECK_PRIORITY = [
     "q_ivf_reassign",
     "q_dedup_embed",
     "q_star_join",
-    # --- modules edited in r6 (multimodal.py grows the optional-PIL
-    # JPEG decode path, VERDICT r5 item 7 — plan for the registered
-    # query is unchanged but the module changed, so it re-checks):
     "q_multimodal_meta",
-    # --- oldest green rows in the registry (r3) get a freshness
-    # re-check with the spare head room:
     "q_profile_documents",
     "q_length_quantiles",
     "q_length_filter",
     "q_skew_report",
     "q_job_expiry",
-]
-
-# --- r6 SHARED-DEP LEDGER --------------------------------------------
-# Modules edited in r6 and the queries their edits could touch (the
-# codified rule: every touched module's registered queries must be in
-# CHECK_PRIORITY or carry with an argument):
-# - sketches.py (ADVICE r5: bloom literal num_bits ceiling, heavy-
-#   hitters broadcast fallback) -> q_heavy_hitters/q_bloom_semi/
-#   q_hll_audit/q_quantile_audit: ALL in head.
-# - ivfpq.py + embedsearch.py (VERDICT r5 item 2: trained codebook +
-#   nprobe routing) -> q_knn_ivfpq + the 7 embedsearch queries: ALL
-#   in head.
-# - multimodal.py (optional-PIL JPEG) -> q_multimodal_meta: in head.
-# - streaming/cdc_stream.py (auto-compaction), sources/manifest.py
-#   (basePath), sources/delta_merge.py (temp-swap fallback),
-#   streaming/notify.py (driver-side re-sort): pytest-only surfaces,
-#   no registered-query lineage.
-# - New r6 operators live in NEW modules; their queries register
-#   after the head and land in the mid section (checked while
-#   head+mid fit under the cap — _validate_curation enforces it).
-# Everything in ROTATE_TAIL below holds a green r5 (or earlier,
-# noted) driver row and its module + shared deps are untouched in
-# r6; any r6 edit that invalidates a tail entry must move it here.
-CARRY_TO_NEXT_ROUND: list[str] = [
-    # (empty at curation time — grows only if r6 additions overflow
-    # the cap; every name added here must head r7's CHECK_PRIORITY)
-]
-ROTATE_TAIL = [
-    # green r5 driver rows (CORRECTNESS_r05.json), modules untouched
-    # in r6 — registration order:
     "q_windowed_volatility",
     "q_bpe_merges",
     "q_bpe_tokenize",
@@ -183,45 +226,12 @@ ROTATE_TAIL = [
     "q_dedup_incremental",
     "q_leakage_split",
     "q_lsh_recall",
-    "q_minhash_error",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_latest_per_key",
-    "q_lag_movement",
-    "q_first_last_change",
-    "q_scd2_history",
-    "q_teams_extract",
-    "q_leagues_extract",
-    "q_fixtures_extract",
-    "q_upcoming_games",
-    "q_validate_counts",
-    "q_league_teams",
-    "q_normalize_names",
-    "q_fuzzy_join",
-    "q_learned_mapping",
-    "q_difflib_ratio",
-    "q_resolve_alternatives",
-    "q_json_extract",
-    "q_upsert_latest",
-    "q_odds_flatten",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_h2h_flatten",
-    "q_team_events",
+    # green r5 driver rows (CORRECTNESS_r05.json), modules untouched
+    # since (r6 ledger's byte-untouched argument extends through r7):
     "q_team_stats_trend",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_lm_bigram",
-    "q_target_mixture",
-    "q_epoch_order",
     "q_pii_scan",
     "q_token_packing",
-    "q_decontaminate",
     "q_corpus_clean",
-    "q_pii_redact",
     "q_left_join_count",
     "q_group_multi",
     "q_topk_group",
@@ -234,20 +244,12 @@ ROTATE_TAIL = [
     "q_or_join",
     "q_union_roles",
     "q_team_search",
-    "q_dsir_weights",
-    "q_sessionize",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_rollup_report",
     "q_text_stats",
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",
-    "q_repetition",
     "q_seq_histogram",
     "q_tfidf_terms",
-    "q_winnow_fingerprints",
-    "q_containment",
     "q_substring_dedup",
     "q_substring_strip",
     "q_exact_decontam",
@@ -257,8 +259,6 @@ ROTATE_TAIL = [
     "q_weighted_sum",
     "q_kpi_ratio",
     "q_asof_join",
-    "q_moving_avg",
-    "q_anomaly",
     "q_corpus_diff",
 ]
 

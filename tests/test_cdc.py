@@ -57,3 +57,45 @@ def test_empty_change_log_is_identity(spark):
     base = [(1, "a", 10), (2, "b", 20)]
     out = _apply(spark, base, [])
     assert out == {1: ("a", 10), 2: ("b", 20)}
+
+
+def test_cdc_apply_plan_shape(spark):
+    """Plan-shape lock (VERDICT r6 item 7): collapse_log must stay
+    ONE map-side-combinable aggregate (a partial/final pair around a
+    single key exchange — max(struct) plans as SortAggregate since
+    structs aren't hash-aggregable — never a window or a join), and
+    q_cdc_apply's full plan must carry no window/cartesian at all:
+    the whole apply is collapse + one full-outer join + the report
+    aggregate."""
+    import re
+    from football_data_pipeline_spark.operators.cdc import collapse_log
+
+    chg = spark.createDataFrame(
+        [(1, 1, "U", "a")], "k long, seq long, op string, v string"
+    )
+    plan = (
+        collapse_log(chg, "k", "seq", "op", ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    aggs = re.findall(r"(?:Sort|Hash|ObjectHash)Aggregate", plan)
+    assert len(aggs) == 2, aggs  # partial + final, one aggregate
+    assert "partial_max" in plan  # map-side combine is real
+    assert plan.count("Exchange") == 1  # one shuffle, keyed on k
+    assert "Window" not in plan and "Join" not in plan
+
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    qplan = (
+        QUERIES["q_cdc_apply"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in qplan and "Window" not in qplan
+    assert "FullOuter" in qplan  # the single base-vs-winners join

@@ -103,3 +103,83 @@ def test_assign_is_deterministic_across_runs(spark, crafted_dir):
 
 def test_probe_count_is_nprobe():
     assert 1 <= NPROBE <= COARSE_K
+
+
+def test_sample_limit_bounds_training_and_validates(spark, crafted_dir):
+    """VERDICT r6 item 4: sample_limit must make training see ONLY
+    the vec_id prefix (codebook identical to pre-filtered input),
+    and reject bounds smaller than k."""
+    emb = spark.read.parquet(f"{crafted_dir}/embeddings.parquet")
+    fullv = emb.select(
+        "vec_id", F.lit(0).alias("m"), F.col("embedding").alias("vs")
+    )
+    bounded = train_codebook(fullv, COARSE_K, sample_limit=250)
+    prefiltered = train_codebook(
+        fullv.filter(F.col("vec_id") < 250), COARSE_K
+    )
+    key = lambda r: (r.m, r.code, tuple(r.cs))  # noqa: E731
+    assert sorted(map(key, bounded.collect())) == sorted(
+        map(key, prefiltered.collect())
+    )
+    # the bound is real: an extreme outlier PAST the bound must not
+    # move any codeword, while including it must
+    outlier = spark.createDataFrame(
+        [(400, 0, [1e3] * DIMS)], "vec_id long, m int, vs array<double>"
+    )
+    with_outlier = fullv.select(
+        "vec_id", "m", F.col("vs").cast("array<double>").alias("vs")
+    ).unionByName(outlier)
+    still_bounded = train_codebook(with_outlier, COARSE_K, sample_limit=250)
+    assert sorted(map(key, still_bounded.collect())) == sorted(
+        map(key, bounded.collect())
+    )
+    poisoned = train_codebook(with_outlier, COARSE_K)
+    assert sorted(map(key, poisoned.collect())) != sorted(
+        map(key, bounded.collect())
+    )
+    with pytest.raises(ValueError, match="sample_limit"):
+        train_codebook(fullv, COARSE_K, sample_limit=COARSE_K - 1)
+
+
+def test_ivfpq_serving_plan_shape(spark):
+    """Plan-shape lock (VERDICT r6 item 7): the ivfpq pipeline must
+    never plan a CartesianProduct (its only cross joins broadcast
+    the tiny codebook/query sides) and every window must be
+    partitioned (per-q_id rankings), never global."""
+    import re
+
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    plan = (
+        QUERIES["q_knn_ivfpq"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # global window detection (tools/gen_plans_md.py rule): one
+    # `], [` separator with an ASC/DESC ordering in the final group
+    global_windows = [
+        l
+        for l in plan.split("\n")
+        if "Window [" in l
+        and l.rstrip().endswith("]")
+        and l.count("], [") == 1
+        and re.search(r"(ASC|DESC)[^\[]*\]$", l.rstrip())
+    ]
+    assert not global_windows, global_windows
+
+
+def test_sampled_training_recall_holds_at_driver_scale(spark):
+    """VERDICT r6 item 4 'recall holds': the TRAIN_SAMPLE-bounded
+    query keeps mean recall@5 >= 0.8 at the driver's exact scale
+    (sf0.01; full-corpus training measured 0.86, the bound costs
+    0.04 — constant sweep in the module docstring)."""
+    out = q_knn_ivfpq(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == N_QUERIES
+    mean_recall = sum(r.recall_at_k for r in out) / len(out)
+    assert mean_recall >= 0.8, mean_recall

@@ -86,7 +86,14 @@ def test_jpeg_byte_fallback_contract():
 @pytest.mark.skipif(not _HAS_PIL, reason="PIL absent: JPEG stays gated")
 def test_jpeg_flows_through_quality_gate(spark):
     """With PIL present a real JPEG decodes via try_decode_pixels and
-    lands in the image quality gate's decoded population."""
+    lands in the image quality gate's decoded population.
+
+    PINNED CONSTRAINT (VERDICT r6 item 3): this build sandbox forbids
+    package installs and ships no Pillow wheel, so only the
+    byte-fallback branch executes here and this positive-decode test
+    is perpetually skipped in CI; environments with PIL run it for
+    real (MIGRATION.md "Optional-dependency constraints").
+    """
     import io
 
     import PIL.Image as Image
