@@ -37,15 +37,21 @@ global sort of the DIM-SIZED candidate universe (never the pair
 stream); its input size is enforced by a plan-embedded guard
 (resolution.py MAX_RANK_CANDIDATES).
 
-Cross-SESSION comparability caveat (measured in round 5): two runs
-hours apart on this shared box can differ by a roughly UNIFORM
-multiplicative factor (observed ~+15% on every query at once,
-including queries whose modules and plans were byte-identical across
-the runs, with same-session back-to-back runs agreeing closely) —
-host-neighbor contention, not plan drift. Read round-over-round
-deltas against the SHAPE of the common-prefix ratio distribution: a
-plan regression shows up as an outlier ratio on specific queries; a
-uniform shift across all of them is the box, not the code.
+Cross-SESSION comparability caveat (measured in round 5, CONFIRMED
+by a controlled A/B in round 7): two runs hours apart on this shared
+box can differ by a roughly UNIFORM multiplicative factor (observed
+~+15% in r5 and ~+20-25% between the r5 and r6 round recordings, on
+byte-identical plans) — host-neighbor contention, not plan drift.
+The round-7 discrimination experiment (VERDICT r6 item 2,
+BENCH_AB_r07.json): r6 HEAD (9618f1a) and the r5 tag (db7293e)
+benched back-to-back in ONE session, ABBA order — per-query median
+ratio r6/r5 = 1.023 (mean 1.028, range 0.946-1.125, n=23, no
+outlier), while r6's own two runs within that session differed by
+13% — i.e. the recorded r5→r6 shift was entirely the box. Read
+round-over-round deltas against the SHAPE of the common-prefix
+ratio distribution: a plan regression shows up as an outlier ratio
+on specific queries; a uniform shift across all of them is the box,
+not the code.
 """
 
 from __future__ import annotations
@@ -102,6 +108,11 @@ HEADLINE = [
     # round-over-round timing accountability (VERDICT r5 item 8)
     "q_cdc_apply",
     "q_weighted_sample",
+    # added in round 7 (compare across rounds on the common prefix):
+    # the new mining family — hard negatives (ANN cross-section) and
+    # the two-model learnability score (LM cross-section)
+    "q_hard_negatives",
+    "q_learnability",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

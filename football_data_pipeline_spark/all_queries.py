@@ -19,6 +19,7 @@ from .operators import (  # noqa: F401
     form,
     ivfpq,
     lm,
+    mining,
     mixing,
     multimodal,
     ordering,
