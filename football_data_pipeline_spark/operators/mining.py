@@ -40,6 +40,16 @@ Float/engine parity: cosine and L2 reuse embedsearch's proven fold
 forms (sequential left folds both engines); LM log-probs reuse
 lm.py's stable-rounded decimal summation; the k-means mirror is
 ivfpq's unrolled DECIMAL(38,10) oracle.
+
+10x probes (sf0.1 corpus replicated 10x, tools/scale_probe.py,
+medians of 3): q_hard_negatives 0.86 -> 2.29 s at constant output
+(30 rows — cost tracks the corpus scan, never pairs);
+q_learnability 1.85 -> 7.07 s for 10x documents AND 10x output rows
+(the LM count aggregates scale with tokens, sub-linear per output
+row); q_diverse_sample 3.72 -> 5.16 s (near-flat: TRAIN_SAMPLE
+bounds the Lloyd rounds, leaving one linear assignment pass — the
+probe corpus's 10 near-copies-per-vector geometry populates fewer
+distinct cells, which is the quota doing its job).
 """
 
 from __future__ import annotations

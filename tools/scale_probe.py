@@ -59,7 +59,17 @@ PROBED = [
 #: expected cluster size stays constant: a linear-time result at 10×
 #: is the PASS criterion for q_semdedup. q_pq_encode has no pair
 #: stage at all — it must be plainly linear.
-VEC_PROBED = ["q_semdedup", "q_pq_encode", "q_semantic_decontam", "q_knn_ivfpq"]
+VEC_PROBED = [
+    "q_semdedup",
+    "q_pq_encode",
+    "q_semantic_decontam",
+    "q_knn_ivfpq",
+    # r7 mining family: q_hard_negatives scans the corpus once per
+    # broadcast panel (linear); q_diverse_sample = bounded training +
+    # one assignment pass + per-cell bounded-output window (linear)
+    "q_hard_negatives",
+    "q_diverse_sample",
+]
 
 #: document-side mixture probes (round 5): both are one count
 #: aggregate + a broadcast-rate scan pass — the pass criterion is
