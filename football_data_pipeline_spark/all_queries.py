@@ -6,6 +6,7 @@ fully-populated registry.
 
 from .streaming import windowed  # noqa: F401
 from .operators import (  # noqa: F401
+    audio,
     bpe,
     chunking,
     cdc,

@@ -166,12 +166,14 @@ CHECK_PRIORITY = [
 #   operators/cdc.py — q_cdc_apply, green r6 — is their DEPENDENCY,
 #   not a dependent, and is byte-untouched in r7).
 # - tests/* and tools/*: no runtime lineage.
-# - NEW r7 module operators/mining.py (q_hard_negatives,
-#   q_learnability, q_diverse_sample) registers after the head and
-#   lands in the mid section — driver-checked this round (head 46 +
-#   mid 3 = 49 <= cap). It IMPORTS ivfpq/lm/embedsearch (cross-import
-#   invalidates nothing — those stay byte-consistent with their own
-#   rows; ivfpq is re-checked anyway via q_knn_ivfpq in head).
+# - NEW r7 modules operators/mining.py (q_hard_negatives,
+#   q_learnability, q_diverse_sample) and operators/audio.py
+#   (q_audio_stats, analytic oracle) register after the head and
+#   land in the mid section — driver-checked this round (head 46 +
+#   mid 4 = 50 = cap, exactly full). mining IMPORTS
+#   ivfpq/lm/embedsearch (cross-import invalidates nothing — those
+#   stay byte-consistent with their own rows; ivfpq is re-checked
+#   anyway via q_knn_ivfpq in head).
 # Everything in ROTATE_TAIL holds a green r5 (32 names) or r6 (49
 # names) driver row and its module + shared deps are untouched since
 # that row; the 28 r4-latest rows all moved to HEAD this round, so
