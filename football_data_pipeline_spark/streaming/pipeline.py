@@ -220,25 +220,156 @@ def dedup_stream(events: DataFrame, id_cols: list[str], ts_col: str = "ts",
 
 
 
+#: fold the history dirs into their compacted base once this many
+#: live batch_id partitions accumulate (the LSM level-0 cadence the
+#: CDC stream uses; VERDICT r6 #5's lesson applied to the OTHER
+#: unbounded-partition readers — accepted/gram_index/sig_index grew
+#: one directory per batch forever, so every history probe listed
+#: and unioned the whole stream's lifetime of small files)
+HIST_COMPACT_EVERY = 32
+
+
+def _hist_base(root: str, sub: str) -> str:
+    return f"{root}/{sub}.__hist_base__"
+
+
 def _read_history(spark, root: str, sub: str, batch_id: int):
-    """Batch-pruned history read shared by the incremental dedup and
-    substring-trim writers: returns rows of ``{root}/{sub}`` from
-    batches BEFORE ``batch_id`` (a crash-restart re-running batch N
-    must never see its own partial output as history), or None when
-    the directory does not exist yet (first batch)."""
+    """Batch-pruned history read shared by the incremental dedup,
+    substring-trim and vector-ingest writers: rows of ``{root}/{sub}``
+    from batches BEFORE ``batch_id`` (a crash-restart re-running
+    batch N must never see its own partial output as history), or
+    None when no history exists yet (first batch).
+
+    History lives in TWO places once compaction has run: the live
+    ``batch_id=N`` partition dirs and the compacted base (which keeps
+    ``batch_id`` as an ordinary column, so the replay pruning applies
+    to it unchanged). Live partitions at or below the base's max
+    batch_id are EXCLUDED — after a crash between the base swap and
+    the partition cleanup both copies exist, and this predicate makes
+    the reader correct at every intermediate state (the bounded
+    base-max lookup is one scalar aggregate)."""
     from pyspark.sql import functions as F
 
+    from ..sources.delta_merge import recover_swap_orphan
+
+    base_path = _hist_base(root, sub)
+    recover_swap_orphan(spark, base_path)  # crashed compaction swap
+    parts, base_max = [], -1
     try:
-        return (
+        base = spark.read.parquet(base_path)
+        got = base.agg(F.max("batch_id")).collect()[0][0]
+        base_max = -1 if got is None else int(got)
+        parts.append(base.filter(F.col("batch_id") < batch_id))
+    except AnalysisException:
+        pass
+    try:
+        parts.append(
             spark.read.option("basePath", f"{root}/{sub}")
             .parquet(f"{root}/{sub}")
-            .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
+            .filter(
+                (F.col("batch_id") < batch_id)
+                & (F.col("batch_id") > base_max)
+            )
         )
     except AnalysisException:
+        pass
+    if not parts:
         return None
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return out.drop("batch_id")
 
-def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+
+def _list_batch_partitions(spark, root: str, sub: str) -> list[int]:
+    """batch_id values of the committed live partition dirs."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    path = hpath(f"{root}/{sub}")
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def compact_history(spark, root: str, sub: str, upto_exclusive: int) -> int:
+    """Fold the live ``batch_id < upto_exclusive`` partitions of
+    ``{root}/{sub}`` into the compacted base (batch_id preserved as a
+    column), then delete exactly the covered partition dirs. Returns
+    how many partitions were folded.
+
+    ``upto_exclusive`` must be the CURRENT batch id: the one batch
+    that can legally be replayed after a crash is the in-flight one,
+    so it must stay a live partition the reader can prune by
+    ``batch_id < N``; everything below it is checkpoint-committed and
+    safe to fold. Idempotent: the fold takes only partitions above
+    the base's max batch_id, and a crash between the swap and the
+    cleanup leaves duplicates that the reader's base-max predicate
+    already hides (and that the next call deletes)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.delta_merge import _swap_rewrite, recover_swap_orphan
+
+    base_path = _hist_base(root, sub)
+    recover_swap_orphan(spark, base_path)
+    names = _list_batch_partitions(spark, root, sub)
+    base, base_max = None, -1
+    try:
+        base = spark.read.parquet(base_path)
+        got = base.agg(F.max("batch_id")).collect()[0][0]
+        base_max = -1 if got is None else int(got)
+    except AnalysisException:
+        pass
+    fold = [n for n in names if base_max < n < upto_exclusive]
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(f"{root}/{sub}").getFileSystem(hconf)
+    if fold:
+        live = (
+            spark.read.option("basePath", f"{root}/{sub}")
+            .parquet(f"{root}/{sub}")
+            .filter(
+                (F.col("batch_id") > base_max)
+                & (F.col("batch_id") < upto_exclusive)
+            )
+        )
+        if base is not None:
+            _swap_rewrite(spark, base_path, base.unionByName(live))
+        else:
+            tmp = base_path + ".__compact_tmp__"
+            if fs.exists(hpath(tmp)):
+                fs.delete(hpath(tmp), True)
+            live.write.mode("overwrite").parquet(tmp)
+            if not fs.rename(hpath(tmp), hpath(base_path)):
+                raise RuntimeError(
+                    f"history compaction: could not move {tmp} into place"
+                )
+    # delete every live dir the base now covers — including leftovers
+    # from a previous crashed cleanup (n <= old base_max)
+    for n in names:
+        if n < upto_exclusive and (n in fold or n <= base_max):
+            fs.delete(hpath(f"{root}/{sub}/batch_id={n}"), True)
+    return len(fold)
+
+
+def _maybe_compact_history(
+    spark, root: str, sub: str, batch_id: int, compact_every: int | None
+) -> None:
+    """Post-write hook for the stream writers: fold once the live
+    partition count reaches the cadence."""
+    if compact_every is None:
+        return
+    if len(_list_batch_partitions(spark, root, sub)) >= compact_every:
+        compact_history(spark, root, sub, upto_exclusive=batch_id)
+
+def dedup_batch_writer(
+    corpus_root: str, compact_every: int | None = HIST_COMPACT_EVERY
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for a DOCUMENT stream: classify each
     micro-batch against the accumulated accepted corpus
     (operators.dedup.dedup_against_corpus — exact fingerprint probe,
@@ -261,10 +392,20 @@ def dedup_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
     whether or not they are byte-identical. The near pass runs over
     one micro-batch, so its component loop is bounded by arrival
     rate, not corpus size.
+
+    ``compact_every``: once the accepted-history dirs reach this many
+    live partitions, they fold into the compacted base (ON by
+    default; the unbounded one-dir-per-batch growth was the same
+    read-amplification CDC fixed in r6/r7 — see compact_history).
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _dedup_one_batch(batch, batch_id, corpus_root)
+        _maybe_compact_history(
+            batch.sparkSession, corpus_root, "accepted", batch_id, compact_every
+        )
 
     return write_batch
 
@@ -318,7 +459,9 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         collapsed.unpersist()
 
 
-def curation_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+def curation_batch_writer(
+    corpus_root: str, compact_every: int | None = HIST_COMPACT_EVERY
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for the FULL curation funnel — the
     streaming form of the batch cleaning pass (prep.corpus_clean),
     run stage by stage per micro-batch:
@@ -345,6 +488,9 @@ def curation_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
 
     from ..operators.quality import classify_quality
     from ..operators.redact import redact_pii
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         scored = classify_quality(batch).select("doc_id", "score", "keep")
@@ -377,6 +523,9 @@ def curation_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
             # redaction changes the text; keep the metadata honest
             cleaned = cleaned.withColumn("n_chars", F.length("text").cast("long"))
         _dedup_one_batch(cleaned, batch_id, corpus_root)
+        _maybe_compact_history(
+            batch.sparkSession, corpus_root, "accepted", batch_id, compact_every
+        )
 
     return write_batch
 
@@ -408,7 +557,9 @@ def start_dedup_pipeline(
     return writer.start()
 
 
-def substring_trim_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], None]:
+def substring_trim_batch_writer(
+    corpus_root: str, compact_every: int | None = HIST_COMPACT_EVERY
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for streaming EXACT-SUBSTRING dedup — the
     micro-batch form of operators.substring.strip_dup_spans: every
     ≥ k-word run a new document shares with the ACCEPTED HISTORY (or
@@ -442,8 +593,14 @@ def substring_trim_batch_writer(corpus_root: str) -> Callable[[DataFrame, int], 
     asymptote as the incremental doc-level dedup.
     """
 
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _trim_one_batch(batch, batch_id, corpus_root)
+        _maybe_compact_history(
+            batch.sparkSession, corpus_root, "gram_index", batch_id, compact_every
+        )
 
     return write_batch
 

@@ -54,6 +54,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pipeline import HIST_COMPACT_EVERY, _maybe_compact_history
+
 #: cosine threshold above which an arriving vector is a near-dup of
 #: an accepted one and is rejected. Deliberately far above
 #: embedsearch.COSINE_VERIFY (0.3, a candidate-report floor): an
@@ -112,6 +114,7 @@ def vector_ingest_batch_writer(
     tau: float = VECTOR_DUP_TAU,
     n_bands: int | None = None,
     bits_per_band: int | None = None,
+    compact_every: int | None = HIST_COMPACT_EVERY,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for an EMBEDDING stream of
     (vec_id, embedding) rows. Per micro-batch:
@@ -148,11 +151,25 @@ def vector_ingest_batch_writer(
     write and validated on every batch: restarting the writer with a
     different (n_bands, bits_per_band) over an existing corpus_root
     raises instead of silently matching nothing against history.
+
+    ``compact_every``: once the sig_index reaches this many live
+    batch partitions it folds into the compacted history base
+    (pipeline.compact_history — ON by default, r7; the probe
+    otherwise lists and unions one directory per batch for the
+    stream's whole lifetime).
     """
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _ingest_one_batch(
             batch, batch_id, corpus_root, tau, n_bands, bits_per_band
+        )
+        # the sig_index is the history the screen probes every batch;
+        # fold it like the text funnels (pipeline.compact_history)
+        _maybe_compact_history(
+            batch.sparkSession, corpus_root, "sig_index", batch_id, compact_every
         )
 
     return write_batch
