@@ -40,10 +40,11 @@ from .operators import (  # noqa: F401
     stats,
     substring,
     textstats,
+    video,
     timeseries,
     versioning,
     weighted,
     windows,
 )
 
-MODULES = [windowed, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, ivfpq, lm, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, weighted, windows]
+MODULES = [windowed, audio, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

@@ -149,7 +149,6 @@ CHECK_PRIORITY = [
     "q_h2h_flatten",
     "q_teams_extract",
     "q_leagues_extract",
-    "q_fixtures_extract",
 ]
 
 # --- r7 SHARED-DEP LEDGER --------------------------------------------
@@ -167,22 +166,30 @@ CHECK_PRIORITY = [
 #   not a dependent, and is byte-untouched in r7).
 # - tests/* and tools/*: no runtime lineage.
 # - NEW r7 modules operators/mining.py (q_hard_negatives,
-#   q_learnability, q_diverse_sample) and operators/audio.py
-#   (q_audio_stats, analytic oracle) register after the head and
-#   land in the mid section — driver-checked this round (head 46 +
-#   mid 4 = 50 = cap, exactly full). mining IMPORTS
+#   q_learnability, q_diverse_sample), operators/audio.py
+#   (q_audio_stats, analytic oracle) and operators/video.py
+#   (q_video_stats, analytic oracle) register after the head and
+#   land in the mid section — driver-checked this round (head 45 +
+#   mid 5 = 50 = cap, exactly full; q_fixtures_extract yielded its
+#   discretionary freshness slot, see ROTATE_TAIL). mining IMPORTS
 #   ivfpq/lm/embedsearch (cross-import invalidates nothing — those
 #   stay byte-consistent with their own rows; ivfpq is re-checked
 #   anyway via q_knn_ivfpq in head).
-# Everything in ROTATE_TAIL holds a green r5 (32 names) or r6 (49
-# names) driver row and its module + shared deps are untouched since
-# that row; the 28 r4-latest rows all moved to HEAD this round, so
-# no row older than r5 remains unrefreshed.
+# Everything in ROTATE_TAIL holds a green r5 (33 names, incl. the
+# yielded q_fixtures_extract) or r6 (49 names) driver row and its
+# module + shared deps are untouched since that row; the 28
+# r4-latest rows all moved to HEAD this round, so no row older than
+# r5 remains unrefreshed.
 CARRY_TO_NEXT_ROUND: list[str] = [
     # (empty at curation time — grows only if r7 additions overflow
     # the cap; every name added here must head r8's CHECK_PRIORITY)
 ]
 ROTATE_TAIL = [
+    # q_fixtures_extract was a discretionary r7 freshness pick; it
+    # yielded its head slot to the new-module q_video_stats (head 45
+    # + mid 5 = 50 = cap). Its green r5 row + the byte-untouched
+    # flatten.py argument from the r6 ledger still hold:
+    "q_fixtures_extract",
     # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
     # in r7 (except q_knn_ivfpq, which moved to HEAD):
     "q_ewma",

@@ -1,0 +1,112 @@
+"""Video tier of the multimodal layout: pure-Python YUV4MPEG2 codec
+round-trip, header robustness, real per-frame statistics, the
+frame-sampling bridge into the image tier, and the honest
+compressed-format gate. Oracle parity for q_video_stats rides the
+all-queries gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from football_data_pipeline_spark.operators.video import (
+    CLIP_FPS,
+    CLIP_H,
+    CLIP_W,
+    SCENE_DELTA,
+    decode_video,
+    decode_y4m,
+    encode_y4m,
+    sample_frames_y4m,
+    try_decode_y4m,
+    video_stats,
+)
+
+W, H = 16, 16
+
+
+def _frames(lumas):
+    return [bytes([l]) * (W * H) for l in lumas]
+
+
+def test_y4m_roundtrip_and_header_variants():
+    clip = encode_y4m(W, H, 25, _frames([10, 200, 90]))
+    w, h, fn, fd, cs, frames = decode_y4m(clip)
+    assert (w, h, fn, fd, cs) == (W, H, 25, 1, "C420")
+    assert [f[0] for f in frames] == [10, 200, 90]
+    assert all(len(f) == W * H for f in frames)
+    # C444 chroma geometry round-trips too
+    clip444 = encode_y4m(W, H, 30, _frames([7]), colorspace="C444")
+    assert decode_y4m(clip444)[4] == "C444"
+    # header params in any order, unknown params tolerated
+    reordered = b"YUV4MPEG2 C420 F25:1 H16 W16 Xfoo\n" + clip.split(b"\n", 1)[1]
+    assert decode_y4m(reordered)[:2] == (16, 16)
+
+
+def test_junk_and_truncation_return_none():
+    assert try_decode_y4m(b"") is None
+    assert try_decode_y4m(b"not video") is None
+    clip = encode_y4m(W, H, 25, _frames([10, 20]))
+    assert try_decode_y4m(clip[:-5]) is None  # truncated planes
+    assert try_decode_y4m(clip.replace(b"FRAME", b"FLAME", 1)) is None
+
+
+def test_compressed_decode_is_honestly_gated():
+    with pytest.raises(NotImplementedError, match="PyAV|YUV4MPEG2"):
+        decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)  # MP4 magic
+
+
+def test_video_stats_known_signal(spark):
+    """Constant-luma frames make every statistic exact: mean luma is
+    the frame-mean of the luma list, scene changes count jumps of
+    >= SCENE_DELTA between consecutive frames."""
+    lumas = [10, 10 + SCENE_DELTA, 10 + SCENE_DELTA + 5, 200]  # 2 jumps
+    rows = [
+        (1, encode_y4m(W, H, 25, _frames(lumas))),
+        (2, encode_y4m(W, H, 50, _frames([128]))),
+        (3, b"garbage payload"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in video_stats(df).collect()}
+    assert out[1].decoded and out[1].n_frames == 4
+    assert out[1].mean_luma == pytest.approx(sum(lumas) / 4, abs=1e-6)
+    assert out[1].scene_changes == 2
+    assert out[1].duration_s == pytest.approx(4 / 25, abs=1e-6)
+    assert out[2].fps == 50.0 and out[2].scene_changes == 0
+    assert out[3].decoded is False and out[3].mean_luma is None
+
+
+def test_frame_sampling_bridges_into_image_tier(spark):
+    """Every-Nth frame re-encodes as a PPM still that the IMAGE
+    tier's real decoder reads back pixel-exactly."""
+    from football_data_pipeline_spark.operators.multimodal import decode_pixels
+
+    lumas = list(range(0, 90, 10))  # 9 frames
+    df = spark.createDataFrame(
+        [(1, encode_y4m(W, H, 25, _frames(lumas)))],
+        "asset_id long, payload binary",
+    )
+    got = sorted(
+        (r.frame_idx, r) for r in sample_frames_y4m(df, every_n=4).collect()
+    )
+    assert [i for i, _ in got] == [0, 4, 8]
+    for idx, r in got:
+        w, h, rgb = decode_pixels(bytes(r.payload))
+        assert (w, h) == (W, H)
+        assert rgb[0] == rgb[1] == rgb[2] == lumas[idx]  # gray -> RGB
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames_y4m(df, every_n=0)
+
+
+def test_synth_clip_matches_closed_forms(spark):
+    """The synth geometry the analytic oracle relies on: frame count
+    4 + doc_id % 13, frame k's luma (doc_id*31 + k*17) % 256."""
+    from football_data_pipeline_spark.operators.video import synth_clip_assets
+
+    docs = spark.createDataFrame([(5, "x"), (20, "y")], "doc_id long, text string")
+    for r in synth_clip_assets(docs).collect():
+        w, h, fn, fd, _cs, frames = decode_y4m(bytes(r.payload))
+        assert (w, h, fn, fd) == (CLIP_W, CLIP_H, CLIP_FPS, 1)
+        assert len(frames) == 4 + r.asset_id % 13
+        for k, f in enumerate(frames):
+            assert f[0] == (r.asset_id * 31 + k * 17) % 256
