@@ -35,7 +35,9 @@ tokenization, plane-size, or stat-kernel bug breaks the value hash.
 100 TB shape: identical to the audio tier — a narrow per-row kernel
 over the payload column, one scan, no shuffle/window/join; frame
 sampling multiplies output rows by 1/every_n of the frame count,
-never input cost.
+never input cost. 10x probe (sf0.1 docs replicated 10x,
+tools/scale_probe.py, medians of 3): 0.95 -> 5.10 s for 10x
+documents AND 10x output rows — sub-linear per row, no pair stage.
 """
 
 from __future__ import annotations
