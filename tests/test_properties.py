@@ -484,3 +484,83 @@ def test_cdc_apply_matches_python_model(spark, base_rows, change_rows):
         else:
             model[k] = p
     assert out == model
+
+
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=4),
+    bits=st.sampled_from([8, 16]),
+    body=st.binary(min_size=0, max_size=512),
+)
+@FAST
+def test_wav_roundtrip_property(rate, channels, bits, body):
+    """encode_wav ∘ decode_wav is the identity on (rate, channels,
+    bits, samples) for ANY byte body — pure-Python codec, no Spark."""
+    from football_data_pipeline_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        try_decode_wav,
+    )
+
+    wav = encode_wav(rate, channels, body, bits=bits)
+    assert decode_wav(wav) == (rate, channels, bits, body)
+    # arbitrary junk never raises through the guarded form
+    assert try_decode_wav(body) is None or body[:4] == b"RIFF"
+
+
+@given(
+    w2=st.integers(min_value=1, max_value=16),
+    h2=st.integers(min_value=1, max_value=16),
+    fps=st.integers(min_value=1, max_value=120),
+    lumas=st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=6),
+    cs=st.sampled_from(["C420", "C420jpeg", "C420mpeg2", "C444"]),
+)
+@FAST
+def test_y4m_roundtrip_property(w2, h2, fps, lumas, cs):
+    """encode_y4m ∘ decode_y4m round-trips geometry, rate, colorspace
+    and every Y plane for any even geometry / any frame count."""
+    from football_data_pipeline_spark.operators.video import (
+        decode_y4m,
+        encode_y4m,
+        try_decode_y4m,
+    )
+
+    w, h = w2 * 2, h2 * 2  # C420 needs even dims
+    frames = [bytes([l]) * (w * h) for l in lumas]
+    clip = encode_y4m(w, h, fps, frames, colorspace=cs)
+    gw, gh, fn, fd, gcs, got = decode_y4m(clip)
+    assert (gw, gh, fn, fd, gcs) == (w, h, fps, 1, cs)
+    assert got == frames
+    # any strict prefix that cuts into the frame planes fails safely
+    if frames:
+        assert try_decode_y4m(clip[: len(clip) - 1]) is None
+
+
+@given(
+    amp=st.integers(min_value=1, max_value=32767),
+    n_half=st.integers(min_value=2, max_value=64),
+)
+@FAST
+def test_square_wave_stats_closed_form(spark, amp, n_half):
+    """audio_stats on a ±amp square wave reproduces the closed forms
+    the q_audio_stats oracle relies on: rms == amp exactly, zcr ==
+    (n/HALF - 1)/(n - 1), clipping iff amp is full scale."""
+    import numpy as np
+
+    from football_data_pipeline_spark.operators.audio import (
+        CLIP_LEVEL,
+        TONE_HALF_PERIOD,
+        audio_stats,
+        encode_wav,
+    )
+
+    n = n_half * 2 * TONE_HALF_PERIOD
+    t = np.arange(n)
+    s = np.where((t // TONE_HALF_PERIOD) % 2 == 0, amp, -amp).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, encode_wav(8000, 1, s.tobytes()))], "asset_id long, payload binary"
+    )
+    [row] = audio_stats(df).collect()
+    assert row.rms == amp
+    assert abs(row.zcr - (n / TONE_HALF_PERIOD - 1) / (n - 1)) < 1e-6
+    assert row.clip_ratio == (1.0 if amp >= CLIP_LEVEL else 0.0)
