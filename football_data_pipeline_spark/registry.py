@@ -148,7 +148,6 @@ CHECK_PRIORITY = [
     "q_team_stats_extract",
     "q_h2h_flatten",
     "q_teams_extract",
-    "q_leagues_extract",
 ]
 
 # --- r7 SHARED-DEP LEDGER --------------------------------------------
@@ -169,14 +168,17 @@ CHECK_PRIORITY = [
 #   q_learnability, q_diverse_sample), operators/audio.py
 #   (q_audio_stats, analytic oracle) and operators/video.py
 #   (q_video_stats, analytic oracle) register after the head and
-#   land in the mid section — driver-checked this round (head 45 +
-#   mid 5 = 50 = cap, exactly full; q_fixtures_extract yielded its
-#   discretionary freshness slot, see ROTATE_TAIL). mining IMPORTS
+#   land in the mid section, as do operators/graphrank.py
+#   (q_pagerank, unrolled engine-exact iterations) — driver-checked
+#   this round (head 44 + mid 6 = 50 = cap, exactly full;
+#   q_fixtures_extract/q_leagues_extract yielded their discretionary
+#   freshness slots, see ROTATE_TAIL). mining IMPORTS
 #   ivfpq/lm/embedsearch (cross-import invalidates nothing — those
 #   stay byte-consistent with their own rows; ivfpq is re-checked
 #   anyway via q_knn_ivfpq in head).
-# Everything in ROTATE_TAIL holds a green r5 (33 names, incl. the
-# yielded q_fixtures_extract) or r6 (49 names) driver row and its
+# Everything in ROTATE_TAIL holds a green r5 (34 names, incl. the
+# yielded q_fixtures_extract/q_leagues_extract) or r6 (49 names)
+# driver row and its
 # module + shared deps are untouched since that row; the 28
 # r4-latest rows all moved to HEAD this round, so no row older than
 # r5 remains unrefreshed.
@@ -185,11 +187,13 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     # the cap; every name added here must head r8's CHECK_PRIORITY)
 ]
 ROTATE_TAIL = [
-    # q_fixtures_extract was a discretionary r7 freshness pick; it
-    # yielded its head slot to the new-module q_video_stats (head 45
-    # + mid 5 = 50 = cap). Its green r5 row + the byte-untouched
-    # flatten.py argument from the r6 ledger still hold:
+    # q_fixtures_extract and q_leagues_extract were discretionary r7
+    # freshness picks; they yielded their head slots to the
+    # new-module q_video_stats and q_pagerank (head 44 + mid 6 = 50
+    # = cap). Their green r5 rows + the byte-untouched flatten.py
+    # argument from the r6 ledger still hold:
     "q_fixtures_extract",
+    "q_leagues_extract",
     # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
     # in r7 (except q_knn_ivfpq, which moved to HEAD):
     "q_ewma",
