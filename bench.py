@@ -110,9 +110,12 @@ HEADLINE = [
     "q_weighted_sample",
     # added in round 7 (compare across rounds on the common prefix):
     # the new mining family — hard negatives (ANN cross-section) and
-    # the two-model learnability score (LM cross-section)
+    # the two-model learnability score (LM cross-section) — plus the
+    # iterative-graph and multimodal-codec representatives
     "q_hard_negatives",
     "q_learnability",
+    "q_pagerank",
+    "q_video_stats",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.
