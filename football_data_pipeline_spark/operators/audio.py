@@ -58,10 +58,28 @@ from ..registry import query
 #: the oracle): sample rate, square-wave half-period in samples
 TONE_RATE = 8000
 TONE_HALF_PERIOD = 4
-#: |sample| at or above this counts as clipped (int16 full scale)
+#: int16 full-scale max — the synth query's clipping amplitude AND
+#: the 16-bit clip threshold (via _clip_level below)
 CLIP_LEVEL = 32767
-#: |sample| at or below this counts as silence
-SILENCE_LEVEL = 8
+#: silence threshold as a FRACTION of full scale (ADVICE r7: the old
+#: absolute SILENCE_LEVEL=8 was int16-scale, making the 8-bit gate
+#: ~16x stricter relative to full scale); 8/32768 keeps the 16-bit
+#: behavior bit-identical
+SILENCE_FRAC = 8.0 / 32768.0
+
+
+def _clip_level(bits: int) -> float:
+    """|sample| at or above this counts as clipped — full-scale max
+    for the given PCM bit depth (32767 for 16-bit, 127 for 8-bit;
+    ADVICE r7: the absolute int16 constant could never fire on 8-bit
+    audio, whose range after the -128 shift is +/-128)."""
+    return float(2 ** (bits - 1) - 1)
+
+
+def _silence_level(bits: int) -> float:
+    """|sample| at or below this counts as silence — SILENCE_FRAC of
+    the bit depth's full scale (8.0 for 16-bit, 0.03125 for 8-bit)."""
+    return float(2 ** (bits - 1)) * SILENCE_FRAC
 
 
 def encode_wav(rate: int, channels: int, samples: bytes, bits: int = 16) -> bytes:
@@ -97,6 +115,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= len(payload):
         tag, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if pos + size > len(payload):
+            # a declared size past the end means a cut-off payload;
+            # stats over partial audio would be silently wrong, so
+            # reject into the decoded=false audit path (ADVICE r7;
+            # decode_y4m's 'truncated frame planes' rule)
+            raise ValueError("truncated chunk payload")
         chunk = payload[pos : pos + size]
         if tag == b"fmt " and len(chunk) >= 16:
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
@@ -198,8 +222,8 @@ def audio_stats(assets: DataFrame) -> DataFrame:
                 sign = np.sign(mono)
                 crossings = int(np.sum(sign[1:] * sign[:-1] < 0))
                 zcr = crossings / (n - 1) if n > 1 else 0.0
-                clip = float(np.mean(np.abs(mono) >= CLIP_LEVEL))
-                silence = float(np.mean(np.abs(mono) <= SILENCE_LEVEL))
+                clip = float(np.mean(np.abs(mono) >= _clip_level(bits)))
+                silence = float(np.mean(np.abs(mono) <= _silence_level(bits)))
                 rows.append(
                     (
                         asset_id,

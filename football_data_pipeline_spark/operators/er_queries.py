@@ -316,7 +316,15 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_learned = spark.createDataFrame(
         [], "api_name string, learned_name string, confidence double, strategy string, verified boolean"
     )
-    learned_tbl = learn_mappings(batch1, empty_learned, min_confidence=0.8)
+    # localCheckpoint severs batch 1's lineage here (VERDICT r7 #1):
+    # learned_tbl is dim-sized (subset of api names), but without the
+    # cut batch 2's plan re-embeds batch 1's full resolution cascade —
+    # a ~4,500-exchange PLAN STRING that OOMed a 1g driver just to
+    # hold/print. Same pattern as release.py's gated-assets cut;
+    # plan-size regression: tests/test_er.py::test_learned_mapping_plan_bounded.
+    learned_tbl = learn_mappings(
+        batch1, empty_learned, min_confidence=0.8
+    ).localCheckpoint()
     learned_dim = learned_tbl.select("api_name", "learned_name")
     batch2 = resolve_names(
         api, cand, block_key="nk", manual=manual, learned=learned_dim, with_alternatives=False

@@ -233,6 +233,69 @@ def _hist_base(root: str, sub: str) -> str:
     return f"{root}/{sub}.__hist_base__"
 
 
+def _hist_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return jvm, hpath, hpath(path).getFileSystem(hconf)
+
+
+def _write_base_max(spark, base_path: str, base_max: int) -> None:
+    """Persist the base's max batch_id in a ``_base_max`` marker file
+    INSIDE the base directory (ADVICE r7: the reader ran a
+    max-aggregate Spark job on EVERY micro-batch once a base existed
+    — a per-batch scan growing with base size). Underscore-prefixed,
+    so Spark's parquet FileIndex ignores it. Living inside the dir
+    makes a STALE marker structurally impossible: _swap_rewrite
+    replaces the whole directory, so the marker dies with the data it
+    describes; the only crash state is marker-MISSING (written after
+    the swap), which the reader heals via the old aggregate."""
+    jvm, hpath, fs = _hist_fs(spark, base_path)
+    out = fs.create(hpath(f"{base_path}/_base_max"), True)
+    try:
+        out.write(bytearray(str(int(base_max)).encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_base_max(spark, base_path: str) -> int | None:
+    """The marker's value, or None when absent/unparseable (first
+    write crashed mid-stream) — caller falls back to the aggregate."""
+    jvm, hpath, fs = _hist_fs(spark, base_path)
+    marker = hpath(f"{base_path}/_base_max")
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+    finally:
+        stream.close()
+    try:
+        return int(line)
+    except (TypeError, ValueError):
+        return None
+
+
+def _base_max_of(spark, base, base_path: str, heal: bool = True) -> int:
+    """max(batch_id) of the compacted base: one tiny marker-file read
+    on the steady path; the Spark aggregate only when the marker is
+    missing (legacy base / crashed marker write), after which the
+    marker is rewritten so the next batch is cheap again."""
+    from pyspark.sql import functions as F
+
+    got = _read_base_max(spark, base_path)
+    if got is not None:
+        return got
+    agg = base.agg(F.max("batch_id")).collect()[0][0]
+    base_max = -1 if agg is None else int(agg)
+    if heal:
+        _write_base_max(spark, base_path, base_max)
+    return base_max
+
+
 def _read_history(spark, root: str, sub: str, batch_id: int):
     """Batch-pruned history read shared by the incremental dedup,
     substring-trim and vector-ingest writers: rows of ``{root}/{sub}``
@@ -257,8 +320,7 @@ def _read_history(spark, root: str, sub: str, batch_id: int):
     parts, base_max = [], -1
     try:
         base = spark.read.parquet(base_path)
-        got = base.agg(F.max("batch_id")).collect()[0][0]
-        base_max = -1 if got is None else int(got)
+        base_max = _base_max_of(spark, base, base_path)
         parts.append(base.filter(F.col("batch_id") < batch_id))
     except AnalysisException:
         pass
@@ -320,8 +382,7 @@ def compact_history(spark, root: str, sub: str, upto_exclusive: int) -> int:
     base, base_max = None, -1
     try:
         base = spark.read.parquet(base_path)
-        got = base.agg(F.max("batch_id")).collect()[0][0]
-        base_max = -1 if got is None else int(got)
+        base_max = _base_max_of(spark, base, base_path, heal=False)
     except AnalysisException:
         pass
     fold = [n for n in names if base_max < n < upto_exclusive]
@@ -349,6 +410,11 @@ def compact_history(spark, root: str, sub: str, upto_exclusive: int) -> int:
                 raise RuntimeError(
                     f"history compaction: could not move {tmp} into place"
                 )
+        # marker AFTER the swap: the rename removed any old marker
+        # with its directory, so a crash right here leaves the marker
+        # missing (reader falls back to the aggregate and heals) —
+        # never stale
+        _write_base_max(spark, base_path, max(fold))
     # delete every live dir the base now covers — including leftovers
     # from a previous crashed cleanup (n <= old base_max)
     for n in names:

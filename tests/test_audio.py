@@ -118,3 +118,56 @@ def test_resample_nearest_halves_and_doubles():
     assert len(dbl) == 200 and dbl[0] == 0 and dbl[1] == 0 and dbl[2] == 1
     # never reads past the end
     assert dbl[-1] == 99
+
+
+def test_truncated_chunk_rejected():
+    """ADVICE r7: a chunk whose declared size exceeds the remaining
+    payload is a cut-off WAV — it must land in the decoded=false
+    audit path, never yield stats over partial audio."""
+    wav = encode_wav(16000, 1, _square(1000, 64))
+    cut = wav[:-10]  # data chunk now 10 bytes short of its header
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(cut)
+    assert try_decode_wav(cut) is None
+    # intact payload still decodes after the guard
+    assert decode_wav(wav)[3] == _square(1000, 64)
+
+
+def test_thresholds_scale_with_bit_depth(spark):
+    """ADVICE r7: clip/silence thresholds are fractions of full scale
+    per bit depth — an 8-bit full-scale square wave must read as
+    clipped (the int16-absolute constant could never fire), and the
+    8-bit silence gate sits at full_scale*SILENCE_FRAC, not at an
+    int16-scale 8."""
+    import numpy as np
+
+    from football_data_pipeline_spark.operators.audio import (
+        _clip_level,
+        _silence_level,
+    )
+
+    assert _clip_level(16) == 32767.0 and _clip_level(8) == 127.0
+    assert _silence_level(16) == 8.0 and _silence_level(8) == 0.03125
+
+    # 8-bit PCM is unsigned with midpoint 128: 255/1 swing = +/-127
+    n = 64
+    t = np.arange(n)
+    clipped8 = np.where((t // TONE_HALF_PERIOD) % 2 == 0, 255, 1).astype("u1")
+    silent8 = np.full(n, 128, dtype="u1")  # exactly midpoint
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(8000, 1, clipped8.tobytes(), bits=8))),
+            (2, bytearray(encode_wav(8000, 1, silent8.tobytes(), bits=8))),
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in audio_stats(assets).collect()}
+    assert rows[1].clip_ratio == 1.0 and rows[1].silence_ratio == 0.0
+    assert rows[2].silence_ratio == 1.0 and rows[2].clip_ratio == 0.0
+    # 16-bit behavior is bit-identical to the pre-fix constants
+    wav16 = encode_wav(16000, 1, _square(CLIP_LEVEL, 32))
+    a16 = spark.createDataFrame(
+        [(3, bytearray(wav16))], "asset_id long, payload binary"
+    )
+    r16 = audio_stats(a16).collect()[0]
+    assert r16.clip_ratio == 1.0 and r16.silence_ratio == 0.0

@@ -67,3 +67,51 @@ def test_plan_shape_no_cartesian_no_global_window(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # pure join+aggregate iterations
+
+
+def test_checkpointed_matches_unrolled(spark):
+    """The production-round-count path (checkpoint_every=k) must be
+    BIT-identical to the unrolled form at the same iteration count:
+    every round's vector is grid-rounded before publication, so a
+    localCheckpoint materializes exactly those doubles."""
+    nodes = spark.createDataFrame([(n,) for n in range(8)], "node long")
+    pairs = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 5), (3, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    plain = {r.node: r.pr for r in pagerank(nodes, edges, iterations=3).collect()}
+    ckpt = {
+        r.node: r.pr
+        for r in pagerank(
+            nodes, edges, iterations=3, checkpoint_every=1
+        ).collect()
+    }
+    assert plain == ckpt  # float == on purpose: bit-exact contract
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(nodes, edges, checkpoint_every=0)
+
+
+def test_checkpointed_plan_stays_flat_per_round(spark):
+    """20 production rounds must not grow the plan: with
+    checkpoint_every=1 the final-round plan reads a checkpointed leaf,
+    so its size is independent of how many rounds ran before it
+    (the unrolled form grows with every round — that contrast is the
+    point of the knob)."""
+    nodes = spark.createDataFrame([(n,) for n in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+
+    def plan_len(iters):
+        df = pagerank(nodes, edges, iterations=iters, checkpoint_every=1)
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    p5, p20 = plan_len(5), plan_len(20)
+    assert p20 == p5, f"plan grew across rounds: {p5} -> {p20}"
+    # and the 20-round run converges to a live distribution
+    pr = {
+        r.node: r.pr
+        for r in pagerank(
+            nodes, edges, iterations=20, checkpoint_every=4
+        ).collect()
+    }
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)

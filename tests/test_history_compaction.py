@@ -170,3 +170,38 @@ def test_vector_writer_compacts_sig_index(spark, tmp_path):
 def test_compact_every_validated(tmp_path):
     with pytest.raises(ValueError, match="compact_every"):
         dedup_batch_writer(str(tmp_path), compact_every=0)
+
+
+def test_base_max_marker_written_and_healed(spark, tmp_path):
+    """ADVICE r7: the reader must not run a max-aggregate Spark job
+    per micro-batch. After compaction a ``_base_max`` marker inside
+    the base carries the max batch_id; deleting it (the
+    crash-between-swap-and-marker-write state) makes the next read
+    fall back to the aggregate AND heal the marker, with identical
+    history either way."""
+    from football_data_pipeline_spark.streaming.pipeline import (
+        _read_base_max,
+    )
+
+    root = str(tmp_path / "c")
+    w = dedup_batch_writer(root, compact_every=None)
+    for b in range(3):
+        w(_docs(spark, UNIQUE_TEXTS[b * 3 : b * 3 + 3]), b)
+    compact_history(spark, root, "accepted", upto_exclusive=2)
+    base = f"{root}/accepted.__hist_base__"
+    assert _read_base_max(spark, base) == 1  # batches 0,1 folded
+
+    rows = _read_history(spark, root, "accepted", 99).count()
+    # crash window: marker missing -> aggregate fallback + heal
+    import os
+
+    os.remove(f"{base}/_base_max")
+    assert _read_base_max(spark, base) is None
+    assert _read_history(spark, root, "accepted", 99).count() == rows
+    assert _read_base_max(spark, base) == 1  # healed
+
+    # a further compaction swaps the dir: marker must track the swap
+    w(_docs(spark, UNIQUE_TEXTS[9:12]), 3)
+    compact_history(spark, root, "accepted", upto_exclusive=3)
+    assert _read_base_max(spark, base) == 2
+    assert _read_history(spark, root, "accepted", 99).count() == rows + 3

@@ -181,3 +181,31 @@ def test_rank_candidates_guard_enforces_dim_contract(spark):
 
     with pytest.raises(Exception, match="rank_candidates.*over the 5 cap"):
         rank_candidates(names, "odds_name", max_candidates=5).collect()
+
+
+def test_learned_mapping_plan_bounded(spark):
+    """Plan-SIZE regression for q_learned_mapping (VERDICT r7 #1): the
+    two-batch resolve -> learn -> resolve composition must NOT embed
+    batch 1's full cascade lineage in batch 2's plan. Before the
+    localCheckpoint cut the plan string carried ~4,553 Exchange
+    re-prints and a 1g driver OOMed just holding it; after the cut the
+    dim-sized learned table enters batch 2 as a leaf. Ceiling is ~10x
+    the post-fix count (~45 exchanges) so real work can grow but a
+    lineage re-embedding regression (two orders of magnitude) trips."""
+    import football_data_pipeline_spark.all_queries  # noqa: F401
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    plan = (
+        QUERIES["q_learned_mapping"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges < 400, (
+        f"q_learned_mapping plan has {n_exchanges} Exchange prints - "
+        "batch 1 lineage re-embedded? (localCheckpoint cut missing)"
+    )

@@ -110,3 +110,22 @@ def test_synth_clip_matches_closed_forms(spark):
         assert len(frames) == 4 + r.asset_id % 13
         for k, f in enumerate(frames):
             assert f[0] == (r.asset_id * 31 + k * 17) % 256
+
+
+def test_frame_header_scan_is_bounded():
+    """ADVICE r7: a FRAME header missing its terminating newline must
+    raise instead of the newline search landing inside binary plane
+    data and silently misaligning every subsequent frame."""
+    clip = encode_y4m(W, H, 25, _frames([10, 20]))
+    # corrupt frame 0's header terminator: FRAME\n -> FRAMEX
+    pos = clip.index(b"FRAME\n")
+    bad = clip[: pos + 5] + b"X" + clip[pos + 6 :]
+    with pytest.raises(ValueError, match="malformed FRAME header"):
+        decode_y4m(bad)
+    # a frame PARAMETER list (FRAME Ixyz\n) still decodes
+    param = clip[: pos + 5] + b" Ixyz" + clip[pos + 5 :]
+    assert [f[0] for f in decode_y4m(param)[5]] == [10, 20]
+    # header whose newline never arrives within the bounded window
+    headless = clip[: pos + 5] + b" " + b"x" * 300 + clip[pos + 6 :]
+    with pytest.raises(ValueError, match="unterminated FRAME header"):
+        decode_y4m(headless)
