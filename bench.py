@@ -116,6 +116,13 @@ HEADLINE = [
     "q_learnability",
     "q_pagerank",
     "q_video_stats",
+    # added in round 9 (compare across rounds on the common prefix):
+    # the ER heavyweight — two-batch resolve + learn write-back —
+    # gets timing accountability now that its plan is lineage-bounded
+    # (<400 exchanges, tests/test_resolution.py), VERDICT r8 item 2;
+    # and the video→frame→image-dedup bridge (VERDICT r8 item 3)
+    "q_learned_mapping",
+    "q_video_frame_dedup",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.
@@ -127,12 +134,16 @@ HEADLINE = [
 #: q_ngram_jaccard joined in r5: spread ≈ 0.9s on a 1.65s median in
 #: both full r5 runs — its LSH re-block stage caches straddle trials
 #: the same way q_dedup_minhash's do.
+#: q_learned_mapping joined in r9: it runs the SAME two-phase
+#: cascade as q_fuzzy_join twice (batch 1 + learned batch 2), so it
+#: inherits q_fuzzy_join's JIT/cache straddling verbatim.
 NOISY_QUERIES = {
     "q_fuzzy_join",
     "q_star_join",
     "q_dedup_minhash",
     "q_upcoming_games",
     "q_ngram_jaccard",
+    "q_learned_mapping",
 }
 NOISY_TRIALS = 6
 

@@ -321,7 +321,8 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut batch 2's plan re-embeds batch 1's full resolution cascade —
     # a ~4,500-exchange PLAN STRING that OOMed a 1g driver just to
     # hold/print. Same pattern as release.py's gated-assets cut;
-    # plan-size regression: tests/test_er.py::test_learned_mapping_plan_bounded.
+    # plan-size regression:
+    # tests/test_resolution.py::test_learned_mapping_plan_bounded.
     learned_tbl = learn_mappings(
         batch1, empty_learned, min_confidence=0.8
     ).localCheckpoint()

@@ -672,11 +672,25 @@ def phash_near_dup(
     the star + rep-pair output encodes the full pair set without
     materializing its quadratic closure.
     """
-    # cached for the four consumers below (group, stars, both verify
-    # sides) — released before returning via the localCheckpoint at
-    # the end, which pins only the (small) pair result instead of the
-    # per-asset hash table
+    # cached for the four consumers inside the pair plan (group,
+    # stars, both verify sides) — released before returning via the
+    # localCheckpoint at the end, which pins only the (small) pair
+    # result instead of the per-asset hash table
     hashes = image_phash(assets).cache()
+    # materialize the (small) pair result and release the hash cache
+    # — returning a lazy plan over the cached table would leave the
+    # per-asset hashes pinned in executor memory for the session
+    result = _phash_pair_plan(hashes, max_hamming).localCheckpoint()
+    hashes.unpersist()
+    return result
+
+
+def _phash_pair_plan(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """The LAZY stars ∪ near plan over a per-asset hash table —
+    split out of phash_near_dup so the plan-shape pytest
+    (tests/test_multimodal.py) can assert its 100 TB signals (no
+    cartesian product, band-bucket equi-joins only) BEFORE the
+    eager localCheckpoint erases them from the final plan string."""
     grp = hashes.groupBy(*[f"band{i}" for i in range(DHASH_BANDS)]).agg(
         F.min("asset_id").alias("rid")
     )
@@ -735,12 +749,7 @@ def phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    # materialize the (small) pair result and release the hash cache
-    # — returning a lazy plan over the cached table would leave the
-    # per-asset hashes pinned in executor memory for the session
-    result = stars.unionByName(near).localCheckpoint()
-    hashes.unpersist()
-    return result
+    return stars.unionByName(near)
 
 
 # --- image-side quality gate (VERDICT r4 item 9) ---------------------

@@ -317,6 +317,183 @@ def synth_clip_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def video_quality_gate(
+    stats: DataFrame,
+    min_duration_s: float = 0.05,
+    static_min_frames: int = 8,
+) -> DataFrame:
+    """Classify video_stats rows the way audio_quality_gate
+    classifies audio: first failing rule names the verdict
+    (undecodable → 'undecoded', then too_short / static / ok) —
+    pure built-ins over the already-computed stats, no second decode
+    pass. 'static' = zero scene changes across ≥ static_min_frames
+    frames: a frame-hold / slideshow still, the junk class a video
+    curation pass drops before training."""
+    return stats.withColumn(
+        "verdict",
+        F.when(~F.col("decoded"), "undecoded")
+        .when(F.col("duration_s") < min_duration_s, "too_short")
+        .when(
+            (F.col("scene_changes") == 0)
+            & (F.col("n_frames") >= static_min_frames),
+            "static",
+        )
+        .otherwise("ok"),
+    )
+
+
+# --- patterned clips: the video→frame→image-dedup bridge ------------
+
+#: number of dHash groups the patterned synth spreads frames over
+PATTERN_GROUPS = 24
+#: sampled-frame stride the bridge query uses (and its oracle
+#: mirrors)
+FRAME_EVERY_N = 4
+
+
+def _pattern_plane(row_patterns: list[int]) -> bytes:
+    """Build a CLIP_W×CLIP_H Y plane whose dHash is EXACTLY the 64
+    bits given as 8 per-row 8-bit patterns (row y's byte, MSB =
+    leftmost comparison). Works by inverting the dHash pipeline:
+    the 9×8 nearest-neighbor downsample of a 16×16 frame reads rows
+    2y and columns [(x*16)//9], so we place a monotone step ramp at
+    those positions — +1 step where the pattern bit is 1 (strict
+    g[x] < g[x+1] → bit 1), flat where 0 (equal → bit 0). The
+    gray→RGB→luma round-trip through encode_ppm/dhash64 is exact
+    ((299v+587v+114v)//1000 == v), so the planted hash survives the
+    REAL sample→PPM→decode→hash path bit-for-bit."""
+    xs = [(x * CLIP_W) // 9 for x in range(9)]
+    plane = bytearray(CLIP_W * CLIP_H)
+    for ry in range(8):
+        pat = row_patterns[ry]
+        v = [100]
+        for x in range(8):
+            v.append(v[-1] + ((pat >> (7 - x)) & 1))
+        row = bytearray(CLIP_W)
+        vi = 0
+        for x in range(CLIP_W):
+            if vi + 1 < 9 and x == xs[vi + 1]:
+                vi += 1
+            row[x] = v[vi]
+        for iy in (2 * ry, 2 * ry + 1):
+            plane[iy * CLIP_W : (iy + 1) * CLIP_W] = bytes(row)
+    return bytes(plane)
+
+
+def _frame_hash_rows(doc_id: int, k: int) -> list[int]:
+    """The planted 64-bit dHash of frame k of doc doc_id, as 8 row
+    bytes — the closed form the oracle mirrors:
+
+    - group m = (doc_id*3 + k) % PATTERN_GROUPS; base row pattern
+      p(m) = (m*37) % 256 (distinct per group), all 8 rows;
+    - frames with (doc_id + k) % 5 == 0 are PERTURBED: rows 6 and 7
+      flip bit (m % 8) → Hamming distance EXACTLY 2 from the base.
+
+    Within a group that yields two hash-identity classes (base,
+    perturbed) at distance 2 ≤ DHASH_MAX_HAMMING — a guaranteed
+    near-dup pair between their representatives — while ANY two
+    frames from different groups differ in rows 0–5 alone by
+    6·popcount(p(m)⊕p(m')) ≥ 6 > 3, so cross-group pairs are
+    impossible. Every output row of phash_near_dup is therefore
+    enumerable from (doc_id, k) arithmetic alone."""
+    m = (doc_id * 3 + k) % PATTERN_GROUPS
+    p = (m * 37) % 256
+    rows = [p] * 8
+    if (doc_id + k) % 5 == 0:
+        flip = 1 << (m % 8)
+        rows[6] ^= flip
+        rows[7] ^= flip
+    return rows
+
+
+def synth_patterned_clips(docs: DataFrame) -> DataFrame:
+    """Wrap text docs as Y4M clips with PLANTED per-frame dHashes
+    (see _frame_hash_rows): ``4 + doc_id % 13`` frames, every frame
+    a _pattern_plane. The dedup bridge's synth twin of
+    synth_clip_assets — same geometry, structured instead of
+    constant luma."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 4 + doc_id % 13
+                frames = [
+                    _pattern_plane(_frame_hash_rows(int(doc_id), k))
+                    for k in range(n)
+                ]
+                payloads.append(encode_y4m(CLIP_W, CLIP_H, CLIP_FPS, frames))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="asset_id long, payload binary"
+    )
+
+
+def _video_frame_dedup_oracle() -> str:
+    # mirrors _frame_hash_rows' closed form AND phash_near_dup's
+    # output contract: star pairs (min-id representative, member,
+    # hamming 0) per hash-identity class (m, perturbed), plus one
+    # near pair (hamming 2) between the two class reps of each group
+    # that has both classes present
+    return f"""
+    WITH frames AS (
+      SELECT doc_id,
+             unnest(range(0, 4 + doc_id % 13, {FRAME_EVERY_N})) AS k
+      FROM documents
+    ),
+    labeled AS (
+      SELECT CAST(doc_id * 100 + k AS BIGINT) AS fid,
+             (doc_id * 3 + k) % {PATTERN_GROUPS} AS m,
+             CASE WHEN (doc_id + k) % 5 = 0 THEN 1 ELSE 0 END AS pert
+      FROM frames
+    ),
+    classes AS (
+      SELECT m, pert, min(fid) AS rep FROM labeled GROUP BY m, pert
+    ),
+    stars AS (
+      SELECT c.rep AS id_a, l.fid AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM labeled l JOIN classes c ON l.m = c.m AND l.pert = c.pert
+      WHERE l.fid <> c.rep
+    ),
+    near AS (
+      SELECT least(a.rep, b.rep) AS id_a,
+             greatest(a.rep, b.rep) AS id_b,
+             CAST(2 AS INTEGER) AS hamming
+      FROM classes a
+      JOIN classes b ON a.m = b.m AND a.pert = 0 AND b.pert = 1
+    )
+    SELECT id_a, id_b, hamming FROM stars
+    UNION ALL
+    SELECT id_a, id_b, hamming FROM near
+    """
+
+
+@query("q_video_frame_dedup", oracle=_video_frame_dedup_oracle())
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video→frame→image-dedup BRIDGE end-to-end (VERDICT r8
+    item 3): synthesize Y4M clips with planted per-frame dHashes,
+    run the REAL sample_frames_y4m every-Nth decode → PPM re-encode,
+    then push the stills through the image tier's perceptual
+    near-dup pass (multimodal.phash_near_dup: band-blocked, star-
+    collapsed, exact Hamming verify). The oracle enumerates the
+    exact expected pair set from (doc_id, frame_idx) arithmetic —
+    a bug anywhere in the Y4M codec, frame sampler, PPM round-trip,
+    dHash kernel, banding, star collapse, or Hamming verify changes
+    the pair set and breaks the value hash."""
+    from .multimodal import phash_near_dup
+
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames_y4m(synth_patterned_clips(docs), every_n=FRAME_EVERY_N)
+    stills = frames.select(
+        (F.col("asset_id") * 100 + F.col("frame_idx"))
+        .cast("long")
+        .alias("asset_id"),
+        "payload",
+    )
+    return phash_near_dup(stills)
+
+
 def _video_stats_oracle() -> str:
     # luma of frame k is (doc_id*31 + k*17) % 256 exactly (a constant
     # plane, so the frame mean IS the value); scene changes count

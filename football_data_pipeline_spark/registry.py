@@ -91,162 +91,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # =========== ROUND 7 CURATION ===========
-    # --- modules edited in r7 (the codified rule: a touched module's
-    # queries head the round): ivfpq.py gains the TRAIN_SAMPLE
-    # bounded-training knob (VERDICT r6 item 4) — q_knn_ivfpq's
-    # output changes (recall 0.86 -> 0.82, sweep in the module
-    # docstring), so it MUST re-check:
-    "q_knn_ivfpq",
-    # --- freshness: every query whose latest green driver row is
-    # round 4 (the oldest rows in the ledger — 28 of them, verified
-    # against CORRECTNESS_r0{4,5,6}.json):
-    "q_latest_per_key",
-    "q_lag_movement",
-    "q_first_last_change",
-    "q_scd2_history",
-    "q_team_events",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
-    "q_minhash_error",
-    "q_quality_classifier",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_lm_bigram",
-    "q_target_mixture",
-    "q_epoch_order",
-    "q_dsir_weights",
-    "q_pii_redact",
-    "q_decontaminate",
-    "q_dataset_card",
-    "q_sessionize",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_rollup_report",
-    "q_moving_avg",
-    "q_anomaly",
-    "q_repetition",
-    "q_winnow_fingerprints",
-    "q_containment",
-    # --- freshness, next-oldest tier (green r5 rows): the football
-    # silver core — the ER/resolution cascade, the medallion
-    # flagship and the flatten family — refreshed with the spare
-    # head room:
-    "q_fuzzy_join",
+    # =========== ROUND 9 CURATION ===========
+    # --- modules edited in r9 (the codified rule: a touched module's
+    # queries head the round):
+    # operators/video.py gains the video→frame→image-dedup bridge
+    # (q_video_frame_dedup, NEW — planted-dHash patterned clips
+    # through the REAL sample/PPM/dHash path) and video_quality_gate;
+    # q_video_stats shares the module:
+    "q_video_frame_dedup",
+    "q_video_stats",
+    # operators/er_queries.py edited (comment fix, VERDICT r8 wrong
+    # item 2 — byte-changed, so its five queries re-check; they also
+    # prove the r8 lineage fix again now that q_learned_mapping is a
+    # bench headliner):
     "q_learned_mapping",
+    "q_fuzzy_join",
     "q_difflib_ratio",
     "q_resolve_alternatives",
     "q_normalize_names",
-    "q_upcoming_games",
-    "q_validate_counts",
-    "q_league_teams",
-    "q_json_extract",
-    "q_upsert_latest",
-    "q_odds_flatten",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_h2h_flatten",
-    "q_teams_extract",
-]
-
-# --- r7 SHARED-DEP LEDGER --------------------------------------------
-# Modules edited in r7 and their registered-query lineage:
-# - operators/ivfpq.py (TRAIN_SAMPLE bounded training, VERDICT r6
-#   item 4) -> q_knn_ivfpq: IN HEAD. The embedsearch family does NOT
-#   re-check: embedsearch.py is byte-untouched (ivfpq imports FROM
-#   embedsearch, not the reverse) and all 7 of its queries hold green
-#   r6 rows.
-# - streaming/cdc_stream.py (compaction default + crash recovery),
-#   sources/delta_merge.py (orphan recovery), streaming/notify.py
-#   (NULL-safe rank key): pytest-only surfaces, no registered-query
-#   lineage (verified: no registered query imports these modules;
-#   operators/cdc.py — q_cdc_apply, green r6 — is their DEPENDENCY,
-#   not a dependent, and is byte-untouched in r7).
-# - tests/* and tools/*: no runtime lineage.
-# - NEW r7 modules operators/mining.py (q_hard_negatives,
-#   q_learnability, q_diverse_sample), operators/audio.py
-#   (q_audio_stats, analytic oracle) and operators/video.py
-#   (q_video_stats, analytic oracle) register after the head and
-#   land in the mid section, as do operators/graphrank.py
-#   (q_pagerank, unrolled engine-exact iterations) — driver-checked
-#   this round (head 44 + mid 6 = 50 = cap, exactly full;
-#   q_fixtures_extract/q_leagues_extract yielded their discretionary
-#   freshness slots, see ROTATE_TAIL). mining IMPORTS
-#   ivfpq/lm/embedsearch (cross-import invalidates nothing — those
-#   stay byte-consistent with their own rows; ivfpq is re-checked
-#   anyway via q_knn_ivfpq in head).
-# Everything in ROTATE_TAIL holds a green r5 (34 names, incl. the
-# yielded q_fixtures_extract/q_leagues_extract) or r6 (49 names)
-# driver row and its
-# module + shared deps are untouched since that row; the 28
-# r4-latest rows all moved to HEAD this round, so no row older than
-# r5 remains unrefreshed.
-CARRY_TO_NEXT_ROUND: list[str] = [
-    # (empty at curation time — grows only if r7 additions overflow
-    # the cap; every name added here must head r8's CHECK_PRIORITY)
-]
-ROTATE_TAIL = [
-    # q_fixtures_extract and q_leagues_extract were discretionary r7
-    # freshness picks; they yielded their head slots to the
-    # new-module q_video_stats and q_pagerank (head 44 + mid 6 = 50
-    # = cap). Their green r5 rows + the byte-untouched flatten.py
-    # argument from the r6 ledger still hold:
+    # operators/ivfpq.py (NPROBE×SHORTLIST serving-frontier sweep
+    # recorded, VERDICT r8 item 5) and operators/graphrank.py
+    # (checkpointed-depth probe recorded, VERDICT r8 item 7):
+    "q_knn_ivfpq",
+    "q_pagerank",
+    # operators/multimodal.py edited (phash_near_dup refactored to
+    # expose _phash_pair_plan for the plan-shape pytest — same
+    # executed work, now lockable): its registered query re-checks;
+    # took the head slot q_bloom_semi (discretionary r6 refresh,
+    # green r6 row stands) yielded back to ROTATE_TAIL:
+    "q_multimodal_meta",
+    # --- freshness: the 34 queries whose latest green driver row is
+    # round 5 (the oldest rows in the ledger — the relational/
+    # timeseries/text pack plus the two yielded flatten extracts),
+    # oldest-first per VERDICT r8 item 6:
     "q_fixtures_extract",
     "q_leagues_extract",
-    # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
-    # in r7 (except q_knn_ivfpq, which moved to HEAD):
-    "q_ewma",
-    "q_mixture_epochs",
-    "q_temperature_sample",
-    "q_salted_distinct",
-    "q_salted_join",
-    "q_heavy_hitters",
-    "q_bloom_semi",
-    "q_hll_audit",
-    "q_quantile_audit",
-    "q_gopher_rules",
-    "q_corr_profile",
-    "q_cube_report",
-    "q_weighted_sample",
-    "q_k_anonymity",
-    "q_cdc_apply",
-    "q_team_form",
-    "q_odds_trends",
-    "q_team_odds_lookup",
-    "q_knn_bruteforce",
-    "q_knn_ivf",
-    "q_semantic_decontam",
-    "q_knn_recall",
-    "q_ivf_centroids",
-    "q_ivf_reassign",
-    "q_dedup_embed",
-    "q_star_join",
-    "q_multimodal_meta",
-    "q_profile_documents",
-    "q_length_quantiles",
-    "q_length_filter",
-    "q_skew_report",
-    "q_job_expiry",
-    "q_windowed_volatility",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_chunking",
-    "q_stratified_sample",
-    "q_holdout_split",
-    "q_quality_sample",
-    "q_dedup_exact",
-    "q_line_dedup",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ngram_jaccard",
-    "q_dedup_components",
-    "q_source_overlap",
-    "q_dedup_incremental",
-    "q_leakage_split",
-    "q_lsh_recall",
-    # green r5 driver rows (CORRECTNESS_r05.json), modules untouched
-    # since (r6 ledger's byte-untouched argument extends through r7):
     "q_team_stats_trend",
     "q_pii_scan",
     "q_token_packing",
@@ -279,6 +158,138 @@ ROTATE_TAIL = [
     "q_kpi_ratio",
     "q_asof_join",
     "q_corpus_diff",
+    # --- freshness, next-oldest tier (green r6 rows), first seven in
+    # the r8 tail's listing order — fills the head to exactly the cap:
+    "q_ewma",
+    "q_mixture_epochs",
+    "q_temperature_sample",
+    "q_salted_distinct",
+    "q_salted_join",
+    "q_heavy_hitters",
+]
+
+# --- r9 SHARED-DEP LEDGER --------------------------------------------
+# Modules edited in r9 and their registered-query lineage:
+# - operators/video.py (synth_patterned_clips/_pattern_plane/
+#   _frame_hash_rows/video_quality_gate + q_video_frame_dedup):
+#   q_video_stats + q_video_frame_dedup IN HEAD.
+# - operators/multimodal.py (phash_near_dup split into cache/
+#   checkpoint shell + lazy _phash_pair_plan so the pair stage's
+#   plan shape is pytest-lockable; executed work identical):
+#   q_multimodal_meta IN HEAD; the image-dedup behavior tests
+#   (test_multimodal.py) and the new bridge query q_video_frame_dedup
+#   (IN HEAD) both drive the refactored path end-to-end.
+# - operators/er_queries.py (comment fix only, but byte-changed):
+#   all five of its queries IN HEAD.
+# - operators/ivfpq.py (docstring frontier table) -> q_knn_ivfpq IN
+#   HEAD; operators/graphrank.py (docstring depth-probe numbers) ->
+#   q_pagerank IN HEAD.
+# - operators/release.py (audio/video tiers wired into
+#   build_release, VERDICT r8 item 4): pytest-only surface, no
+#   registered query lives there; its DEPENDENCIES audio.py /
+#   video.py / multimodal.py are not invalidated by it. audio.py is
+#   byte-untouched (q_audio_stats keeps its green r8 row).
+# - bench.py (+q_learned_mapping, +q_video_frame_dedup headliners),
+#   tools/*, tests/*, registry.py curation lists: no runtime query
+#   lineage.
+# Everything in ROTATE_TAIL holds a green r6 or r8 driver row
+# (latest-round distribution after r8: r5 rows all moved to HEAD
+# above; no row older than r6 remains unrefreshed) and its module +
+# shared deps are untouched since that row.
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # (empty at curation time — grows only if r9 additions overflow
+    # the cap; every name added here must head r10's CHECK_PRIORITY)
+]
+ROTATE_TAIL = [
+    # green r8 driver rows (CORRECTNESS_r08.json), modules untouched
+    # in r9:
+    "q_audio_stats",
+    "q_minhash_error",
+    "q_quality_classifier",
+    "q_dataset_card",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_first_last_change",
+    "q_scd2_history",
+    "q_teams_extract",
+    "q_upcoming_games",
+    "q_validate_counts",
+    "q_league_teams",
+    "q_json_extract",
+    "q_upsert_latest",
+    "q_odds_flatten",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_h2h_flatten",
+    "q_team_events",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_hard_negatives",
+    "q_learnability",
+    "q_diverse_sample",
+    "q_target_mixture",
+    "q_epoch_order",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_dsir_weights",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rollup_report",
+    "q_repetition",
+    "q_winnow_fingerprints",
+    "q_containment",
+    "q_moving_avg",
+    "q_anomaly",
+    # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
+    # since (the r7/r8 ledgers' byte-untouched argument extends
+    # through r9):
+    "q_windowed_volatility",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_chunking",
+    "q_cdc_apply",
+    "q_stratified_sample",
+    "q_holdout_split",
+    "q_quality_sample",
+    "q_dedup_exact",
+    "q_line_dedup",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_dedup_components",
+    "q_source_overlap",
+    "q_dedup_incremental",
+    "q_leakage_split",
+    "q_lsh_recall",
+    "q_team_odds_lookup",
+    "q_odds_trends",
+    "q_knn_bruteforce",
+    "q_dedup_embed",
+    "q_knn_ivf",
+    "q_knn_recall",
+    "q_ivf_centroids",
+    "q_ivf_reassign",
+    "q_semantic_decontam",
+    "q_team_form",
+    "q_k_anonymity",
+    "q_profile_documents",
+    "q_length_quantiles",
+    "q_length_filter",
+    "q_skew_report",
+    "q_star_join",
+    "q_cube_report",
+    "q_gopher_rules",
+    "q_bloom_semi",
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_corr_profile",
+    "q_job_expiry",
+    "q_weighted_sample",
 ]
 
 

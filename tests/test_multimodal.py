@@ -557,3 +557,28 @@ def test_png_deflate_bomb_rejected():
     with _pytest.raises(ValueError, match="larger than declared"):
         decode_png(payload)
     assert try_decode_pixels(payload) is None
+
+
+def test_phash_pair_plan_shape(spark):
+    """100 TB plan lock for the perceptual-dedup pair stage (the
+    part phash_near_dup's eager localCheckpoint erases from its
+    final plan string): band-bucket EQUI-joins only — no cartesian
+    product, no broadcast-nested-loop — over the hash table."""
+    from football_data_pipeline_spark.operators.multimodal import (
+        _phash_pair_plan,
+        encode_ppm,
+        image_phash,
+    )
+
+    assets = spark.createDataFrame(
+        [(i, encode_ppm(4, 4, bytes(range(i, i + 48)))) for i in range(4)],
+        "asset_id long, payload binary",
+    )
+    plan = (
+        _phash_pair_plan(image_phash(assets), 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

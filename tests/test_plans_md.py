@@ -34,3 +34,51 @@ def test_plans_md_covers_headliners_and_rotation_head():
         f"PLANS.md drifted from bench.HEADLINE + CHECK_PRIORITY — "
         f"run `python tools/gen_plans_md.py`.\n missing={missing}\n stale={stale}"
     )
+
+
+def _rows():
+    with open(PLANS) as f:
+        text = f.read()
+    return {
+        m.group(1): int(m.group(2))
+        for m in re.finditer(
+            r"^\| `(q_\w+)` \| (\d+) \|", text, flags=re.MULTILINE
+        )
+    }
+
+
+#: per-query exchange ceilings for the plans with a live plan-size
+#: regression test — the committed artifact must agree with the
+#: ceiling the code enforces, or it is stale (VERDICT r8 item 1: the
+#: r8 artifact still showed q_learned_mapping at 4,553 exchanges
+#: months after the fix bounded it under 400)
+ROW_CEILINGS = {
+    # mirrors tests/test_resolution.py::test_learned_mapping_plan_bounded
+    "q_learned_mapping": 400,
+    "q_fuzzy_join": 400,
+}
+#: no query in this engine has a legitimate plan anywhere near this
+#: many exchanges — a committed row above it is either a plan bomb
+#: (fix the code) or a stale artifact (regenerate PLANS.md)
+GLOBAL_EXCH_CEILING = 500
+
+
+def test_plans_md_rows_not_stale():
+    rows = _rows()
+    assert rows, "PLANS.md has no parsable exchange counts"
+    over_global = {n: e for n, e in rows.items() if e > GLOBAL_EXCH_CEILING}
+    assert not over_global, (
+        f"PLANS.md rows exceed the global {GLOBAL_EXCH_CEILING}-exchange "
+        f"ceiling — stale artifact or plan bomb: {over_global}; "
+        f"run `python tools/gen_plans_md.py` and investigate"
+    )
+    over = {
+        n: (rows[n], c)
+        for n, c in ROW_CEILINGS.items()
+        if n in rows and rows[n] > c
+    }
+    assert not over, (
+        f"PLANS.md rows exceed their live plan-size regression "
+        f"ceilings (row, ceiling): {over} — the artifact contradicts "
+        f"the code; run `python tools/gen_plans_md.py`"
+    )

@@ -129,3 +129,88 @@ def test_frame_header_scan_is_bounded():
     headless = clip[: pos + 5] + b" " + b"x" * 300 + clip[pos + 6 :]
     with pytest.raises(ValueError, match="unterminated FRAME header"):
         decode_y4m(headless)
+
+
+def test_pattern_plane_plants_exact_dhash():
+    """The dedup bridge's invariant: _pattern_plane survives the
+    REAL sample→PPM→decode→dHash path bit-for-bit, so the planted
+    hash IS the perceptual hash the image tier computes."""
+    import numpy as np
+
+    from football_data_pipeline_spark.operators.multimodal import (
+        decode_pixels,
+        dhash64,
+        encode_ppm,
+    )
+    from football_data_pipeline_spark.operators.video import (
+        _frame_hash_rows,
+        _pattern_plane,
+    )
+
+    for doc_id, k in [(0, 0), (7, 4), (123, 8), (4999, 12), (11, 0)]:
+        rows = _frame_hash_rows(doc_id, k)
+        want = 0
+        for b in rows:
+            want = (want << 8) | b
+        plane = _pattern_plane(rows)
+        rgb = np.repeat(np.frombuffer(plane, dtype="u1"), 3).tobytes()
+        w, h, back = decode_pixels(encode_ppm(CLIP_W, CLIP_H, rgb))
+        assert (w, h) == (CLIP_W, CLIP_H) and back == rgb
+        assert dhash64(w, h, back) == want
+
+
+def test_frame_hash_rows_group_geometry():
+    """The closed-form guarantees the oracle leans on: within-group
+    base↔perturbed distance is exactly 2; cross-group distance is
+    always > DHASH_MAX_HAMMING (so no cross-group near pair can ever
+    appear)."""
+    from football_data_pipeline_spark.operators.multimodal import DHASH_MAX_HAMMING
+    from football_data_pipeline_spark.operators.video import (
+        PATTERN_GROUPS,
+        _frame_hash_rows,
+    )
+
+    def h64(rows):
+        v = 0
+        for b in rows:
+            v = (v << 8) | b
+        return v
+
+    # one base and one perturbed representative per group
+    base, pert = {}, {}
+    for d in range(200):
+        for k in (0, 4, 8, 12):
+            m = (d * 3 + k) % PATTERN_GROUPS
+            tgt = pert if (d + k) % 5 == 0 else base
+            h = h64(_frame_hash_rows(d, k))
+            assert tgt.setdefault(m, h) == h  # class ⇒ one hash
+    assert set(base) == set(pert) == set(range(PATTERN_GROUPS))
+    for m in base:
+        assert bin(base[m] ^ pert[m]).count("1") == 2
+    reps = list(base.items()) + list(pert.items())
+    for i, (mi, hi) in enumerate(reps):
+        for mj, hj in reps[i + 1 :]:
+            if mi != mj:
+                assert bin(hi ^ hj).count("1") > DHASH_MAX_HAMMING
+
+
+def test_video_quality_gate_branches(spark):
+    """First-failing-rule verdicts over real decoded stats: junk →
+    undecoded, 1-frame clip → too_short, long zero-scene-change
+    clip → static, varied clip → ok."""
+    from football_data_pipeline_spark.operators.video import video_quality_gate
+
+    ok_lumas = [0, 100, 0, 100, 0, 100, 0, 100]  # scene change every frame
+    static_lumas = [50] * 10  # >= static_min_frames, zero changes
+    rows = [
+        (1, b"junk"),
+        (2, encode_y4m(W, H, 25, _frames([10]))),  # 0.04 s < 0.05
+        (3, encode_y4m(W, H, 25, _frames(static_lumas))),
+        (4, encode_y4m(W, H, 25, _frames(ok_lumas))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r.verdict
+        for r in video_quality_gate(video_stats(df)).collect()
+    }
+    assert got == {1: "undecoded", 2: "too_short", 3: "static", 4: "ok"}

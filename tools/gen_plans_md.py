@@ -77,6 +77,21 @@ KNOWN_NOTES = {
         "counts inflated by the two-batch learned-mapping lineage "
         "re-printing reused subtrees"
     ),
+    "q_learned_mapping": (
+        "two full resolution cascades with the batch-1 lineage severed "
+        "at a dim-sized localCheckpoint (er_queries.py); global windows "
+        "= the same guarded dim-sized candidate ranking as q_fuzzy_join; "
+        "ceiling 400 enforced by tests/test_resolution.py AND the "
+        "PLANS.md staleness guard (tests/test_plans_md.py)"
+    ),
+    "q_video_frame_dedup": (
+        "plan ends at phash_near_dup's localCheckpoint scan — the "
+        "band-join/star-collapse/Hamming-verify upstream executes "
+        "EAGERLY at DataFrame build time, so its shape never reaches "
+        "this plan string; upstream plan shape is pytest-locked in "
+        "tests/test_multimodal.py and the end-to-end result is "
+        "oracle-checked"
+    ),
 }
 
 
