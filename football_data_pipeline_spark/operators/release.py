@@ -27,6 +27,9 @@ Release layout::
     <path>/card/          one-file JSON datasheet (per source×lang)
     <path>/drops/         audit of every removed doc + reason
     <path>/shards/        shard=*/part-*.parquet, training-ready
+    <path>/image_drops, /assets            (when assets given)
+    <path>/audio_drops, /audio_assets      (when audio_assets given)
+    <path>/video_drops, /video_assets      (when video_assets given)
 
 The streaming twin is streaming/pipeline.curation_batch_writer —
 same stages, micro-batch grain, near-dup classification against
@@ -55,6 +58,8 @@ def build_release(
     path: str,
     epoch: int = 0,
     assets: DataFrame | None = None,
+    audio_assets: DataFrame | None = None,
+    video_assets: DataFrame | None = None,
     strip_substrings: bool = False,
     apply_rules: bool = False,
 ) -> None:
@@ -70,7 +75,21 @@ def build_release(
     ``<path>/assets`` — the same rejects-audited-never-silent
     contract as the text side. Accounting closure on the asset side
     mirrors the doc side: every input asset lands in exactly one of
-    the two outputs."""
+    the two outputs.
+
+    ``audio_assets`` / ``video_assets`` (optional): the other two
+    media tiers (VERDICT r8 item 4), under the IDENTICAL contract.
+    Audio payloads run audio.audio_stats → audio_quality_gate
+    (undecoded / too_short / clipped / silent); rejects with their
+    verdict-as-reason go to ``<path>/audio_drops``, kept signal
+    manifests (id, rate, channels, duration, rms) to
+    ``<path>/audio_assets``. Video payloads run video.video_stats →
+    video_quality_gate (undecoded / too_short / static); rejects to
+    ``<path>/video_drops``, kept clip manifests (id, dims, frame
+    count, duration, scene changes) to ``<path>/video_assets``.
+    Each tier is one Arrow decode pass materialized once
+    (localCheckpoint) and split by verdict — the decode never runs
+    twice, and no asset in any tier is ever silently dropped."""
     rule_drops = None
     if apply_rules:
         from .rules import RULE_NAMES, gopher_gate
@@ -176,4 +195,45 @@ def build_release(
                 "asset_id", "width", "height", "score"
             ),
             f"{path}/assets",
+        )
+
+    if audio_assets is not None:
+        from .audio import audio_quality_gate, audio_stats
+
+        # one decode pass, materialized once, split by verdict —
+        # same device as the image tier above
+        agated = audio_quality_gate(audio_stats(audio_assets)).localCheckpoint()
+        write_report_json(
+            agated.filter(F.col("verdict") != "ok").select(
+                "asset_id", F.col("verdict").alias("reason")
+            ),
+            f"{path}/audio_drops",
+        )
+        write_report_json(
+            agated.filter(F.col("verdict") == "ok").select(
+                "asset_id", "rate", "channels", "duration_s", "rms"
+            ),
+            f"{path}/audio_assets",
+        )
+
+    if video_assets is not None:
+        from .video import video_quality_gate, video_stats
+
+        vgated = video_quality_gate(video_stats(video_assets)).localCheckpoint()
+        write_report_json(
+            vgated.filter(F.col("verdict") != "ok").select(
+                "asset_id", F.col("verdict").alias("reason")
+            ),
+            f"{path}/video_drops",
+        )
+        write_report_json(
+            vgated.filter(F.col("verdict") == "ok").select(
+                "asset_id",
+                "width",
+                "height",
+                "n_frames",
+                "duration_s",
+                "scene_changes",
+            ),
+            f"{path}/video_assets",
         )

@@ -85,3 +85,77 @@ def test_zero_pixel_image_rejected_without_nan(spark):
     assert not r.keep and r.reason == "too_small"
     assert r.mean_luma is None and r.std_luma is None
     assert r.score == 0.0  # uniform reject score, never NULL/NaN
+
+
+def test_release_builder_three_media_tiers(spark, tmp_path):
+    """VERDICT r8 item 4: build_release accepts all three media
+    tiers beside the text corpus, each with the rejects-audited-
+    never-silent closure — every input asset of every tier lands in
+    exactly one of its tier's two outputs, with the gate's verdict
+    as the drop reason."""
+    from football_data_pipeline_spark.operators.audio import encode_wav
+    from football_data_pipeline_spark.operators.release import build_release
+    from football_data_pipeline_spark.operators.video import encode_y4m
+
+    docs = spark.createDataFrame(
+        [(i, "useful clean text with several plain words", "en", "web")
+         for i in range(1, 4)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    def wav(samples16):
+        import struct
+
+        return encode_wav(8000, 1, struct.pack(f"<{len(samples16)}h", *samples16))
+
+    audio = spark.createDataFrame(
+        [
+            (1, wav([0, 12000, -12000, 9000] * 200)),            # ok
+            (2, b"RIFFjunk"),                                    # undecoded
+            (3, wav([0, 1000] * 100)),                           # 0.025 s: too_short
+            (4, wav([32767, -32767] * 300)),                     # clipped
+            (5, wav([0, 1] * 300)),                              # silent
+        ],
+        ASSET_SCHEMA,
+    )
+
+    def clip(lumas):
+        return encode_y4m(16, 16, 25, [bytes([l]) * 256 for l in lumas])
+
+    video = spark.createDataFrame(
+        [
+            (1, clip([0, 100, 0, 100, 0, 100, 0, 100])),  # ok
+            (2, b"not video"),                            # undecoded
+            (3, clip([10])),                              # 0.04 s: too_short
+            (4, clip([50] * 10)),                         # static
+        ],
+        ASSET_SCHEMA,
+    )
+
+    path = str(tmp_path / "rel")
+    build_release(
+        docs, path, assets=_assets(spark), audio_assets=audio, video_assets=video
+    )
+
+    def load_json(sub):
+        out = []
+        for f in glob.glob(f"{path}/{sub}/*.json"):
+            out += [json.loads(l) for l in open(f) if l.strip()]
+        return out
+
+    # image tier unchanged
+    assert {d["asset_id"] for d in load_json("assets")} == {1}
+    # audio tier: closure + per-verdict attribution
+    a_drops = {d["asset_id"]: d["reason"] for d in load_json("audio_drops")}
+    a_kept = load_json("audio_assets")
+    assert a_drops == {2: "undecoded", 3: "too_short", 4: "clipped", 5: "silent"}
+    assert [d["asset_id"] for d in a_kept] == [1]
+    assert a_kept[0]["rate"] == 8000 and a_kept[0]["duration_s"] == 0.1
+    assert set(a_drops) | {d["asset_id"] for d in a_kept} == {1, 2, 3, 4, 5}
+    # video tier: closure + per-verdict attribution
+    v_drops = {d["asset_id"]: d["reason"] for d in load_json("video_drops")}
+    v_kept = load_json("video_assets")
+    assert v_drops == {2: "undecoded", 3: "too_short", 4: "static"}
+    assert [d["asset_id"] for d in v_kept] == [1]
+    assert v_kept[0]["n_frames"] == 8 and v_kept[0]["scene_changes"] == 7
+    assert set(v_drops) | {d["asset_id"] for d in v_kept} == {1, 2, 3, 4}
