@@ -67,6 +67,31 @@ no vector search; this is the engine's extension family (SURVEY §2
 scale extensions), where COARSE_K, NPROBE, SHORTLIST, M and K are
 the only knobs that matter.
 
+Serving frontier at TRAIN_SAMPLE=448 (r9, VERDICT r8 item 5;
+tools/ivfpq_frontier.py, sf0.01, mean recall@5 over the 10 driver
+queries, medians of 3; wall seconds include the constant training +
+exact-audit stages so read them as relative):
+
+    nprobe  shortlist   recall@5   wall_s
+       3        25        0.68      4.90
+       3        50        0.82      4.76   <- shipped defaults
+       3       100        0.84      4.55
+       4        25        0.66      5.56
+       4        50        0.78      4.44
+       5        25        0.64      4.09
+       5        50        0.78      4.40
+       4/5     100        0.84      4.5
+
+The knob lesson a 100 TB user needs: SHORTLIST is the binding knob
+at this corpus/quantizer size, and NPROBE WITHOUT a matching
+SHORTLIST increase is mildly counterproductive — extra probed cells
+add ADC candidates whose quantization-noisy scores displace true
+neighbors from a fixed-size shortlist (0.82 -> 0.78 at
+shortlist=50). At shortlist=100 every nprobe reaches the 0.84
+routing ceiling: quantization loss is fully bought back by refine
+depth, after which only routing (nprobe) bounds recall. Tune
+SHORTLIST first, then raise NPROBE and SHORTLIST together.
+
 10x probe (sf0.1 embeddings replicated 10x, labels re-spread;
 medians of 3, tools/scale_probe.py): 6.38 -> 15.39 s — 2.4x time
 for 10x vectors. The growth is the audit's exact-L2 baseline
@@ -389,9 +414,23 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7): mean recall@k at sf0.01 is 0.82 vs a 0.84 routing ceiling
     (full-corpus training: 0.86/0.88; ~19% of the pair space
     ADC-scanned) vs 0.06 for r5's training-free/label-routed form
-    (module docstring has the full decomposition and the sample
-    sweep).
+    (module docstring has the full decomposition, the sample sweep,
+    and the r9 NPROBE x SHORTLIST serving frontier).
     """
+    return ivfpq_recall(spark, sf_dir)
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    shortlist: int = SHORTLIST,
+) -> DataFrame:
+    """The q_knn_ivfpq pipeline with the two SERVING knobs exposed —
+    nprobe (routing breadth) and shortlist (refine depth) — so
+    tools/ivfpq_frontier.py can sweep the recall/latency frontier on
+    the exact production path (the registered query is the
+    defaults)."""
     emb = load(spark, sf_dir, "embeddings")
     sub = emb.select("vec_id", F.posexplode(_subvectors()).alias("m", "vs"))
     fullv = emb.select(
@@ -417,7 +456,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         qfull.crossJoin(F.broadcast(coarse_cb))
         .withColumn("__cd2", _d2(F.col("q_emb"), F.col("cs")))
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", F.col("code").alias("probe_cell"))
     )
     lut_r = lut.select(
@@ -442,7 +481,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("q_id").orderBy(F.asc("dist_fp"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= SHORTLIST)
+        .filter(F.col("rn") <= shortlist)
         .select("q_id", "vec_id")
     )
     w_rr = Window.partitionBy("q_id").orderBy(F.asc("__rd2"), F.asc("vec_id"))
