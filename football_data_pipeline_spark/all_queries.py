@@ -31,6 +31,7 @@ from .operators import (  # noqa: F401
     quality,
     redact,
     relational,
+    release,
     rules,
     sampling,
     selection,
@@ -48,4 +49,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, audio, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [windowed, audio, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

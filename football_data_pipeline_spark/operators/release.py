@@ -43,53 +43,27 @@ nothing is collected to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load
+from ..registry import query
 from ..sources.sinks import write_report_json, write_training_shards
 from .datacard import dataset_card
-from .dedup import fingerprint
-from .quality import classify_quality
-from .redact import redact_pii
+from .dedup import _WORD_SET_SQL, fingerprint
+from .quality import WEIGHT_MOD, WEIGHT_SALT, classify_quality
+from .redact import EMAIL_TOKEN, PHONE_TOKEN, redact_pii
 
 
-def build_release(
-    docs: DataFrame,
-    path: str,
-    epoch: int = 0,
-    assets: DataFrame | None = None,
-    audio_assets: DataFrame | None = None,
-    video_assets: DataFrame | None = None,
-    strip_substrings: bool = False,
-    apply_rules: bool = False,
-) -> None:
-    """Materialize a training-corpus release at ``path`` (see module
-    docstring for stages and layout).
-
-    ``assets`` (optional): a media-asset table (asset_id, payload,
-    …) paired with the corpus. When given, the image quality gate
-    (multimodal.classify_image_quality — undecodable / too-small /
-    bad-aspect / flat) runs alongside the text gate: rejected assets
-    are audited to ``<path>/image_drops`` with their reason, kept
-    assets' manifest (id + dims + score) goes to
-    ``<path>/assets`` — the same rejects-audited-never-silent
-    contract as the text side. Accounting closure on the asset side
-    mirrors the doc side: every input asset lands in exactly one of
-    the two outputs.
-
-    ``audio_assets`` / ``video_assets`` (optional): the other two
-    media tiers (VERDICT r8 item 4), under the IDENTICAL contract.
-    Audio payloads run audio.audio_stats → audio_quality_gate
-    (undecoded / too_short / clipped / silent); rejects with their
-    verdict-as-reason go to ``<path>/audio_drops``, kept signal
-    manifests (id, rate, channels, duration, rms) to
-    ``<path>/audio_assets``. Video payloads run video.video_stats →
-    video_quality_gate (undecoded / too_short / static); rejects to
-    ``<path>/video_drops``, kept clip manifests (id, dims, frame
-    count, duration, scene changes) to ``<path>/video_assets``.
-    Each tier is one Arrow decode pass materialized once
-    (localCheckpoint) and split by verdict — the decode never runs
-    twice, and no asset in any tier is ever silently dropped."""
+def release_frames(
+    docs: DataFrame, apply_rules: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(drops, final): the release pipeline's two accounting halves
+    as LAZY frames — every input doc lands in exactly one. Split out
+    of build_release so the drop-attribution logic (quality gate →
+    redact → exact dedup on the REDACTED text, optional rule gate in
+    front) is driver-oracle-checkable (q_release_drops) instead of
+    only write-path-tested; build_release consumes exactly these."""
     rule_drops = None
     if apply_rules:
         from .rules import RULE_NAMES, gopher_gate
@@ -149,6 +123,51 @@ def build_release(
     )
     final = redacted.join(dup_ids, "doc_id", "left_anti")
 
+    drops = rejected.unionByName(dup_drops)
+    if rule_drops is not None:
+        drops = rule_drops.unionByName(drops)
+    return drops, final
+
+
+def build_release(
+    docs: DataFrame,
+    path: str,
+    epoch: int = 0,
+    assets: DataFrame | None = None,
+    audio_assets: DataFrame | None = None,
+    video_assets: DataFrame | None = None,
+    strip_substrings: bool = False,
+    apply_rules: bool = False,
+) -> None:
+    """Materialize a training-corpus release at ``path`` (see module
+    docstring for stages and layout).
+
+    ``assets`` (optional): a media-asset table (asset_id, payload,
+    …) paired with the corpus. When given, the image quality gate
+    (multimodal.classify_image_quality — undecodable / too-small /
+    bad-aspect / flat) runs alongside the text gate: rejected assets
+    are audited to ``<path>/image_drops`` with their reason, kept
+    assets' manifest (id + dims + score) goes to
+    ``<path>/assets`` — the same rejects-audited-never-silent
+    contract as the text side. Accounting closure on the asset side
+    mirrors the doc side: every input asset lands in exactly one of
+    the two outputs.
+
+    ``audio_assets`` / ``video_assets`` (optional): the other two
+    media tiers (VERDICT r8 item 4), under the IDENTICAL contract.
+    Audio payloads run audio.audio_stats → audio_quality_gate
+    (undecoded / too_short / clipped / silent); rejects with their
+    verdict-as-reason go to ``<path>/audio_drops``, kept signal
+    manifests (id, rate, channels, duration, rms) to
+    ``<path>/audio_assets``. Video payloads run video.video_stats →
+    video_quality_gate (undecoded / too_short / static); rejects to
+    ``<path>/video_drops``, kept clip manifests (id, dims, frame
+    count, duration, scene changes) to ``<path>/video_assets``.
+    Each tier is one Arrow decode pass materialized once
+    (localCheckpoint) and split by verdict — the decode never runs
+    twice, and no asset in any tier is ever silently dropped."""
+    drops, final = release_frames(docs, apply_rules=apply_rules)
+
     if strip_substrings:
         # ExactSubstr trim (substring.strip_dup_spans): cut every
         # ≥ k-word repeated run from all but its canonical owner.
@@ -168,9 +187,6 @@ def build_release(
             .withColumn("n_chars", F.length("text").cast("long"))
         )
 
-    drops = rejected.unionByName(dup_drops)
-    if rule_drops is not None:
-        drops = rule_drops.unionByName(drops)
     write_report_json(drops, f"{path}/drops")
     write_report_json(dataset_card(final), f"{path}/card")
     write_training_shards(
@@ -237,3 +253,72 @@ def build_release(
             ),
             f"{path}/video_assets",
         )
+
+
+def _release_drops_oracle() -> str:
+    # mirrors release_frames stage by stage: hashed-linear quality
+    # gate (quality.py's oracle shape), PII redaction of the
+    # survivors (redact.py's nesting order), then exact dedup on the
+    # REDACTED text with the canonical word-set fingerprint
+    # (dedup.py's oracle shape); drops = low_quality ∪ exact_duplicate
+    from .prep import EMAIL_RE, PHONE_RE
+
+    h = f"CAST('0x' || substr(md5('{WEIGHT_SALT}' || w), 1, 8) AS BIGINT)"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor((CAST(sum(CAST(({h} % {WEIGHT_MOD} - 1000) / 1000.0
+                                  AS DECIMAL(28,4))) AS DOUBLE) / count(*))
+                   * 10000 + 0.5) / 10000 AS score,
+             sum(CAST(({h} % {WEIGHT_MOD} - 1000) / 1000.0
+                      AS DECIMAL(28,4))) > 0 AS keep
+      FROM tok GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, s.score,
+             coalesce(s.keep, false) AS keep
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ),
+    rejected AS (
+      SELECT doc_id, lang, source, 'low_quality' AS reason, score
+      FROM flagged WHERE NOT keep
+    ),
+    red AS (
+      SELECT doc_id, lang, source,
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+               '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text
+      FROM flagged WHERE keep
+    ),
+    fp AS (
+      SELECT doc_id, lang, source,
+             md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS f
+      FROM red
+    ),
+    canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+    dup AS (
+      SELECT p.doc_id, p.lang, p.source,
+             'exact_duplicate' AS reason, CAST(NULL AS DOUBLE) AS score
+      FROM fp p JOIN canon c ON c.f = p.f AND p.doc_id <> c.canon
+    )
+    SELECT doc_id, lang, source, reason, score FROM rejected
+    UNION ALL
+    SELECT doc_id, lang, source, reason, score FROM dup
+    """
+
+
+@query("q_release_drops", oracle=_release_drops_oracle())
+def q_release_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release builder's drops audit as a checkable query: which
+    documents build_release would reject and WHY (quality gate's
+    score + verdict, or exact-duplicate-after-redaction attribution).
+    The oracle recomposes all three stages independently, so a drift
+    anywhere in the gate→redact→dedup chain — or in the accounting
+    glue between them — breaks the value hash, not just a pytest."""
+    drops, _final = release_frames(load(spark, sf_dir, "documents"))
+    return drops

@@ -120,6 +120,11 @@ CHECK_PRIORITY = [
     # took the head slot q_bloom_semi (discretionary r6 refresh,
     # green r6 row stands) yielded back to ROTATE_TAIL:
     "q_multimodal_meta",
+    # operators/release.py NEW registered query (r9): the release
+    # builder's drops audit, oracle-composed from the quality-gate +
+    # redact + exact-dedup stages — took the head slot q_heavy_hitters
+    # (discretionary r6 refresh, green r6 row stands) yielded back:
+    "q_release_drops",
     # --- freshness: the 34 queries whose latest green driver row is
     # round 5 (the oldest rows in the ledger — the relational/
     # timeseries/text pack plus the two yielded flatten extracts),
@@ -158,14 +163,16 @@ CHECK_PRIORITY = [
     "q_kpi_ratio",
     "q_asof_join",
     "q_corpus_diff",
-    # --- freshness, next-oldest tier (green r6 rows), first seven in
-    # the r8 tail's listing order — fills the head to exactly the cap:
+    # --- freshness, next-oldest tier (green r6 rows), first five in
+    # the r8 tail's listing order — fills the head to exactly the cap
+    # (q_heavy_hitters and q_bloom_semi yielded their slots to the
+    # touched-module entries above; both keep green r6 rows AND both
+    # are bench headliners, so they retain plan + timing coverage):
     "q_ewma",
     "q_mixture_epochs",
     "q_temperature_sample",
     "q_salted_distinct",
     "q_salted_join",
-    "q_heavy_hitters",
 ]
 
 # --- r9 SHARED-DEP LEDGER --------------------------------------------
@@ -185,10 +192,13 @@ CHECK_PRIORITY = [
 #   HEAD; operators/graphrank.py (docstring depth-probe numbers) ->
 #   q_pagerank IN HEAD.
 # - operators/release.py (audio/video tiers wired into
-#   build_release, VERDICT r8 item 4): pytest-only surface, no
-#   registered query lives there; its DEPENDENCIES audio.py /
-#   video.py / multimodal.py are not invalidated by it. audio.py is
-#   byte-untouched (q_audio_stats keeps its green r8 row).
+#   build_release, VERDICT r8 item 4; gate→redact→dedup accounting
+#   split into lazy release_frames): NEW registered query
+#   q_release_drops IN HEAD; its DEPENDENCIES audio.py / video.py /
+#   multimodal.py / quality.py / redact.py / dedup.py are not
+#   invalidated by it (all byte-untouched except multimodal/video,
+#   already in head). audio.py is byte-untouched (q_audio_stats
+#   keeps its green r8 row).
 # - bench.py (+q_learned_mapping, +q_video_frame_dedup headliners),
 #   tools/*, tests/*, registry.py curation lists: no runtime query
 #   lineage.
@@ -284,6 +294,7 @@ ROTATE_TAIL = [
     "q_star_join",
     "q_cube_report",
     "q_gopher_rules",
+    "q_heavy_hitters",
     "q_bloom_semi",
     "q_hll_audit",
     "q_quantile_audit",
