@@ -581,35 +581,32 @@ PHASH_SCHEMA = "asset_id long, decoded boolean, " + ", ".join(
 )
 
 
-def _gray_resize(width: int, height: int, gray: bytes, nw: int, nh: int) -> bytes:
-    """Nearest-neighbor resample of a single-channel top-down image
-    (the gray twin of resize_nearest)."""
-    out = bytearray(nw * nh)
-    xs = [(x * width) // nw for x in range(nw)]
-    for y in range(nh):
-        sy = (y * height) // nh
-        row = sy * width
-        dst = y * nw
-        for i, sx in enumerate(xs):
-            out[dst + i] = gray[row + sx]
-    return bytes(out)
-
-
 def dhash64(width: int, height: int, rgb: bytes) -> int:
-    """Difference hash (dHash): luma, downsample to 9×8, emit one
-    bit per horizontal neighbor pair (left < right). 64 bits total;
-    robust to re-encoding, mild noise, and resizing — the standard
-    cheap perceptual fingerprint."""
-    gray = bytes(
-        (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
-        for i in range(0, len(rgb), 3)
-    )
-    g = _gray_resize(width, height, gray, 9, 8)
+    """Difference hash (dHash): luma, nearest-neighbor downsample to
+    9×8 (rows ``(y*height)//8``, cols ``(x*width)//9``), emit one
+    bit per horizontal neighbor pair (left < right), first computed
+    bit = MSB. 64 bits total; robust to re-encoding, mild noise, and
+    resizing — the standard cheap perceptual fingerprint.
+
+    Vectorized (r9): luma + resample + compare are numpy over the
+    whole pixel buffer — the per-pixel Python loops this replaces
+    were invisible on 16×16 fixtures but dominate at real image
+    sizes, and this runs once per asset in the hot decode kernel.
+    Requires width/height ≥ 1 (image_phash routes 0-pixel payloads
+    to the md5 fallback before calling)."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError("dhash64 requires at least one pixel")
+    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64).reshape(height, width, 3)
+    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    ys = (np.arange(8) * height) // 8
+    xs = (np.arange(9) * width) // 9
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, :8] < g[:, 1:]).ravel()
     h = 0
-    for y in range(8):
-        row = y * 9
-        for x in range(8):
-            h = (h << 1) | (1 if g[row + x] < g[row + x + 1] else 0)
+    for b in bits:
+        h = (h << 1) | int(b)
     return h
 
 
@@ -627,7 +624,11 @@ def image_phash(assets: DataFrame) -> DataFrame:
             rows = []
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
                 decoded = try_decode_pixels(b)
-                if decoded is None:
+                # 0-pixel payloads are decodable but hashless — route
+                # them to the md5 fallback like undecodables instead
+                # of letting dhash64 raise and kill the whole Arrow
+                # batch (the one-bad-row rule; r9 fix)
+                if decoded is None or decoded[0] * decoded[1] == 0:
                     h = int.from_bytes(
                         hashlib.md5(bytes(b)).digest()[:8], "big"
                     )

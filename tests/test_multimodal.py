@@ -582,3 +582,26 @@ def test_phash_pair_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_zero_pixel_payload_does_not_kill_batch(spark):
+    """A decodable 0-pixel payload once made dhash64 raise inside
+    the Arrow kernel, killing every row in the batch (r9 fix): it
+    must route to the md5 fallback (decoded=False semantics) while
+    the rest of the batch hashes normally."""
+    from football_data_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, encode_ppm(0, 0, b"")),
+            (2, encode_ppm(4, 4, bytes(range(48)))),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r for r in image_phash(assets).collect()}
+    assert len(got) == 2
+    assert not got[1].decoded
+    assert got[2].decoded
