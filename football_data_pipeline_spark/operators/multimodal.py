@@ -313,18 +313,18 @@ def resize_nearest(
     width: int, height: int, rgb: bytes, new_width: int, new_height: int
 ) -> bytes:
     """Nearest-neighbor resample of top-down RGB bytes; source index
-    is the floor mapping ``sx = x * src // dst`` on both axes."""
-    out = bytearray(new_width * new_height * 3)
-    xs = [(x * width) // new_width for x in range(new_width)]
-    for y in range(new_height):
-        sy = (y * height) // new_height
-        row_base = sy * width
-        dst = y * new_width * 3
-        for i, sx in enumerate(xs):
-            s = (row_base + sx) * 3
-            d = dst + i * 3
-            out[d : d + 3] = rgb[s : s + 3]
-    return bytes(out)
+    is the floor mapping ``sx = x * src // dst`` on both axes. One
+    numpy fancy-index gather (r9 — the per-pixel Python loop this
+    replaces dominated at real image sizes). Requires a non-empty
+    source; callers route 0-pixel payloads to their fallback path."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError("resize_nearest requires at least one source pixel")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ys = (np.arange(new_height) * height) // new_height
+    xs = (np.arange(new_width) * width) // new_width
+    return px[np.ix_(ys, xs)].tobytes()
 
 FEATURE_SCHEMA = (
     "asset_id long, mime string, n_bytes long, checksum string, "
@@ -456,7 +456,12 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
 
     def one(b, mime):
         decoded = try_decode_pixels(b)
-        if decoded is None:
+        # 0-pixel payloads are decodable but have no source pixels to
+        # sample — take the byte-truncation fallback like
+        # undecodables (previously the resample produced a
+        # wrong-length buffer and the re-encode raised, killing the
+        # whole Arrow batch; r9 fix)
+        if decoded is None or decoded[0] * decoded[1] == 0:
             return bytes(b)[:target].ljust(target, b"\0"), mime
         w0, h0, rgb = decoded
         return (
@@ -495,6 +500,8 @@ def image_stats(assets: DataFrame) -> DataFrame:
     NULL-stats row with decoded=false rather than fake numbers."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
@@ -504,16 +511,23 @@ def image_stats(assets: DataFrame) -> DataFrame:
                     continue
                 w, h, rgb = decoded
                 n = w * h
+                if n == 0:
+                    # decodable but statless — NULL stats like
+                    # image_quality_stats, never a ZeroDivisionError
+                    # that kills the Arrow batch (r9 fix)
+                    rows.append((aid, w, h, None, None, None, True))
+                    continue
+                # exact integer channel sums (numpy int64 == the
+                # Python sum() this replaces, bit-for-bit after the
+                # float division)
+                ch = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
                 rows.append(
-                    (
-                        aid,
-                        w,
-                        h,
-                        sum(rgb[0::3]) / n,
-                        sum(rgb[1::3]) / n,
-                        sum(rgb[2::3]) / n,
-                        True,
-                    )
+                    (aid, w, h, ch[0] / n, ch[1] / n, ch[2] / n, True)
                 )
             yield pd.DataFrame(
                 rows,

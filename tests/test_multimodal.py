@@ -605,3 +605,30 @@ def test_phash_zero_pixel_payload_does_not_kill_batch(spark):
     assert len(got) == 2
     assert not got[1].decoded
     assert got[2].decoded
+
+
+def test_resize_and_stats_survive_zero_pixel_payload(spark):
+    """The other two image kernels share image_phash's one-bad-row
+    rule (r9): a decodable 0-pixel payload takes resize_images'
+    byte-truncation fallback and image_stats' NULL-stats row; the
+    rest of the batch is untouched."""
+    from football_data_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        image_stats,
+        resize_images,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, encode_ppm(0, 0, b""), {"mime": "image/ppm"}),
+            (2, encode_ppm(2, 2, bytes(range(12))), {"mime": "image/ppm"}),
+        ],
+        "asset_id long, payload binary, meta map<string,string>",
+    )
+    resized = {r.asset_id: r for r in resize_images(assets, 4, 4).collect()}
+    assert len(resized) == 2
+    assert resized[1].mime == "image/ppm" and len(resized[1].payload) == 16
+    assert resized[2].mime == "image/ppm"
+    stats = {r.asset_id: r for r in image_stats(assets.drop("meta")).collect()}
+    assert stats[1].decoded and stats[1].mean_r is None
+    assert stats[2].decoded and stats[2].mean_r is not None
