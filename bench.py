@@ -120,9 +120,12 @@ HEADLINE = [
     # the ER heavyweight — two-batch resolve + learn write-back —
     # gets timing accountability now that its plan is lineage-bounded
     # (<400 exchanges, tests/test_resolution.py), VERDICT r8 item 2;
-    # and the video→frame→image-dedup bridge (VERDICT r8 item 3)
+    # the video→frame→image-dedup bridge (VERDICT r8 item 3); and the
+    # audio envelope-fingerprint near-dup (the triad's last dedup
+    # member)
     "q_learned_mapping",
     "q_video_frame_dedup",
+    "q_audio_near_dup",
 ]
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.

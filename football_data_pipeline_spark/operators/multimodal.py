@@ -687,11 +687,24 @@ def phash_near_dup(
     the star + rep-pair output encodes the full pair set without
     materializing its quadratic closure.
     """
+    return hash_near_dup(image_phash(assets), max_hamming)
+
+
+def hash_near_dup(
+    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """The banded near-dup pass over ANY 4×16-bit fingerprint table
+    ``(asset_id, decoded, band0..band3)`` — the machinery behind
+    phash_near_dup, public (r9) so other perceptual fingerprints
+    (the audio envelope fingerprint, audiodedup.py) reuse the
+    star-collapse + band-blocking + Hamming-verify pipeline instead
+    of reimplementing it. Same pigeonhole guarantee: ≤3 differing
+    bits ⇒ ≥1 equal band."""
     # cached for the four consumers inside the pair plan (group,
     # stars, both verify sides) — released before returning via the
     # localCheckpoint at the end, which pins only the (small) pair
     # result instead of the per-asset hash table
-    hashes = image_phash(assets).cache()
+    hashes = hashes.cache()
     # materialize the (small) pair result and release the hash cache
     # — returning a lazy plan over the cached table would leave the
     # per-asset hashes pinned in executor memory for the session

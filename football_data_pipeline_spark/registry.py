@@ -125,6 +125,12 @@ CHECK_PRIORITY = [
     # redact + exact-dedup stages — took the head slot q_heavy_hitters
     # (discretionary r6 refresh, green r6 row stands) yielded back:
     "q_release_drops",
+    # operators/audiodedup.py NEW (r9): audio envelope-fingerprint
+    # near-dup through the SHARED banded pair pass
+    # (multimodal.hash_near_dup), planted-fingerprint oracle — took
+    # the head slot q_temperature_sample (discretionary r6 refresh,
+    # green r6 row stands) yielded back:
+    "q_audio_near_dup",
     # --- freshness: the 34 queries whose latest green driver row is
     # round 5 (the oldest rows in the ledger — the relational/
     # timeseries/text pack plus the two yielded flatten extracts),
@@ -163,14 +169,14 @@ CHECK_PRIORITY = [
     "q_kpi_ratio",
     "q_asof_join",
     "q_corpus_diff",
-    # --- freshness, next-oldest tier (green r6 rows), first five in
+    # --- freshness, next-oldest tier (green r6 rows), first four in
     # the r8 tail's listing order — fills the head to exactly the cap
-    # (q_heavy_hitters and q_bloom_semi yielded their slots to the
-    # touched-module entries above; both keep green r6 rows AND both
-    # are bench headliners, so they retain plan + timing coverage):
+    # (q_heavy_hitters, q_bloom_semi and q_temperature_sample yielded
+    # their slots to the touched-module entries above; all keep green
+    # r6 rows, and the first two are bench headliners so they retain
+    # plan + timing coverage):
     "q_ewma",
     "q_mixture_epochs",
-    "q_temperature_sample",
     "q_salted_distinct",
     "q_salted_join",
 ]
@@ -199,7 +205,13 @@ CHECK_PRIORITY = [
 #   invalidated by it (all byte-untouched except multimodal/video,
 #   already in head). audio.py is byte-untouched (q_audio_stats
 #   keeps its green r8 row).
-# - bench.py (+q_learned_mapping, +q_video_frame_dedup headliners),
+# - operators/audiodedup.py NEW (r9): q_audio_near_dup IN HEAD. It
+#   IMPORTS audio.py (codec/pcm helpers) and multimodal.py (the
+#   shared banded pair pass) — cross-imports invalidate nothing
+#   (audio.py stays byte-untouched, q_audio_stats keeps its green r8
+#   row; multimodal.py is touched and its query is in head anyway).
+# - bench.py (+q_learned_mapping, +q_video_frame_dedup,
+#   +q_audio_near_dup headliners),
 #   tools/*, tests/*, registry.py curation lists: no runtime query
 #   lineage.
 # Everything in ROTATE_TAIL holds a green r6 or r8 driver row
@@ -294,6 +306,7 @@ ROTATE_TAIL = [
     "q_star_join",
     "q_cube_report",
     "q_gopher_rules",
+    "q_temperature_sample",
     "q_heavy_hitters",
     "q_bloom_semi",
     "q_hll_audit",
