@@ -36,7 +36,11 @@ breaks the value hash.
 the payload column (numpy per batch, no shuffle); everything
 pair-shaped is hash_near_dup's banded equi-joins over
 representatives — never all-pairs, identical scaling argument to
-the image pass (multimodal.py docstring).
+the image pass (multimodal.py docstring). 10x probe (sf0.1 docs
+replicated 10x, tools/scale_probe.py, medians of 3): 1.34 -> 3.87 s
+for 10x assets AND 10x output pairs — sub-linear per row, fixed
+plan cost dominating at 1x; star pairs grow with the corpus while
+rep-level candidates stay bounded by the class count.
 """
 
 from __future__ import annotations

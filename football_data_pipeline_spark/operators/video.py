@@ -483,6 +483,11 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair set and breaks the value hash."""
     from .multimodal import phash_near_dup
 
+    # 10x probe (sf0.1 docs replicated 10x, tools/scale_probe.py,
+    # medians of 3): 3.18 -> 19.86 s for 10x clips AND 10x output
+    # pairs — sub-linear per row; the Arrow synth/sample/dHash kernel
+    # dominates (partition-parallel), the banded pair stage stays
+    # bounded by the class count
     docs = load(spark, sf_dir, "documents")
     frames = sample_frames_y4m(synth_patterned_clips(docs), every_n=FRAME_EVERY_N)
     stills = frames.select(

@@ -51,6 +51,14 @@ PROBED = [
     "q_dedup_incremental",
     "q_containment",
     "q_line_dedup",
+    # r9 media-dedup probes: both synthesize assets from documents
+    # (doc_id arithmetic spreads unchanged under the probe's
+    # doc_id*16+copy_i re-spread), fingerprint in one Arrow pass, and
+    # pair through the shared banded hash_near_dup — star pairs grow
+    # linearly with the corpus, rep-level near pairs stay bounded by
+    # the class count, so the pass criterion is plain linearity
+    "q_video_frame_dedup",
+    "q_audio_near_dup",
 ]
 
 #: vector-side probes (round 4) — need the 10× embeddings build too.
