@@ -280,9 +280,14 @@ def audio_quality_gate(
 def resample_nearest(rate_in: int, samples, rate_out: int):
     """Nearest-neighbor PCM resample (the audio twin of the image
     resize kernel): output sample j takes input floor(j*rate_in/
-    rate_out) — real resampling for gate/thumbnail purposes."""
+    rate_out) — real resampling for gate/thumbnail purposes. An
+    empty signal resamples to an empty signal (the min-1-output
+    clamp once indexed samples[-1] of an empty array; r9 fix, the
+    0-pixel rule's audio twin)."""
     import numpy as np
 
+    if len(samples) == 0:
+        return samples[:0]
     n_out = max(1, int(round(len(samples) * rate_out / rate_in)))
     idx = np.minimum(
         (np.arange(n_out) * rate_in // rate_out).astype("int64"),

@@ -131,6 +131,11 @@ CHECK_PRIORITY = [
     # the head slot q_temperature_sample (discretionary r6 refresh,
     # green r6 row stands) yielded back:
     "q_audio_near_dup",
+    # operators/audio.py edited late in r9 (resample_nearest
+    # empty-signal guard — helper-only, but byte-changed, so its
+    # query re-checks; q_salted_distinct, discretionary r6 refresh,
+    # yielded its slot):
+    "q_audio_stats",
     # --- freshness: the 34 queries whose latest green driver row is
     # round 5 (the oldest rows in the ledger — the relational/
     # timeseries/text pack plus the two yielded flatten extracts),
@@ -177,7 +182,6 @@ CHECK_PRIORITY = [
     # plan + timing coverage):
     "q_ewma",
     "q_mixture_epochs",
-    "q_salted_distinct",
     "q_salted_join",
 ]
 
@@ -208,8 +212,9 @@ CHECK_PRIORITY = [
 # - operators/audiodedup.py NEW (r9): q_audio_near_dup IN HEAD. It
 #   IMPORTS audio.py (codec/pcm helpers) and multimodal.py (the
 #   shared banded pair pass) — cross-imports invalidate nothing
-#   (audio.py stays byte-untouched, q_audio_stats keeps its green r8
-#   row; multimodal.py is touched and its query is in head anyway).
+#   (multimodal.py is touched and its query is in head anyway).
+#   audio.py WAS later touched in r9 (resample_nearest empty-signal
+#   guard), so q_audio_stats re-checks in head.
 # - bench.py (+q_learned_mapping, +q_video_frame_dedup,
 #   +q_audio_near_dup headliners),
 #   tools/*, tests/*, registry.py curation lists: no runtime query
@@ -225,7 +230,6 @@ CARRY_TO_NEXT_ROUND: list[str] = [
 ROTATE_TAIL = [
     # green r8 driver rows (CORRECTNESS_r08.json), modules untouched
     # in r9:
-    "q_audio_stats",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",
@@ -306,6 +310,7 @@ ROTATE_TAIL = [
     "q_star_join",
     "q_cube_report",
     "q_gopher_rules",
+    "q_salted_distinct",
     "q_temperature_sample",
     "q_heavy_hitters",
     "q_bloom_semi",

@@ -171,3 +171,13 @@ def test_thresholds_scale_with_bit_depth(spark):
     )
     r16 = audio_stats(a16).collect()[0]
     assert r16.clip_ratio == 1.0 and r16.silence_ratio == 0.0
+
+
+def test_resample_empty_signal_returns_empty():
+    """The 0-pixel rule's audio twin (r9): an empty signal must
+    resample to an empty signal, not index samples[-1] of an empty
+    array."""
+    import numpy as np
+
+    out = resample_nearest(8000, np.array([], dtype="float64"), 4000)
+    assert len(out) == 0
