@@ -140,6 +140,10 @@ HEADLINE = [
 #: q_learned_mapping joined in r9: it runs the SAME two-phase
 #: cascade as q_fuzzy_join twice (batch 1 + learned batch 2), so it
 #: inherits q_fuzzy_join's JIT/cache straddling verbatim.
+#: q_video_frame_dedup joined late in r9: its phash pair stage
+#: materializes eagerly (localCheckpoint) like q_dedup_minhash's
+#: signature cache, giving the same early-trial straddle (spread
+#: ~1.5 s on a 3.5 s median at trials=3 in the r9 validation runs).
 NOISY_QUERIES = {
     "q_fuzzy_join",
     "q_star_join",
@@ -147,6 +151,7 @@ NOISY_QUERIES = {
     "q_upcoming_games",
     "q_ngram_jaccard",
     "q_learned_mapping",
+    "q_video_frame_dedup",
 }
 NOISY_TRIALS = 6
 
