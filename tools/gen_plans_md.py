@@ -92,6 +92,12 @@ KNOWN_NOTES = {
         "tests/test_multimodal.py and the end-to-end result is "
         "oracle-checked"
     ),
+    "q_audio_near_dup": (
+        "plan ends at hash_near_dup's localCheckpoint scan (same "
+        "eager-upstream story as q_video_frame_dedup — the SHARED "
+        "banded pair pass, whose shape the _phash_pair_plan pytest "
+        "locks); end-to-end result oracle-checked"
+    ),
 }
 
 
