@@ -136,6 +136,11 @@ CHECK_PRIORITY = [
     # query re-checks; q_salted_distinct, discretionary r6 refresh,
     # yielded its slot):
     "q_audio_stats",
+    # streaming/media.py NEW (r9): the streaming media gate's
+    # classification stage — mixed-kind dispatch + all three tier
+    # gates, analytic oracle (q_ewma, discretionary r6 refresh,
+    # yielded its slot):
+    "q_media_gate",
     # --- freshness: the 34 queries whose latest green driver row is
     # round 5 (the oldest rows in the ledger — the relational/
     # timeseries/text pack plus the two yielded flatten extracts),
@@ -180,7 +185,6 @@ CHECK_PRIORITY = [
     # their slots to the touched-module entries above; all keep green
     # r6 rows, and the first two are bench headliners so they retain
     # plan + timing coverage):
-    "q_ewma",
     "q_mixture_epochs",
     "q_salted_join",
 ]
@@ -310,6 +314,7 @@ ROTATE_TAIL = [
     "q_star_join",
     "q_cube_report",
     "q_gopher_rules",
+    "q_ewma",
     "q_salted_distinct",
     "q_temperature_sample",
     "q_heavy_hitters",

@@ -40,6 +40,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 #: the normalized audit row every tier's gate output maps onto
 _GATED_COLS = ("asset_id", "kind", "reason")
 
@@ -131,3 +133,144 @@ def start_media_gate_pipeline(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def synth_gate_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, kind, payload): a mixed-kind asset table with
+    CLOSED-FORM gate verdicts, one image/audio/video asset per doc
+    (ids doc_id*4 / +1 / +2) plus an unknown-kind row for every 10th
+    doc (+3) — the driver fixture for q_media_gate:
+
+    - image: doc_id%5==0 → 4×4 checker (too_small); else doc_id%3==0
+      → 16×16 flat gray (flat); else 16×16 checker (keep);
+    - audio: audio.synth_tone_assets (too_short when the closed-form
+      sample count 160+(len(text)%200)*8 < 400, clipped every 7th
+      doc, else keep);
+    - video: video.synth_clip_assets (static when 4+doc_id%13 ≥ 8
+      frames with zero luma-wrap scene jumps, else keep — never
+      too_short at 25 fps)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.audio import synth_tone_assets
+    from ..operators.multimodal import encode_ppm
+    from ..operators.video import synth_clip_assets
+
+    def img_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        checker16 = bytes(
+            v
+            for y in range(16)
+            for x in range(16)
+            for v in ((255, 255, 255) if (x + y) % 2 == 0 else (0, 0, 0))
+        )
+        checker4 = bytes(
+            v
+            for y in range(4)
+            for x in range(4)
+            for v in ((255, 255, 255) if (x + y) % 2 == 0 else (0, 0, 0))
+        )
+        flat16 = bytes([100, 100, 100]) * 256
+        ppm = {
+            "small": encode_ppm(4, 4, checker4),
+            "flat": encode_ppm(16, 16, flat16),
+            "ok": encode_ppm(16, 16, checker16),
+        }
+        for pdf in batches:
+            payloads = [
+                ppm[
+                    "small"
+                    if d % 5 == 0
+                    else ("flat" if d % 3 == 0 else "ok")
+                ]
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"] * 4, "payload": payloads}
+            )
+
+    image = docs.select("doc_id").mapInPandas(
+        img_kernel, schema="asset_id long, payload binary"
+    ).select("asset_id", F.lit("image").alias("kind"), "payload")
+    audio = synth_tone_assets(docs).select(
+        (F.col("asset_id") * 4 + 1).alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        "payload",
+    )
+    video = synth_clip_assets(docs).select(
+        (F.col("asset_id") * 4 + 2).alias("asset_id"),
+        F.lit("video").alias("kind"),
+        "payload",
+    )
+    unknown = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") * 4 + 3).alias("asset_id"),
+        F.lit("gif").alias("kind"),
+        F.encode(F.lit("GIF89a..."), "UTF-8").alias("payload"),
+    )
+    return image.unionByName(audio).unionByName(video).unionByName(unknown)
+
+
+def _media_gate_oracle() -> str:
+    # every tier's verdict recomputed analytically from doc_id/text
+    # arithmetic: image from the synth's size/flatness cases (gate
+    # precedence too_small before flat), audio from the tone synth's
+    # closed forms (too_short before clipped; silence never fires),
+    # video from the clip synth's luma-wrap jump count
+    from ..operators.video import SCENE_DELTA
+
+    luma = "CAST((doc_id * 31 + k * 17) % 256 AS DOUBLE)"
+    prev = "CAST((doc_id * 31 + (k - 1) * 17) % 256 AS DOUBLE)"
+    return f"""
+    WITH img AS (
+      SELECT CAST(doc_id * 4 AS BIGINT) AS asset_id,
+             'image' AS kind,
+             CASE WHEN doc_id % 5 = 0 THEN 'too_small'
+                  WHEN doc_id % 3 = 0 THEN 'flat' END AS reason
+      FROM documents
+    ),
+    aud AS (
+      SELECT CAST(doc_id * 4 + 1 AS BIGINT) AS asset_id,
+             'audio' AS kind,
+             CASE WHEN 160 + (coalesce(length(text), 0) % 200) * 8 < 400
+                    THEN 'too_short'
+                  WHEN doc_id % 7 = 0 THEN 'clipped' END AS reason
+      FROM documents
+    ),
+    vid AS (
+      SELECT CAST(doc_id * 4 + 2 AS BIGINT) AS asset_id,
+             'video' AS kind,
+             CASE WHEN 4 + doc_id % 13 >= 8
+                   AND coalesce(list_sum(list_transform(
+                         range(1, 4 + doc_id % 13),
+                         k -> CASE WHEN abs({luma} - {prev})
+                                        >= {SCENE_DELTA}
+                                   THEN 1 ELSE 0 END)), 0) = 0
+                   THEN 'static' END AS reason
+      FROM documents
+    ),
+    unk AS (
+      SELECT CAST(doc_id * 4 + 3 AS BIGINT) AS asset_id,
+             'gif' AS kind,
+             'unknown_kind' AS reason
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT asset_id, kind, reason FROM img
+    UNION ALL SELECT asset_id, kind, reason FROM aud
+    UNION ALL SELECT asset_id, kind, reason FROM vid
+    UNION ALL SELECT asset_id, kind, reason FROM unk
+    """
+
+
+@query("q_media_gate", oracle=_media_gate_oracle())
+def q_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming media gate's classification stage end-to-end:
+    synthesize the mixed-kind asset table with closed-form verdicts,
+    run the REAL kind dispatch + all three tier gates (decode
+    kernels included), return (asset_id, kind, reason). The oracle
+    recomputes every verdict analytically — a drift in the dispatch,
+    any gate's thresholds or precedence, or any codec breaks the
+    value hash."""
+    from ..catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    return gate_media_batch(synth_gate_assets(docs))
