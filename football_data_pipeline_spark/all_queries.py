@@ -11,6 +11,7 @@ from .operators import (  # noqa: F401
     bpe,
     chunking,
     cdc,
+    curation,
     datacard,
     dedup,
     dims,
@@ -50,4 +51,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, media, audio, audiodedup, bpe, cdc, chunking, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [windowed, media, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

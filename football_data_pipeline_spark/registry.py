@@ -141,6 +141,10 @@ CHECK_PRIORITY = [
     # gates, analytic oracle (q_ewma, discretionary r6 refresh,
     # yielded its slot):
     "q_media_gate",
+    # operators/curation.py NEW (r9): quality-aware canonical
+    # selection (keep-the-best-copy exact dedup), composed oracle
+    # (q_mixture_epochs, discretionary r6 refresh, yielded its slot):
+    "q_dedup_best_of_group",
     # --- freshness: the 34 queries whose latest green driver row is
     # round 5 (the oldest rows in the ledger — the relational/
     # timeseries/text pack plus the two yielded flatten extracts),
@@ -185,7 +189,6 @@ CHECK_PRIORITY = [
     # their slots to the touched-module entries above; all keep green
     # r6 rows, and the first two are bench headliners so they retain
     # plan + timing coverage):
-    "q_mixture_epochs",
     "q_salted_join",
 ]
 
@@ -315,6 +318,7 @@ ROTATE_TAIL = [
     "q_cube_report",
     "q_gopher_rules",
     "q_ewma",
+    "q_mixture_epochs",
     "q_salted_distinct",
     "q_temperature_sample",
     "q_heavy_hitters",
