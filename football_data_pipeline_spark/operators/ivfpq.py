@@ -479,14 +479,14 @@ def ivfpq_recall(
         .agg(F.sum("d2_fp").cast("long").alias("dist_fp"))
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.asc("dist_fp"), F.asc("vec_id"))
-    shortlist = (
+    shortlisted = (
         adc.withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= shortlist)
         .select("q_id", "vec_id")
     )
     w_rr = Window.partitionBy("q_id").orderBy(F.asc("__rd2"), F.asc("vec_id"))
     rerank = (
-        shortlist.join(F.broadcast(qfull), "q_id")
+        shortlisted.join(F.broadcast(qfull), "q_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .withColumn("__rd2", _d2(F.col("q_emb"), F.col("embedding")))
         .withColumn("rn", F.row_number().over(w_rr))

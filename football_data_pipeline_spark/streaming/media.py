@@ -16,7 +16,8 @@ multimodal.classify_image_quality (undecodable / too_small /
 bad_aspect / flat), ``audio`` → audio.audio_quality_gate (undecoded
 / too_short / clipped / silent), ``video`` →
 video.video_quality_gate (undecoded / too_short / static). A kind
-the gate table doesn't know is AUDITED as ``unknown_kind`` — the
+the gate table doesn't know — including a NULL kind, which shows up
+in the audit as ``'unknown'`` — is AUDITED as ``unknown_kind``; the
 rejects-audited-never-silent contract extends to misrouted rows.
 
 Exactly-once: each batch's two outputs are overwrite-mode writes
@@ -79,10 +80,19 @@ def gate_media_batch(batch: DataFrame) -> DataFrame:
             F.when(F.col("verdict") != "ok", F.col("verdict")).alias("reason"),
         )
     )
-    other = payloads.filter(~F.col("kind").isin("image", "audio", "video"))
+    # NULL-kind guard (VERDICT r9 item 1): under three-valued logic a
+    # bare ~isin(...) evaluates NULL for NULL kind and the row would
+    # match NO branch — a silent drop that breaks the exactly-one-of
+    # drops/manifest closure. NULL kinds route here explicitly and
+    # surface as kind='unknown' in the audit.
+    other = payloads.filter(
+        F.col("kind").isNull() | ~F.col("kind").isin("image", "audio", "video")
+    )
     parts.append(
         other.select(
-            "asset_id", "kind", F.lit("unknown_kind").alias("reason")
+            "asset_id",
+            F.coalesce(F.col("kind"), F.lit("unknown")).alias("kind"),
+            F.lit("unknown_kind").alias("reason"),
         )
     )
     out = parts[0]
@@ -138,8 +148,11 @@ def start_media_gate_pipeline(
 def synth_gate_assets(docs: DataFrame) -> DataFrame:
     """(asset_id, kind, payload): a mixed-kind asset table with
     CLOSED-FORM gate verdicts, one image/audio/video asset per doc
-    (ids doc_id*4 / +1 / +2) plus an unknown-kind row for every 10th
-    doc (+3) — the driver fixture for q_media_gate:
+    (ids doc_id*4 / +1 / +2) plus, in the shared +3 slot, an
+    unknown-kind row for every doc_id%10==0 and a NULL-kind row for
+    every doc_id%10==5 (disjoint, so ids stay unique) — the driver
+    fixture for q_media_gate; the NULL rows pin the r9 verdict's
+    silent-drop fix (NULL kind → kind='unknown', unknown_kind):
 
     - image: doc_id%5==0 → 4×4 checker (too_small); else doc_id%3==0
       → 16×16 flat gray (flat); else 16×16 checker (keep);
@@ -207,7 +220,17 @@ def synth_gate_assets(docs: DataFrame) -> DataFrame:
         F.lit("gif").alias("kind"),
         F.encode(F.lit("GIF89a..."), "UTF-8").alias("payload"),
     )
-    return image.unionByName(audio).unionByName(video).unionByName(unknown)
+    nullkind = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") * 4 + 3).alias("asset_id"),
+        F.lit(None).cast("string").alias("kind"),
+        F.encode(F.lit("???"), "UTF-8").alias("payload"),
+    )
+    return (
+        image.unionByName(audio)
+        .unionByName(video)
+        .unionByName(unknown)
+        .unionByName(nullkind)
+    )
 
 
 def _media_gate_oracle() -> str:
@@ -253,11 +276,20 @@ def _media_gate_oracle() -> str:
              'gif' AS kind,
              'unknown_kind' AS reason
       FROM documents WHERE doc_id % 10 = 0
+    ),
+    nullkind AS (
+      -- the r9 silent-drop fix pinned: NULL kind surfaces as
+      -- kind='unknown' with reason='unknown_kind', never vanishes
+      SELECT CAST(doc_id * 4 + 3 AS BIGINT) AS asset_id,
+             'unknown' AS kind,
+             'unknown_kind' AS reason
+      FROM documents WHERE doc_id % 10 = 5
     )
     SELECT asset_id, kind, reason FROM img
     UNION ALL SELECT asset_id, kind, reason FROM aud
     UNION ALL SELECT asset_id, kind, reason FROM vid
     UNION ALL SELECT asset_id, kind, reason FROM unk
+    UNION ALL SELECT asset_id, kind, reason FROM nullkind
     """
 
 

@@ -47,14 +47,17 @@ def _mixed_rows():
         (5, "video", _clip([0, 100] * 4)),                   # keep
         (6, "video", _clip([50] * 10)),                      # static
         (7, "gif", b"GIF89a..."),                            # unknown kind
+        (9, None, b"???"),  # NULL kind — must be audited, never dropped
     ]
 
 
 def test_gate_media_batch_closure_and_reasons(spark):
     batch = spark.createDataFrame(_mixed_rows(), SCHEMA)
     got = {r.asset_id: r for r in gate_media_batch(batch).collect()}
-    # closure: every input asset classified exactly once
-    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    # closure: every input asset classified exactly once — including
+    # the NULL-kind row, which the r9 verdict caught vanishing under
+    # three-valued ~isin logic
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 9}
     reasons = {a: r.reason for a, r in got.items()}
     assert reasons == {
         1: None,
@@ -64,8 +67,10 @@ def test_gate_media_batch_closure_and_reasons(spark):
         5: None,
         6: "static",
         7: "unknown_kind",
+        9: "unknown_kind",
     }
     assert got[7].kind == "gif"  # misrouted rows keep their kind
+    assert got[9].kind == "unknown"  # NULL kind surfaces as 'unknown'
 
 
 def test_writer_layout_and_replay_idempotence(spark, tmp_path):
@@ -86,6 +91,7 @@ def test_writer_layout_and_replay_idempotence(spark, tmp_path):
     kept = {r.asset_id for r in read("media_assets").collect()}
     assert drops == {
         2: "flat", 4: "clipped", 6: "static", 7: "unknown_kind", 8: "silent",
+        9: "unknown_kind",
     }
     assert kept == {1, 3, 5}
     # crash-replay of batch 0 reproduces the identical state
@@ -120,4 +126,4 @@ def test_stream_end_to_end_two_files(spark, tmp_path):
     ids = {r.asset_id for r in drops.collect()} | {
         r.asset_id for r in kept.collect()
     }
-    assert ids == {1, 2, 3, 4, 5, 6, 7}
+    assert ids == {1, 2, 3, 4, 5, 6, 7, 9}
