@@ -4,7 +4,7 @@
 fully-populated registry.
 """
 
-from .streaming import media, windowed  # noqa: F401
+from .streaming import media, mediadedup, windowed  # noqa: F401
 from .operators import (  # noqa: F401
     audio,
     audiodedup,
@@ -51,4 +51,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, media, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [windowed, media, mediadedup, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

@@ -1,0 +1,444 @@
+"""Streaming media near-dup funnel — the last missing member of the
+funnel family (text: pipeline.dedup_batch_writer screens documents
+against accepted minhash history; vectors: vectors.py screens
+embeddings against the accepted sig_index; this module screens
+arriving MEDIA assets against the accepted perceptual-fingerprint
+history). Reference parity: none — LLM-data-pipeline extension
+(SURVEY.md §2 scale extensions; VERDICT r9 item 2).
+
+Fingerprints are the batch tiers' OWN kernels, never re-implemented:
+``image`` → multimodal.image_phash (dHash), ``audio`` →
+audiodedup.audio_fingerprint (envelope-difference bits), ``video`` →
+video.sample_frames_y4m stills pushed through image_phash (the
+q_video_frame_dedup bridge) — one fingerprint row per sampled frame.
+All three share the 4×16-bit band layout, so ONE probe geometry
+serves every kind: a fingerprint within DHASH_MAX_HAMMING (3) bits
+of another is guaranteed ≥ 1 equal band (pigeonhole), and the
+history probe is a single (band_idx, band_val)-keyed equi join —
+history is never self-paired, so per-batch cost is
+arrival × bucket occupancy, the incremental-dedup asymptote.
+
+Per micro-batch N (the vectors.py resolution protocol, media form)::
+
+    {root}/rejected/batch_id=N   (asset_id, kind, dup_of, hamming, scope)
+    {root}/accepted/batch_id=N   (asset_id, kind)
+    {root}/fp_index/batch_id=N   (asset_id, kind, fp_seq, decoded, band0..3)
+
+1. same-asset_id re-collections collapse deterministically (min
+   (kind, payload) wins); unknown/NULL kinds reject up front with
+   ``scope='unknown_kind'`` — rejects audited, never silent;
+2. history near-dups: batch fingerprints probe ``{root}/fp_index``
+   (ACCEPTED assets only — a rejected near-copy can never evict
+   future arrivals) by one band-keyed equi join + exact Hamming
+   verify; best owner per asset = min (hamming, owner id);
+3. within-batch near-dups: fingerprint pairs from the SHARED banded
+   pass (multimodal.hash_near_dup: star collapse + band blocking +
+   Hamming verify), lifted to asset pairs, clustered with
+   dedup.connected_components; each cluster's min asset id is
+   canonical, the rest reject with ``dup_of`` = the canonical and
+   ``hamming`` = their best DIRECT match (Hamming is not transitive
+   across a component, so the direct number is the honest audit
+   value — the vectors.py cosine argument);
+4. history owns on overlap; a batch owner not itself
+   history-rejected is accepted, so ``dup_of`` chains terminate in
+   the accepted corpus in ≤ 2 hops, never dangling;
+5. survivors land in ``accepted`` and their fingerprints in
+   ``fp_index``; every write is a batchId-keyed partition overwrite
+   (crash-replay of batch N rewrites byte-equivalent partitions),
+   every history read prunes to ``batch_id < N``, and the index
+   folds into a compacted base on the shared cadence
+   (pipeline.compact_history).
+
+Exactly-once + compaction inherit pipeline.py's proofs verbatim —
+this module adds no new history mechanics, only the media
+fingerprint geometry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import DHASH_BANDS, DHASH_MAX_HAMMING
+from ..registry import query
+from .pipeline import HIST_COMPACT_EVERY, _maybe_compact_history, _read_history
+
+#: composite fingerprint-row key: fid = asset_id * FRAME_KEY + fp_seq
+#: (fp_seq = sampled-frame index for video, 0 for image/audio). The
+#: guard in media_fingerprints keeps fp_seq < FRAME_KEY so the
+#: decomposition is exact.
+FRAME_KEY = 1_000_000
+
+#: sampled-frame stride for the video tier (the q_video_frame_dedup
+#: bridge's constant)
+MEDIA_FRAME_EVERY_N = 4
+
+_BAND_COLS = [f"band{i}" for i in range(DHASH_BANDS)]
+_FP_COLS = ["asset_id", "kind", "fp_seq", "decoded", *_BAND_COLS]
+
+
+def media_fingerprints(
+    batch: DataFrame, frame_every_n: int = MEDIA_FRAME_EVERY_N
+) -> DataFrame:
+    """(asset_id, kind, fp_seq, decoded, band0..3): every media
+    asset's perceptual fingerprints via the batch tiers' own Arrow
+    kernels — one row for image/audio (fp_seq 0), one per sampled
+    frame for video (fp_seq = frame index). Non-media kinds get NO
+    row here; the writer audits them before fingerprinting.
+    Undecodable payloads fall back to the kernels' md5 bands
+    (decoded=false): byte-exact duplicates still collide."""
+    from ..operators.audiodedup import audio_fingerprint
+    from ..operators.multimodal import image_phash
+    from ..operators.video import sample_frames_y4m
+
+    payloads = batch.select("asset_id", "kind", "payload")
+    img = image_phash(
+        payloads.filter(F.col("kind") == "image").select("asset_id", "payload")
+    ).select(
+        "asset_id",
+        F.lit("image").alias("kind"),
+        F.lit(0).alias("fp_seq"),
+        "decoded",
+        *_BAND_COLS,
+    )
+    aud = audio_fingerprint(
+        payloads.filter(F.col("kind") == "audio").select("asset_id", "payload")
+    ).select(
+        "asset_id",
+        F.lit("audio").alias("kind"),
+        F.lit(0).alias("fp_seq"),
+        "decoded",
+        *_BAND_COLS,
+    )
+    frames = sample_frames_y4m(
+        payloads.filter(F.col("kind") == "video").select("asset_id", "payload"),
+        every_n=frame_every_n,
+    )
+    stills = frames.select(
+        (F.col("asset_id") * FRAME_KEY + F.col("frame_idx"))
+        .cast("long")
+        .alias("asset_id"),
+        "payload",
+    )
+    vid = image_phash(stills).select(
+        F.expr(f"asset_id DIV {FRAME_KEY}").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        (F.col("asset_id") % FRAME_KEY).cast("int").alias("fp_seq"),
+        "decoded",
+        *_BAND_COLS,
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def _fid(df: DataFrame) -> DataFrame:
+    """Fingerprint rows keyed by the composite fid, in
+    hash_near_dup's input schema (asset_id column = fid)."""
+    return df.select(
+        (F.col("asset_id") * FRAME_KEY + F.col("fp_seq"))
+        .cast("long")
+        .alias("asset_id"),
+        "decoded",
+        *_BAND_COLS,
+    )
+
+
+def media_dup_rejects(
+    fps: DataFrame,
+    hist_fps: DataFrame | None = None,
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """The funnel's classification stage, pure and sink-free (the
+    gate_media_batch pattern): which assets of a fingerprinted batch
+    are near-duplicates, of WHOM, at what distance, and in which
+    scope — (asset_id, kind, dup_of, hamming, scope) with scope ∈
+    {'history', 'batch'}. ``hist_fps`` is the accepted-corpus
+    fingerprint table (None → first batch, within-batch only).
+
+    History resolution: best owner = min (hamming, owner asset_id),
+    one band-keyed equi join, history never self-paired. Batch
+    resolution: shared banded pair pass → asset-level connected
+    components → min-id canonical; history wins on overlap (module
+    docstring, steps 2–4)."""
+    from ..operators.dedup import connected_components
+    from ..operators.multimodal import hash_near_dup
+
+    spark = fps.sparkSession
+    kinds = fps.select("asset_id", "kind").distinct()
+
+    # --- within-batch: fid-level pairs via the SHARED banded pass,
+    # lifted to asset pairs (same-asset frame pairs are not dups)
+    fid_pairs = hash_near_dup(_fid(fps), max_hamming)
+    asset_pairs = (
+        fid_pairs.select(
+            F.expr(f"id_a DIV {FRAME_KEY}").alias("asset_a"),
+            F.expr(f"id_b DIV {FRAME_KEY}").alias("asset_b"),
+            "hamming",
+        )
+        .filter(F.col("asset_a") != F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .localCheckpoint()
+    )
+    comp = connected_components(
+        asset_pairs.select(
+            F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+        )
+    )
+    direct = (
+        asset_pairs.select(F.col("asset_a").alias("asset_id"), "hamming")
+        .unionByName(asset_pairs.select(F.col("asset_b").alias("asset_id"), "hamming"))
+        .groupBy("asset_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    within = (
+        comp.filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias("asset_id"), F.col("component").alias("dup_of"))
+        .join(direct, "asset_id")
+        .withColumn("scope", F.lit("batch"))
+    )
+
+    # --- history probe: batch bands vs accepted-index bands, one
+    # equi join; verify = exact Hamming over the colliding rows
+    if hist_fps is not None:
+        bb = _explode_bands(fps, "b")
+        hb = _explode_bands(hist_fps, "h")
+        cand = (
+            bb.join(
+                hb,
+                (F.col("b_band_idx") == F.col("h_band_idx"))
+                & (F.col("b_band_val") == F.col("h_band_val")),
+            )
+            .select("b_fid", "h_fid")
+            .distinct()
+        )
+        ha = _fid(fps).select(
+            F.col("asset_id").alias("b_fid"),
+            *[F.col(f"band{i}").alias(f"a{i}") for i in range(DHASH_BANDS)],
+        )
+        hh = _fid(hist_fps).select(
+            F.col("asset_id").alias("h_fid"),
+            *[F.col(f"band{i}").alias(f"b{i}") for i in range(DHASH_BANDS)],
+        )
+        ham = None
+        for i in range(DHASH_BANDS):
+            term = F.bit_count(
+                F.col(f"a{i}").cast("long").bitwiseXOR(F.col(f"b{i}").cast("long"))
+            )
+            ham = term if ham is None else ham + term
+        w_owner = Window.partitionBy("asset_id").orderBy(
+            F.asc("hamming"), F.asc("dup_of")
+        )
+        against_hist = (
+            cand.join(ha, "b_fid")
+            .join(hh, "h_fid")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.expr(f"b_fid DIV {FRAME_KEY}").alias("asset_id"),
+                F.expr(f"h_fid DIV {FRAME_KEY}").alias("dup_of"),
+                "hamming",
+            )
+            .withColumn("__rk", F.row_number().over(w_owner))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .withColumn("scope", F.lit("history"))
+        )
+    else:
+        against_hist = spark.createDataFrame(
+            [], "asset_id long, dup_of long, hamming int, scope string"
+        )
+
+    rejected = against_hist.unionByName(
+        within.join(against_hist.select("asset_id"), "asset_id", "left_anti")
+    )
+    return rejected.join(kinds, "asset_id").select(
+        "asset_id", "kind", "dup_of", "hamming", "scope"
+    )
+
+
+def _explode_bands(fps: DataFrame, prefix: str) -> DataFrame:
+    return fps.select(
+        (F.col("asset_id") * FRAME_KEY + F.col("fp_seq"))
+        .cast("long")
+        .alias(f"{prefix}_fid"),
+        F.posexplode(F.array(*[F.col(c) for c in _BAND_COLS])).alias(
+            f"{prefix}_band_idx", f"{prefix}_band_val"
+        ),
+    )
+
+
+def media_dedup_batch_writer(
+    root: str,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    frame_every_n: int = MEDIA_FRAME_EVERY_N,
+    compact_every: int | None = HIST_COMPACT_EVERY,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for a MEDIA stream of (asset_id, kind,
+    payload) rows — the module docstring's five-step protocol.
+    Layout, exactly-once and compaction arguments up top."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idw = Window.partitionBy("asset_id").orderBy("kind", "payload")
+        batch_rows = (
+            batch.withColumn("__rn", F.row_number().over(idw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # unknown/NULL kinds reject up front (the gate's r9 lesson:
+        # NULL-safe predicate, audited as kind='unknown')
+        is_media = F.col("kind").isin("image", "audio", "video")
+        misrouted = batch_rows.filter(F.col("kind").isNull() | ~is_media).select(
+            "asset_id",
+            F.coalesce(F.col("kind"), F.lit("unknown")).alias("kind"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit("unknown_kind").alias("scope"),
+        )
+        media_rows = batch_rows.filter(is_media)
+
+        # one Arrow fingerprint pass, reused by the pair stage, the
+        # history probe and the index write
+        fps = media_fingerprints(media_rows, frame_every_n).localCheckpoint()
+        hist = _read_history(spark, root, "fp_index", batch_id)
+        rejected = media_dup_rejects(fps, hist, max_hamming).unionByName(misrouted)
+        rejected.write.mode("overwrite").parquet(
+            f"{root}/rejected/batch_id={batch_id}"
+        )
+
+        rej = spark.read.parquet(f"{root}/rejected/batch_id={batch_id}").select(
+            "asset_id"
+        )
+        media_rows.join(rej, "asset_id", "left_anti").select(
+            "asset_id", "kind"
+        ).write.mode("overwrite").parquet(f"{root}/accepted/batch_id={batch_id}")
+        # only ACCEPTED fingerprints are indexed — a rejected
+        # near-copy can never evict future arrivals
+        fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/fp_index/batch_id={batch_id}")
+        _maybe_compact_history(spark, root, "fp_index", batch_id, compact_every)
+
+    return write_batch
+
+
+def start_media_dedup_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    root: str,
+    checkpoint: str,
+    trigger: str | None = None,
+):
+    """Wire the funnel: a parquet file source of (asset_id, kind,
+    payload) rows → per-micro-batch screen + audit writes.
+    ``trigger=None`` → availableNow."""
+    schema = "asset_id long, kind string, payload binary"
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+        .writeStream.foreachBatch(media_dedup_batch_writer(root))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+# --- driver oracle: the classification stage over planted tones -----
+
+
+def _media_dedup_oracle() -> str:
+    # the audio tier's planted fingerprints (audiodedup._tone_hash_
+    # rows closed form) split into an accepted HISTORY (doc_id%7==0)
+    # and an ARRIVING batch (the rest): class = (m = doc_id%24,
+    # pert = doc_id%5==0), within-class Hamming 0, base↔perturbed of
+    # the same m exactly 2, cross-group > 3. 7 is coprime to 24·5, so
+    # some classes have NO history member (the CRT modulus 840
+    # exceeds the sf0.01 corpus) — both scopes get real rows.
+    from ..operators.audiodedup import ENV_GROUPS
+
+    return f"""
+    WITH labeled AS (
+      SELECT CAST(doc_id AS BIGINT) AS aid,
+             doc_id % {ENV_GROUPS} AS m,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS pert,
+             doc_id % 7 = 0 AS is_hist
+      FROM documents
+    ),
+    hist_cls AS (
+      SELECT m, pert, min(aid) AS owner FROM labeled
+      WHERE is_hist GROUP BY m, pert
+    ),
+    arr AS (SELECT aid, m, pert FROM labeled WHERE NOT is_hist),
+    hist_hits AS (
+      -- owner preference: same class at hamming 0, else the sibling
+      -- class (same m, other pert) at hamming 2 — min (hamming, id)
+      SELECT a.aid, coalesce(s.owner, o.owner) AS dup_of,
+             CASE WHEN s.owner IS NOT NULL THEN 0 ELSE 2 END AS hamming,
+             'history' AS scope
+      FROM arr a
+      LEFT JOIN hist_cls s ON s.m = a.m AND s.pert = a.pert
+      LEFT JOIN hist_cls o ON o.m = a.m AND o.pert = 1 - a.pert
+      WHERE coalesce(s.owner, o.owner) IS NOT NULL
+    ),
+    grp AS (
+      -- within-batch: every arriving asset of group m is one
+      -- component (base↔perturbed at distance 2 connects the two
+      -- classes); canonical = min arriving id of the m
+      SELECT m, min(aid) AS canon, count(*) AS n FROM arr GROUP BY m
+    ),
+    cls_n AS (
+      SELECT m, pert, count(*) AS n_cls FROM arr GROUP BY m, pert
+    ),
+    batch_rej AS (
+      SELECT a.aid, g.canon AS dup_of,
+             CASE WHEN c.n_cls >= 2 THEN 0 ELSE 2 END AS hamming,
+             'batch' AS scope
+      FROM arr a
+      JOIN grp g ON g.m = a.m
+      JOIN cls_n c ON c.m = a.m AND c.pert = a.pert
+      WHERE a.aid <> g.canon AND g.n >= 2
+    )
+    SELECT aid AS asset_id, 'audio' AS kind, dup_of,
+           CAST(hamming AS INTEGER) AS hamming, scope
+    FROM hist_hits
+    UNION ALL
+    SELECT b.aid AS asset_id, 'audio' AS kind, b.dup_of,
+           CAST(b.hamming AS INTEGER) AS hamming, b.scope
+    FROM batch_rej b
+    WHERE b.aid NOT IN (SELECT aid FROM hist_hits)
+    """
+
+
+@query("q_media_dedup", oracle=_media_dedup_oracle())
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming media dedup funnel's classification stage
+    end-to-end: synthesize WAV tones with planted envelope
+    fingerprints (audiodedup.synth_patterned_tones), split them into
+    an accepted history (doc_id%7==0) and an arriving batch, run the
+    REAL fingerprint kernel + history band probe + within-batch
+    banded pair pass + component resolution, return every reject
+    with its owner, Hamming distance and scope. The oracle
+    recomputes the full decision table from doc_id arithmetic — a
+    drift in the probe geometry, the Hamming verify, owner
+    preference, component canonicalization, or history-wins overlap
+    resolution breaks the value hash."""
+    from ..catalog import load
+    from ..operators.audiodedup import synth_patterned_tones
+
+    docs = load(spark, sf_dir, "documents")
+    tones = synth_patterned_tones(docs).withColumn("kind", F.lit("audio"))
+    fps = media_fingerprints(
+        tones.filter(F.col("asset_id") % 7 != 0)
+    ).localCheckpoint()
+    hist_fps = media_fingerprints(
+        tones.filter(F.col("asset_id") % 7 == 0)
+    ).localCheckpoint()
+    return media_dup_rejects(fps, hist_fps)
