@@ -119,3 +119,126 @@ def q_dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (module docstring has the rationale and the one-shuffle plan
     argument)."""
     return best_of_group(load(spark, sf_dir, "documents"))
+
+
+def best_of_component(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The release-grade variant (VERDICT r9 item 3): argmax-quality
+    canonical selection over NEAR-dup COMPONENTS instead of exact
+    fingerprint groups. ``pairs`` is a verified rep-level near-dup
+    pair table (doc_a, doc_b — q_dedup_minhash's output shape, reps
+    = min doc_id per fingerprint group). Members of a component are
+    EVERY doc whose fingerprint-group rep belongs to it (the exact
+    groups fold into their reps' clusters), so the policy composes
+    exact + near dedup: one keeper per transitive near-dup cluster,
+    chosen by score, ties to min doc_id, NULL scores last.
+
+    Output one row per member: (doc_id, component, score, n_docs,
+    canonical_doc_id, is_canonical) — the non-canonical rows are the
+    audit trail, exactly best_of_group's contract with the component
+    id as the partition key.
+
+    100 TB shape: the component table is pair-derived (orders of
+    magnitude smaller than the corpus — dedup.connected_components'
+    argument), so the rep→component join is dimension-sized; member
+    expansion is one fingerprint groupBy (the q_dedup_exact
+    exchange) + doc_id equi joins; then the SAME two-windows-one-
+    exchange shape as best_of_group, partitioned by component."""
+    from .dedup import connected_components
+
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    rep = fp.groupBy("f").agg(F.min("doc_id").alias("rid"))
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b")
+    ).select(F.col("doc_id").alias("rid"), "component")
+    members = fp.join(rep, "f").join(comp, "rid").select("doc_id", "component")
+    scored = classify_quality(docs).select("doc_id", "score")
+    j = members.join(scored, "doc_id", "left")
+    w_best = (
+        Window.partitionBy("component")
+        .orderBy(F.desc_nulls_last("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("component")
+    return j.select(
+        "doc_id",
+        "component",
+        "score",
+        F.count("*").over(w_all).alias("n_docs"),
+        F.first("doc_id").over(w_best).alias("canonical_doc_id"),
+    ).select(
+        "doc_id",
+        "component",
+        "score",
+        "n_docs",
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+    )
+
+
+def _best_of_component_oracle() -> str:
+    # components via the recursive-CTE fixpoint (dedup._components_
+    # oracle over the minhash pair set), member expansion via the
+    # shared fingerprint groupBy, scores + windows = best_of_group's
+    # oracle shape with component as the partition key
+    from .dedup import _components_oracle
+
+    h = f"CAST('0x' || substr(md5('{WEIGHT_SALT}' || w), 1, 8) AS BIGINT)"
+    return f"""
+    WITH comp AS (
+      SELECT doc_id AS rid, component FROM ({_components_oracle()})
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS f
+      FROM documents
+    ),
+    rep AS (SELECT f, min(doc_id) AS rid FROM fp GROUP BY f),
+    member AS (
+      SELECT p.doc_id, c.component
+      FROM fp p JOIN rep r ON r.f = p.f JOIN comp c ON c.rid = r.rid
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor((CAST(sum(CAST(({h} % {WEIGHT_MOD} - 1000) / 1000.0
+                                  AS DECIMAL(28,4))) AS DOUBLE) / count(*))
+                   * 10000 + 0.5) / 10000 AS score
+      FROM tok GROUP BY doc_id
+    ),
+    j AS (
+      SELECT m.doc_id, m.component, s.score
+      FROM member m LEFT JOIN scored s ON s.doc_id = m.doc_id
+    )
+    SELECT doc_id, component, score,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs,
+           first_value(doc_id) OVER (
+             PARTITION BY component
+             ORDER BY score DESC NULLS LAST, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS canonical_doc_id,
+           doc_id = first_value(doc_id) OVER (
+             PARTITION BY component
+             ORDER BY score DESC NULLS LAST, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS is_canonical
+    FROM j
+    """
+
+
+@query("q_dedup_best_of_component", oracle=_best_of_component_oracle())
+def q_dedup_best_of_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware NEAR-dup dedup end-to-end: MinHash+LSH verified
+    pairs → connected components → fingerprint-group member
+    expansion → argmax-quality canonical per component. The oracle
+    recomputes the whole chain (recursive-CTE fixpoint + windows) —
+    a drift in the pair set, the component fixpoint, the member
+    expansion, or the canonical policy breaks the value hash."""
+    from .dedup import q_dedup_minhash
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    return best_of_component(docs, pairs)
