@@ -43,7 +43,7 @@ nothing is collected to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -56,14 +56,24 @@ from .redact import EMAIL_TOKEN, PHONE_TOKEN, redact_pii
 
 
 def release_frames(
-    docs: DataFrame, apply_rules: bool = False
+    docs: DataFrame, apply_rules: bool = False, keep: str = "min_id"
 ) -> tuple[DataFrame, DataFrame]:
     """(drops, final): the release pipeline's two accounting halves
     as LAZY frames — every input doc lands in exactly one. Split out
     of build_release so the drop-attribution logic (quality gate →
     redact → exact dedup on the REDACTED text, optional rule gate in
     front) is driver-oracle-checkable (q_release_drops) instead of
-    only write-path-tested; build_release consumes exactly these."""
+    only write-path-tested; build_release consumes exactly these.
+
+    ``keep`` picks the exact-dedup canonical policy (VERDICT r9 item
+    4): ``'min_id'`` (deterministic default) or ``'best_quality'``
+    (curation.best_of_group's argmax-quality rule — highest stage-1
+    classifier score wins its fingerprint group, ties to min doc_id,
+    NULL scores last). Either way every exact_duplicate drop row
+    carries ``dup_of`` = its group's chosen canonical, so the audit
+    names the survivor that superseded each dropped copy."""
+    if keep not in ("min_id", "best_quality"):
+        raise ValueError(f"keep must be 'min_id' or 'best_quality', got {keep!r}")
     rule_drops = None
     if apply_rules:
         from .rules import RULE_NAMES, gopher_gate
@@ -83,6 +93,7 @@ def release_frames(
             "source",
             first_fail.alias("reason"),
             F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("long").alias("dup_of"),
         )
         docs = gated.filter(F.col("passes")).select(*docs.columns)
 
@@ -94,6 +105,7 @@ def release_frames(
         "source",
         F.lit("low_quality").alias("reason"),
         "score",
+        F.lit(None).cast("long").alias("dup_of"),
     )
     survivors = flagged.filter(F.coalesce("keep", F.lit(False))).drop(
         "score", "keep"
@@ -108,11 +120,30 @@ def release_frames(
     )
 
     fp = redacted.select("doc_id", fingerprint(F.col("text")).alias("f"))
-    canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon"))
+    if keep == "min_id":
+        canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon"))
+    else:
+        # best_of_group's policy over the release's post-redaction
+        # fingerprint groups: same one-exchange window shape, scores
+        # are stage 1's (computed on the ORIGINAL text — redaction
+        # must not change which copy wins)
+        w_best = Window.partitionBy("f").orderBy(
+            F.desc_nulls_last("__score"), F.asc("doc_id")
+        )
+        canon = (
+            fp.join(
+                scored.select("doc_id", F.col("score").alias("__score")),
+                "doc_id",
+                "left",
+            )
+            .withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1)
+            .select("f", F.col("doc_id").alias("canon"))
+        )
     dup_ids = (
         fp.join(canon, "f")
         .filter(F.col("doc_id") != F.col("canon"))
-        .select("doc_id")
+        .select("doc_id", "canon")
     )
     dup_drops = redacted.join(dup_ids, "doc_id").select(
         "doc_id",
@@ -120,8 +151,9 @@ def release_frames(
         "source",
         F.lit("exact_duplicate").alias("reason"),
         F.lit(None).cast("double").alias("score"),
+        F.col("canon").alias("dup_of"),
     )
-    final = redacted.join(dup_ids, "doc_id", "left_anti")
+    final = redacted.join(dup_ids.select("doc_id"), "doc_id", "left_anti")
 
     drops = rejected.unionByName(dup_drops)
     if rule_drops is not None:
@@ -138,6 +170,7 @@ def build_release(
     video_assets: DataFrame | None = None,
     strip_substrings: bool = False,
     apply_rules: bool = False,
+    keep: str = "min_id",
 ) -> None:
     """Materialize a training-corpus release at ``path`` (see module
     docstring for stages and layout).
@@ -165,8 +198,11 @@ def build_release(
     count, duration, scene changes) to ``<path>/video_assets``.
     Each tier is one Arrow decode pass materialized once
     (localCheckpoint) and split by verdict — the decode never runs
-    twice, and no asset in any tier is ever silently dropped."""
-    drops, final = release_frames(docs, apply_rules=apply_rules)
+    twice, and no asset in any tier is ever silently dropped.
+
+    ``keep``: the exact-dedup canonical policy — ``'min_id'`` or
+    ``'best_quality'`` (release_frames docstring)."""
+    drops, final = release_frames(docs, apply_rules=apply_rules, keep=keep)
 
     if strip_substrings:
         # ExactSubstr trim (substring.strip_dup_spans): cut every
@@ -255,15 +291,29 @@ def build_release(
         )
 
 
-def _release_drops_oracle() -> str:
+def _release_drops_oracle(keep: str = "min_id") -> str:
     # mirrors release_frames stage by stage: hashed-linear quality
     # gate (quality.py's oracle shape), PII redaction of the
     # survivors (redact.py's nesting order), then exact dedup on the
     # REDACTED text with the canonical word-set fingerprint
     # (dedup.py's oracle shape); drops = low_quality ∪ exact_duplicate
+    # with dup_of = the chosen canonical. keep='best_quality' swaps
+    # the canon CTE for the argmax-score window (ties min doc_id).
     from .prep import EMAIL_RE, PHONE_RE
 
     h = f"CAST('0x' || substr(md5('{WEIGHT_SALT}' || w), 1, 8) AS BIGINT)"
+    if keep == "min_id":
+        canon_cte = "SELECT f, min(doc_id) AS canon FROM fp GROUP BY f"
+    else:
+        canon_cte = """
+      SELECT f, doc_id AS canon FROM (
+        SELECT p.f, p.doc_id,
+               row_number() OVER (
+                 PARTITION BY p.f
+                 ORDER BY s.score DESC NULLS LAST, p.doc_id
+               ) AS rn
+        FROM fp p LEFT JOIN scored s ON s.doc_id = p.doc_id
+      ) WHERE rn = 1"""
     return f"""
     WITH tok AS (
       SELECT doc_id,
@@ -285,7 +335,8 @@ def _release_drops_oracle() -> str:
       FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     ),
     rejected AS (
-      SELECT doc_id, lang, source, 'low_quality' AS reason, score
+      SELECT doc_id, lang, source, 'low_quality' AS reason, score,
+             CAST(NULL AS BIGINT) AS dup_of
       FROM flagged WHERE NOT keep
     ),
     red AS (
@@ -300,15 +351,16 @@ def _release_drops_oracle() -> str:
              md5(array_to_string(list_sort({_WORD_SET_SQL}), ' ')) AS f
       FROM red
     ),
-    canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+    canon AS ({canon_cte}),
     dup AS (
       SELECT p.doc_id, p.lang, p.source,
-             'exact_duplicate' AS reason, CAST(NULL AS DOUBLE) AS score
+             'exact_duplicate' AS reason, CAST(NULL AS DOUBLE) AS score,
+             c.canon AS dup_of
       FROM fp p JOIN canon c ON c.f = p.f AND p.doc_id <> c.canon
     )
-    SELECT doc_id, lang, source, reason, score FROM rejected
+    SELECT doc_id, lang, source, reason, score, dup_of FROM rejected
     UNION ALL
-    SELECT doc_id, lang, source, reason, score FROM dup
+    SELECT doc_id, lang, source, reason, score, dup_of FROM dup
     """
 
 
@@ -316,9 +368,24 @@ def _release_drops_oracle() -> str:
 def q_release_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The release builder's drops audit as a checkable query: which
     documents build_release would reject and WHY (quality gate's
-    score + verdict, or exact-duplicate-after-redaction attribution).
-    The oracle recomposes all three stages independently, so a drift
-    anywhere in the gate→redact→dedup chain — or in the accounting
-    glue between them — breaks the value hash, not just a pytest."""
+    score + verdict, or exact-duplicate-after-redaction attribution
+    with dup_of = the surviving canonical). The oracle recomposes all
+    three stages independently, so a drift anywhere in the
+    gate→redact→dedup chain — or in the accounting glue between
+    them — breaks the value hash, not just a pytest."""
     drops, _final = release_frames(load(spark, sf_dir, "documents"))
+    return drops
+
+
+@query("q_release_drops_best", oracle=_release_drops_oracle("best_quality"))
+def q_release_drops_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drops audit under ``keep='best_quality'`` (VERDICT r9
+    item 4): each exact-dup group's survivor is its argmax-score
+    member, so the dup rows' doc_id/dup_of assignments differ from
+    the min-id policy wherever the best copy isn't the oldest. The
+    oracle recomputes the canonical with an independent window over
+    the stage-1 scores."""
+    drops, _final = release_frames(
+        load(spark, sf_dir, "documents"), keep="best_quality"
+    )
     return drops

@@ -389,6 +389,57 @@ def test_build_release_layout_and_consistency(spark, tmp_path):
     assert int(card["exact_dup_docs"].sum()) == 0
     # accounting closes: inputs = shards + drops
     assert len(shards) + len(drops) == len(rows)
+    # min-id policy: the dup row names its surviving canonical
+    dup_row = drops[drops["reason"] == "exact_duplicate"].iloc[0]
+    assert int(dup_row["dup_of"]) == 3
+
+
+def test_build_release_best_quality_policy(spark, tmp_path):
+    """keep='best_quality': the exact-dup group's survivor is its
+    argmax-score member even when that is NOT the min id — the
+    min-id copy lands in drops with dup_of = the better copy, and
+    accounting still closes."""
+    import glob
+
+    import pandas as pd
+
+    from football_data_pipeline_spark.operators.release import build_release
+
+    base = "alpha beta delta mango grape lime peach"
+    rows = [
+        # doc 3 repeats a high-weight token ('lime', 0.887 > the
+        # group's 0.498 mean): same word SET (one fingerprint group)
+        # but a higher classifier mean than doc 1
+        (1, "en", "a", base),
+        (3, "en", "a", base + " lime lime lime"),
+        (5, "fr", "b", "omega sigma plum lemon write totally novel"),
+    ]
+    out = str(tmp_path / "rel")
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    build_release(df, out, keep="best_quality")
+
+    drops = pd.concat(
+        [pd.read_json(f, lines=True) for f in glob.glob(f"{out}/drops/*.json")]
+    )
+    shard_files = glob.glob(f"{out}/shards/shard=*/*.parquet")
+    shards = pd.concat([pd.read_parquet(f) for f in shard_files])
+    assert len(shards) + len(drops) == len(rows)
+
+    # which member actually scores higher, per the engine's own
+    # classifier (the test pins policy, not the weight table)
+    from football_data_pipeline_spark.operators.quality import classify_quality
+
+    scores = {
+        r.doc_id: r.score
+        for r in classify_quality(df).select("doc_id", "score").collect()
+    }
+    best = 1 if scores[1] >= scores[3] else 3
+    worst = 3 if best == 1 else 1
+    assert best == 3, "fixture must make the non-min-id copy win"
+    dup = drops[drops["reason"] == "exact_duplicate"]
+    assert list(dup["doc_id"]) == [worst]
+    assert int(dup.iloc[0]["dup_of"]) == best
+    assert set(shards["doc_id"]) == {best, 5}
 
 
 def test_bpe_canonical_run_merging(spark):
