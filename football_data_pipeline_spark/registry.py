@@ -91,196 +91,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # =========== ROUND 9 CURATION ===========
-    # --- modules edited in r9 (the codified rule: a touched module's
-    # queries head the round):
-    # operators/video.py gains the video→frame→image-dedup bridge
-    # (q_video_frame_dedup, NEW — planted-dHash patterned clips
-    # through the REAL sample/PPM/dHash path) and video_quality_gate;
-    # q_video_stats shares the module:
-    "q_video_frame_dedup",
-    "q_video_stats",
-    # operators/er_queries.py edited (comment fix, VERDICT r8 wrong
-    # item 2 — byte-changed, so its five queries re-check; they also
-    # prove the r8 lineage fix again now that q_learned_mapping is a
-    # bench headliner):
-    "q_learned_mapping",
-    "q_fuzzy_join",
-    "q_difflib_ratio",
-    "q_resolve_alternatives",
-    "q_normalize_names",
-    # operators/ivfpq.py (NPROBE×SHORTLIST serving-frontier sweep
-    # recorded, VERDICT r8 item 5) and operators/graphrank.py
-    # (checkpointed-depth probe recorded, VERDICT r8 item 7):
-    "q_knn_ivfpq",
-    "q_pagerank",
-    # operators/multimodal.py edited (phash_near_dup refactored to
-    # expose _phash_pair_plan for the plan-shape pytest — same
-    # executed work, now lockable): its registered query re-checks;
-    # took the head slot q_bloom_semi (discretionary r6 refresh,
-    # green r6 row stands) yielded back to ROTATE_TAIL:
-    "q_multimodal_meta",
-    # operators/release.py NEW registered query (r9): the release
-    # builder's drops audit, oracle-composed from the quality-gate +
-    # redact + exact-dedup stages — took the head slot q_heavy_hitters
-    # (discretionary r6 refresh, green r6 row stands) yielded back:
-    "q_release_drops",
-    # operators/audiodedup.py NEW (r9): audio envelope-fingerprint
-    # near-dup through the SHARED banded pair pass
-    # (multimodal.hash_near_dup), planted-fingerprint oracle — took
-    # the head slot q_temperature_sample (discretionary r6 refresh,
-    # green r6 row stands) yielded back:
-    "q_audio_near_dup",
-    # operators/audio.py edited late in r9 (resample_nearest
-    # empty-signal guard — helper-only, but byte-changed, so its
-    # query re-checks; q_salted_distinct, discretionary r6 refresh,
-    # yielded its slot):
-    "q_audio_stats",
-    # streaming/media.py NEW (r9): the streaming media gate's
-    # classification stage — mixed-kind dispatch + all three tier
-    # gates, analytic oracle (q_ewma, discretionary r6 refresh,
-    # yielded its slot):
+    # =========== ROUND 10 CURATION ===========
+    # --- modules edited in r10 (the codified rule: a touched
+    # module's queries head the round):
+    # streaming/media.py: NULL-kind silent-drop fix (VERDICT r9 item
+    # 1); the synth + oracle now plant NULL-kind rows, so the green
+    # row pins the fix:
     "q_media_gate",
-    # operators/curation.py NEW (r9): quality-aware canonical
-    # selection (keep-the-best-copy exact dedup), composed oracle
-    # (q_mixture_epochs, discretionary r6 refresh, yielded its slot):
+    # streaming/mediadedup.py NEW (r10): the streaming media near-dup
+    # funnel (VERDICT r9 item 2) — history band probe + within-batch
+    # component resolution over planted audio fingerprints:
+    "q_media_dedup",
+    # operators/curation.py: best_of_component NEW (VERDICT r9 item
+    # 3) + module byte-changed, so both its queries re-check:
     "q_dedup_best_of_group",
-    # --- freshness: the 34 queries whose latest green driver row is
-    # round 5 (the oldest rows in the ledger — the relational/
-    # timeseries/text pack plus the two yielded flatten extracts),
-    # oldest-first per VERDICT r8 item 6:
-    "q_fixtures_extract",
-    "q_leagues_extract",
-    "q_team_stats_trend",
-    "q_pii_scan",
-    "q_token_packing",
-    "q_corpus_clean",
-    "q_left_join_count",
-    "q_group_multi",
-    "q_topk_group",
-    "q_conditional_agg",
-    "q_scalar_agg",
-    "q_count_distinct",
-    "q_date_trunc_trend",
-    "q_semi_join",
-    "q_anti_join",
-    "q_or_join",
-    "q_union_roles",
-    "q_team_search",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_seq_histogram",
-    "q_tfidf_terms",
-    "q_substring_dedup",
-    "q_substring_strip",
-    "q_exact_decontam",
-    "q_source_substring_overlap",
-    "q_before_after",
-    "q_range_join",
-    "q_weighted_sum",
-    "q_kpi_ratio",
-    "q_asof_join",
-    "q_corpus_diff",
-    # --- freshness, next-oldest tier (green r6 rows), first four in
-    # the r8 tail's listing order — fills the head to exactly the cap
-    # (q_heavy_hitters, q_bloom_semi and q_temperature_sample yielded
-    # their slots to the touched-module entries above; all keep green
-    # r6 rows, and the first two are bench headliners so they retain
-    # plan + timing coverage):
-    "q_salted_join",
-]
-
-# --- r9 SHARED-DEP LEDGER --------------------------------------------
-# Modules edited in r9 and their registered-query lineage:
-# - operators/video.py (synth_patterned_clips/_pattern_plane/
-#   _frame_hash_rows/video_quality_gate + q_video_frame_dedup):
-#   q_video_stats + q_video_frame_dedup IN HEAD.
-# - operators/multimodal.py (phash_near_dup split into cache/
-#   checkpoint shell + lazy _phash_pair_plan so the pair stage's
-#   plan shape is pytest-lockable; executed work identical):
-#   q_multimodal_meta IN HEAD; the image-dedup behavior tests
-#   (test_multimodal.py) and the new bridge query q_video_frame_dedup
-#   (IN HEAD) both drive the refactored path end-to-end.
-# - operators/er_queries.py (comment fix only, but byte-changed):
-#   all five of its queries IN HEAD.
-# - operators/ivfpq.py (docstring frontier table) -> q_knn_ivfpq IN
-#   HEAD; operators/graphrank.py (docstring depth-probe numbers) ->
-#   q_pagerank IN HEAD.
-# - operators/release.py (audio/video tiers wired into
-#   build_release, VERDICT r8 item 4; gate→redact→dedup accounting
-#   split into lazy release_frames): NEW registered query
-#   q_release_drops IN HEAD; its DEPENDENCIES audio.py / video.py /
-#   multimodal.py / quality.py / redact.py / dedup.py are not
-#   invalidated by it (all byte-untouched except multimodal/video,
-#   already in head). audio.py is byte-untouched (q_audio_stats
-#   keeps its green r8 row).
-# - operators/audiodedup.py NEW (r9): q_audio_near_dup IN HEAD. It
-#   IMPORTS audio.py (codec/pcm helpers) and multimodal.py (the
-#   shared banded pair pass) — cross-imports invalidate nothing
-#   (multimodal.py is touched and its query is in head anyway).
-#   audio.py WAS later touched in r9 (resample_nearest empty-signal
-#   guard), so q_audio_stats re-checks in head.
-# - bench.py (+q_learned_mapping, +q_video_frame_dedup,
-#   +q_audio_near_dup headliners),
-#   tools/*, tests/*, registry.py curation lists: no runtime query
-#   lineage.
-# Everything in ROTATE_TAIL holds a green r6 or r8 driver row
-# (latest-round distribution after r8: r5 rows all moved to HEAD
-# above; no row older than r6 remains unrefreshed) and its module +
-# shared deps are untouched since that row.
-CARRY_TO_NEXT_ROUND: list[str] = [
-    # (empty at curation time — grows only if r9 additions overflow
-    # the cap; every name added here must head r10's CHECK_PRIORITY)
-]
-ROTATE_TAIL = [
-    # green r8 driver rows (CORRECTNESS_r08.json), modules untouched
-    # in r9:
-    "q_minhash_error",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_latest_per_key",
-    "q_lag_movement",
-    "q_first_last_change",
-    "q_scd2_history",
-    "q_teams_extract",
-    "q_upcoming_games",
-    "q_validate_counts",
-    "q_league_teams",
-    "q_json_extract",
-    "q_upsert_latest",
-    "q_odds_flatten",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_h2h_flatten",
-    "q_team_events",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_lm_bigram",
-    "q_hard_negatives",
-    "q_learnability",
-    "q_diverse_sample",
-    "q_target_mixture",
-    "q_epoch_order",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_dsir_weights",
-    "q_sessionize",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_rollup_report",
-    "q_repetition",
-    "q_winnow_fingerprints",
-    "q_containment",
-    "q_moving_avg",
-    "q_anomaly",
-    # green r6 driver rows (CORRECTNESS_r06.json), modules untouched
-    # since (the r7/r8 ledgers' byte-untouched argument extends
-    # through r9):
+    "q_dedup_best_of_component",
+    # operators/release.py: dup_of drop attribution + the
+    # keep='best_quality' policy (VERDICT r9 item 4) — the existing
+    # drops query re-checks (schema changed) and the policy variant
+    # is NEW:
+    "q_release_drops",
+    "q_release_drops_best",
+    # operators/ivfpq.py: shadowed-name rename (ADVICE r9) —
+    # byte-changed, so its query re-checks:
+    "q_knn_ivfpq",
+    # --- freshness: 43 of the 47 queries whose latest green driver
+    # row is round 6 (three rounds stale even though every module is
+    # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
+    # listing order; the remaining 4 (q_hll_audit, q_quantile_audit,
+    # q_corr_profile, q_weighted_sample) carry to the r11 head:
     "q_windowed_volatility",
     "q_bpe_merges",
     "q_bpe_tokenize",
@@ -323,10 +162,137 @@ ROTATE_TAIL = [
     "q_temperature_sample",
     "q_heavy_hitters",
     "q_bloom_semi",
+    "q_job_expiry",
+]
+
+# --- r10 SHARED-DEP LEDGER -------------------------------------------
+# Modules edited in r10 and their registered-query lineage:
+# - streaming/media.py (NULL-kind fix + synth/oracle NULL rows):
+#   q_media_gate IN HEAD.
+# - streaming/mediadedup.py NEW: q_media_dedup IN HEAD. It IMPORTS
+#   multimodal.py (image_phash/hash_near_dup), audiodedup.py
+#   (audio_fingerprint/synth_patterned_tones), video.py
+#   (sample_frames_y4m), dedup.py (connected_components) and
+#   pipeline.py (history read/compaction) — cross-imports invalidate
+#   nothing (all five byte-untouched in r10).
+# - operators/curation.py (best_of_component + query): both its
+#   queries IN HEAD. Its imports (dedup.py fingerprint/minhash,
+#   quality.py) are byte-untouched.
+# - operators/release.py (dup_of column, keep policy):
+#   q_release_drops + q_release_drops_best IN HEAD. Its imports
+#   (quality/redact/dedup/datacard/sinks) byte-untouched.
+# - operators/ivfpq.py (shortlisted rename): q_knn_ivfpq IN HEAD.
+# - all_queries.py, registry.py curation lists, bench.py, tools/*,
+#   tests/*: no runtime query lineage.
+# Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
+# and its module + shared deps are untouched since that row. The r9
+# curation notes live in git history (this file at 37579c4).
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # the 4 r6-latest freshness refreshes the r10 head could not fit
+    # (modules byte-untouched since r6, green rows stand) — head
+    # these in r11:
     "q_hll_audit",
     "q_quantile_audit",
     "q_corr_profile",
-    "q_job_expiry",
+    "q_weighted_sample",
+]
+ROTATE_TAIL = [
+    # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
+    # in r10:
+    "q_video_frame_dedup",
+    "q_video_stats",
+    "q_learned_mapping",
+    "q_fuzzy_join",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
+    "q_normalize_names",
+    "q_pagerank",
+    "q_multimodal_meta",
+    "q_audio_near_dup",
+    "q_audio_stats",
+    "q_fixtures_extract",
+    "q_leagues_extract",
+    "q_team_stats_trend",
+    "q_pii_scan",
+    "q_token_packing",
+    "q_corpus_clean",
+    "q_left_join_count",
+    "q_group_multi",
+    "q_topk_group",
+    "q_conditional_agg",
+    "q_scalar_agg",
+    "q_count_distinct",
+    "q_date_trunc_trend",
+    "q_semi_join",
+    "q_anti_join",
+    "q_or_join",
+    "q_union_roles",
+    "q_team_search",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_seq_histogram",
+    "q_tfidf_terms",
+    "q_substring_dedup",
+    "q_substring_strip",
+    "q_exact_decontam",
+    "q_source_substring_overlap",
+    "q_before_after",
+    "q_range_join",
+    "q_weighted_sum",
+    "q_kpi_ratio",
+    "q_asof_join",
+    "q_corpus_diff",
+    "q_salted_join",
+    # green r8 driver rows (CORRECTNESS_r08.json), modules untouched
+    # in r9 AND r10:
+    "q_minhash_error",
+    "q_quality_classifier",
+    "q_dataset_card",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_first_last_change",
+    "q_scd2_history",
+    "q_teams_extract",
+    "q_upcoming_games",
+    "q_validate_counts",
+    "q_league_teams",
+    "q_json_extract",
+    "q_upsert_latest",
+    "q_odds_flatten",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_h2h_flatten",
+    "q_team_events",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_hard_negatives",
+    "q_learnability",
+    "q_diverse_sample",
+    "q_target_mixture",
+    "q_epoch_order",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_dsir_weights",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rollup_report",
+    "q_repetition",
+    "q_winnow_fingerprints",
+    "q_containment",
+    "q_moving_avg",
+    "q_anomaly",
+    # green r6 driver rows, modules untouched since (the freshness
+    # remainder recorded in CARRY_TO_NEXT_ROUND above):
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_corr_profile",
     "q_weighted_sample",
 ]
 

@@ -56,7 +56,19 @@ ROW_CEILINGS = {
     # mirrors tests/test_resolution.py::test_learned_mapping_plan_bounded
     "q_learned_mapping": 400,
     "q_fuzzy_join": 400,
+    # the eager-checkpoint rows record the LAZY pair-stage shape
+    # (gen_plans_md.LAZY_SHAPE, VERDICT r9 item 6): a banded
+    # star-collapse + bucket-join + verify is a handful of exchanges;
+    # a row far above that means the seam drifted or the artifact is
+    # stale (a 0 would mean the generator regressed to printing the
+    # checkpoint scan again — guarded below)
+    "q_video_frame_dedup": 20,
+    "q_audio_near_dup": 20,
 }
+
+#: lazy-shape rows must show REAL work — a zero-exchange row here
+#: means gen_plans_md regressed to printing the post-checkpoint scan
+LAZY_ROWS_NONZERO = ("q_video_frame_dedup", "q_audio_near_dup")
 #: no query in this engine has a legitimate plan anywhere near this
 #: many exchanges — a committed row above it is either a plan bomb
 #: (fix the code) or a stale artifact (regenerate PLANS.md)
@@ -81,4 +93,10 @@ def test_plans_md_rows_not_stale():
         f"PLANS.md rows exceed their live plan-size regression "
         f"ceilings (row, ceiling): {over} — the artifact contradicts "
         f"the code; run `python tools/gen_plans_md.py`"
+    )
+    zero = [n for n in LAZY_ROWS_NONZERO if rows.get(n) == 0]
+    assert not zero, (
+        f"eager-checkpoint rows show 0 exchanges — gen_plans_md is "
+        f"printing the checkpoint scan instead of the LAZY_SHAPE pair "
+        f"plan: {zero}"
     )

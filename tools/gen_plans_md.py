@@ -47,6 +47,12 @@ broadcast-hash / sort-merge / broadcast-nested-loop joins; **win** =
 window operators; **scans** = parquet scans (those with pushed
 filters marked `+pf`).
 
+Eager-checkpoint queries (q_video_frame_dedup, q_audio_near_dup):
+their executed final plan is a localCheckpoint scan, so their rows
+record the REAL pair-stage shape rebuilt lazily through the
+pytest-locked `_phash_pair_plan` seam (generator's LAZY_SHAPE table)
+— planned, never executed, like every other static row here.
+
 | query | exch | bhj | smj | bnlj | win | scans | notes |
 |---|---|---|---|---|---|---|---|
 """
@@ -68,6 +74,69 @@ def final_sections(plan: str) -> str:
     return "\n".join(out)
 
 
+def _lazy_video_pair(spark):
+    """The REAL band-join shape of q_video_frame_dedup's pair stage —
+    phash_near_dup executes it eagerly (localCheckpoint), so the
+    query's final plan is just a checkpoint scan; this rebuilds the
+    identical upstream lazily via _phash_pair_plan (the pytest-locked
+    seam, multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.catalog import load
+    from football_data_pipeline_spark.operators.multimodal import (
+        DHASH_MAX_HAMMING,
+        _phash_pair_plan,
+        image_phash,
+    )
+    from football_data_pipeline_spark.operators.video import (
+        FRAME_EVERY_N,
+        sample_frames_y4m,
+        synth_patterned_clips,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    frames = sample_frames_y4m(
+        synth_patterned_clips(docs), every_n=FRAME_EVERY_N
+    )
+    stills = frames.select(
+        (F.col("asset_id") * 100 + F.col("frame_idx"))
+        .cast("long")
+        .alias("asset_id"),
+        "payload",
+    )
+    return _phash_pair_plan(image_phash(stills), DHASH_MAX_HAMMING)
+
+
+def _lazy_audio_pair(spark):
+    """q_audio_near_dup's pair stage, lazily (same story as the video
+    bridge — hash_near_dup checkpoints eagerly)."""
+    from football_data_pipeline_spark.catalog import load
+    from football_data_pipeline_spark.operators.audiodedup import (
+        audio_fingerprint,
+        synth_patterned_tones,
+    )
+    from football_data_pipeline_spark.operators.multimodal import (
+        DHASH_MAX_HAMMING,
+        _phash_pair_plan,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    return _phash_pair_plan(
+        audio_fingerprint(synth_patterned_tones(docs)), DHASH_MAX_HAMMING
+    )
+
+
+#: queries whose FINAL plan is a localCheckpoint scan because the
+#: pair stage executes eagerly (VERDICT r9 item 6): the row records
+#: the REAL upstream shape instead, rebuilt lazily through the
+#: pytest-locked _phash_pair_plan seam. Counts for these rows are
+#: PLANNED (never executed) — honest for shape, exactly like every
+#: other static-plan row here.
+LAZY_SHAPE = {
+    "q_video_frame_dedup": _lazy_video_pair,
+    "q_audio_near_dup": _lazy_audio_pair,
+}
+
 #: hand-audited explanations for signals the generic notes would
 #: otherwise flag; keyed by query name
 KNOWN_NOTES = {
@@ -85,18 +154,23 @@ KNOWN_NOTES = {
         "PLANS.md staleness guard (tests/test_plans_md.py)"
     ),
     "q_video_frame_dedup": (
-        "plan ends at phash_near_dup's localCheckpoint scan — the "
-        "band-join/star-collapse/Hamming-verify upstream executes "
-        "EAGERLY at DataFrame build time, so its shape never reaches "
-        "this plan string; upstream plan shape is pytest-locked in "
-        "tests/test_multimodal.py and the end-to-end result is "
-        "oracle-checked"
+        "counts are the REAL pair-stage shape (band-join/star-collapse/"
+        "Hamming-verify) rebuilt lazily via _phash_pair_plan — the "
+        "executed query checkpoints this stage eagerly, so its final "
+        "plan is a checkpoint scan; shape also pytest-locked in "
+        "tests/test_multimodal.py, result oracle-checked"
     ),
     "q_audio_near_dup": (
-        "plan ends at hash_near_dup's localCheckpoint scan (same "
-        "eager-upstream story as q_video_frame_dedup — the SHARED "
-        "banded pair pass, whose shape the _phash_pair_plan pytest "
-        "locks); end-to-end result oracle-checked"
+        "counts are the SHARED banded pair pass rebuilt lazily (same "
+        "eager-checkpoint story as q_video_frame_dedup); shape "
+        "pytest-locked, result oracle-checked"
+    ),
+    "q_media_dedup": (
+        "final plan shows the lazy history band probe + owner window; "
+        "the WITHIN-BATCH pair stage is the same eager-checkpointed "
+        "shared pass as q_audio_near_dup (shape pytest-locked via "
+        "_phash_pair_plan), and connected-components rounds checkpoint "
+        "per iteration by design"
     ),
 }
 
@@ -165,7 +239,10 @@ def main() -> None:
     names += [n for n in CHECK_PRIORITY if n not in set(names)]
     rows = []
     for name in names:
-        df = QUERIES[name].fn(spark, SF_DIR)
+        if name in LAZY_SHAPE:
+            df = LAZY_SHAPE[name](spark)
+        else:
+            df = QUERIES[name].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append(plan_row(name, plan))
         print(rows[-1], file=sys.stderr)
