@@ -126,7 +126,21 @@ HEADLINE = [
     "q_learned_mapping",
     "q_video_frame_dedup",
     "q_audio_near_dup",
+    # added in round 10 (compare across rounds on the common prefix):
+    # the streaming media dedup funnel's classification stage
+    # (VERDICT r9 item 2), the component-level quality-canonical
+    # policy (item 3), and the release builder's best-quality drops
+    # variant (item 4) — each a new first-class component this round
+    "q_media_dedup",
+    "q_dedup_best_of_component",
+    "q_release_drops_best",
 ]
+# NOTE (VERDICT r9 item 5, BENCH_AB_r10.json): the r9 q_video_stats
+# 1.40→1.97 s drift was host noise — the module diff r8→HEAD is
+# purely additive (stats path byte-identical), and same-session
+# repeats put the median at 1.06 s (below even the r8 number), with
+# the untouched control q_star_join showing the same pattern (1.25 s
+# vs its recorded 1.31→1.58); see tools/video_stats_ab.py.
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.
 #: q_dedup_minhash joined in r4: its cached signature table makes
