@@ -52,6 +52,12 @@ Per micro-batch N (the vectors.py resolution protocol, media form)::
 Exactly-once + compaction inherit pipeline.py's proofs verbatim —
 this module adds no new history mechanics, only the media
 fingerprint geometry.
+
+``media_curation_batch_writer`` composes the quality gate
+(media.gate_media_batch) IN FRONT of this screen — gate rejects are
+audited with their verdict and never fingerprinted — giving the full
+gate→dedup funnel, the complete multimodal twin of the text curation
+writer (pipeline.curation_batch_writer).
 """
 
 from __future__ import annotations
@@ -318,6 +324,95 @@ def media_dedup_batch_writer(
         ).write.mode("overwrite").parquet(f"{root}/accepted/batch_id={batch_id}")
         # only ACCEPTED fingerprints are indexed — a rejected
         # near-copy can never evict future arrivals
+        fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/fp_index/batch_id={batch_id}")
+        _maybe_compact_history(spark, root, "fp_index", batch_id, compact_every)
+
+    return write_batch
+
+
+def media_curation_batch_writer(
+    root: str,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    frame_every_n: int = MEDIA_FRAME_EVERY_N,
+    compact_every: int | None = HIST_COMPACT_EVERY,
+) -> Callable[[DataFrame, int], None]:
+    """The FULL multimodal twin of the text curation funnel
+    (pipeline.curation_batch_writer): per micro-batch, quality gate
+    THEN near-dup screen, one unified audit. Stages are the two
+    proven writers' own pieces, composed:
+
+    1. gate: media.gate_media_batch — tier quality verdicts;
+       rejects (including unknown/NULL kinds) audited with the
+       verdict as ``reason``;
+    2. dedup: only gate-PASSED assets are fingerprinted and screened
+       (media_dup_rejects) — a rejected-by-gate asset never costs a
+       fingerprint pass and never enters the index; near-dup rejects
+       audited with ``reason='near_duplicate'`` + owner/hamming/scope;
+    3. survivors → ``{root}/media_assets/batch_id=N``, their
+       fingerprints → ``{root}/fp_index/batch_id=N`` (accepted only),
+       all rejects → ``{root}/media_drops/batch_id=N``
+       (asset_id, kind, reason, dup_of, hamming, scope).
+
+    Exactly-once/compaction: identical to media_dedup_batch_writer
+    (batchId-keyed overwrites, history pruned to batch_id < N,
+    shared compaction cadence). Closure: every asset of every batch
+    lands in exactly one of drops/assets.
+
+    Cost note: the gate's stats kernels and the fingerprint kernels
+    are separate Arrow passes, so gate-PASSED payloads decode twice
+    per batch (gate-rejected ones decode once and stop). Fusing the
+    two kernels would save one decode at the price of coupling the
+    tier gates to the fingerprint geometry — the funnel keeps them
+    composable, like the batch release builder does."""
+    from .media import gate_media_batch
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idw = Window.partitionBy("asset_id").orderBy("kind", "payload")
+        batch_rows = (
+            batch.withColumn("__rn", F.row_number().over(idw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        gated = gate_media_batch(batch_rows).localCheckpoint()
+        gate_drops = gated.filter(F.col("reason").isNotNull()).select(
+            "asset_id",
+            "kind",
+            "reason",
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(None).cast("string").alias("scope"),
+        )
+        passed = batch_rows.join(
+            gated.filter(F.col("reason").isNull()).select("asset_id"), "asset_id"
+        )
+        fps = media_fingerprints(passed, frame_every_n).localCheckpoint()
+        hist = _read_history(spark, root, "fp_index", batch_id)
+        dup_drops = media_dup_rejects(fps, hist, max_hamming).select(
+            "asset_id",
+            "kind",
+            F.lit("near_duplicate").alias("reason"),
+            "dup_of",
+            "hamming",
+            "scope",
+        )
+        gate_drops.unionByName(dup_drops).write.mode("overwrite").parquet(
+            f"{root}/media_drops/batch_id={batch_id}"
+        )
+
+        rej = spark.read.parquet(
+            f"{root}/media_drops/batch_id={batch_id}"
+        ).select("asset_id")
+        passed.join(rej, "asset_id", "left_anti").select(
+            "asset_id", "kind"
+        ).write.mode("overwrite").parquet(
+            f"{root}/media_assets/batch_id={batch_id}"
+        )
         fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS).write.mode(
             "overwrite"
         ).parquet(f"{root}/fp_index/batch_id={batch_id}")

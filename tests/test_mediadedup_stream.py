@@ -214,6 +214,95 @@ def test_stream_end_to_end(spark, tmp_path):
     assert rej[3] in {"history", "batch"}
 
 
+def test_curation_writer_gate_then_dedup_closure(spark, tmp_path):
+    """The combined gate→dedup funnel: quality rejects carry the
+    gate verdict, gate-passed dups carry near_duplicate + owner,
+    survivors + index hold only gate-passed non-dups, closure holds
+    across batches, and replay is idempotent."""
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_curation_batch_writer,
+    )
+
+    root = str(tmp_path / "m")
+    w = media_curation_batch_writer(root)
+    flat = encode_ppm(16, 16, bytes([9, 9, 9]) * 256)
+    batch0 = spark.createDataFrame(
+        [
+            (1, "image", _ppm(4)),     # keep
+            (2, "image", flat),        # gate: flat
+            (3, "image", _ppm(4)),     # within-batch dup of 1
+            (4, "gif", b"GIF89a"),     # gate: unknown_kind
+        ],
+        SCHEMA,
+    )
+    w(batch0, 0)
+    batch1 = spark.createDataFrame(
+        [
+            (11, "image", _ppm(4)),    # history dup of 1
+            (12, "image", flat),       # gate: flat — must NOT be
+                                       # screened or indexed
+        ],
+        SCHEMA,
+    )
+    w(batch1, 1)
+    drops = {r.asset_id: r for r in _read(spark, root, "media_drops").collect()}
+    kept = {r.asset_id for r in _read(spark, root, "media_assets").collect()}
+    assert kept == {1}
+    assert {a: r.reason for a, r in drops.items()} == {
+        2: "flat",
+        3: "near_duplicate",
+        4: "unknown_kind",
+        11: "near_duplicate",
+        12: "flat",
+    }
+    assert drops[3].dup_of == 1 and drops[3].scope == "batch"
+    assert drops[11].dup_of == 1 and drops[11].scope == "history"
+    assert drops[2].dup_of is None and drops[2].hamming is None
+    # closure: every asset in exactly one side
+    assert drops.keys() | kept == {1, 2, 3, 4, 11, 12}
+    assert drops.keys() & kept == set()
+    # only gate-passed non-dups are indexed
+    idx = {r.asset_id for r in _read(spark, root, "fp_index").collect()}
+    assert idx == {1}
+    # crash-replay of batch 1 reproduces identical state
+    w(batch1, 1)
+    assert {
+        a: r.reason
+        for a, r in {
+            r.asset_id: r
+            for r in _read(spark, root, "media_drops").collect()
+        }.items()
+    } == {a: r.reason for a, r in drops.items()}
+
+
+def test_history_probe_plan_shape(spark):
+    """100 TB signals of the classification stage's LAZY remainder
+    (the within-batch pair stage is eagerly checkpointed and locked
+    by the _phash_pair_plan pytest): the history probe must be
+    band-keyed equi joins — never a cartesian/nested-loop pairing of
+    batch x history."""
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_dup_rejects,
+        media_fingerprints,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "image", _ppm(1)), (2, "audio", _tone(0x10))], SCHEMA
+    )
+    hist = spark.createDataFrame([(90, "image", _ppm(1))], SCHEMA)
+    rejects = media_dup_rejects(
+        media_fingerprints(batch).localCheckpoint(),
+        media_fingerprints(hist).localCheckpoint(),
+    )
+    plan = rejects._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the classification is right while we're here
+    got = {r.asset_id: r for r in rejects.collect()}
+    assert set(got) == {1}
+    assert got[1].dup_of == 90 and got[1].scope == "history"
+
+
 def test_fingerprint_schema_uniform_across_kinds(spark):
     batch = spark.createDataFrame(
         [(1, "image", _ppm(1)), (2, "audio", _tone(0x01)), (3, "video", _clip(2))],
