@@ -171,6 +171,7 @@ def build_release(
     strip_substrings: bool = False,
     apply_rules: bool = False,
     keep: str = "min_id",
+    dedup_media: bool = False,
 ) -> None:
     """Materialize a training-corpus release at ``path`` (see module
     docstring for stages and layout).
@@ -201,7 +202,16 @@ def build_release(
     twice, and no asset in any tier is ever silently dropped.
 
     ``keep``: the exact-dedup canonical policy — ``'min_id'`` or
-    ``'best_quality'`` (release_frames docstring)."""
+    ``'best_quality'`` (release_frames docstring).
+
+    ``dedup_media``: when True, each media tier's GATE-PASSED assets
+    additionally run the shared perceptual near-dup resolution
+    (streaming/mediadedup.media_dup_rejects batch-mode: banded pair
+    pass → connected components → min-id owner); near-dup rejects are
+    audited to the tier's drops with ``reason='near_duplicate'`` and
+    ``dup_of`` = the surviving owner. Every tier's drop row carries a
+    ``dup_of`` column either way (NULL for gate rejects), mirroring
+    the text side's attribution."""
     drops, final = release_frames(docs, apply_rules=apply_rules, keep=keep)
 
     if strip_substrings:
@@ -231,6 +241,7 @@ def build_release(
         epoch=epoch,
     )
 
+    no_dup = F.lit(None).cast("long").alias("dup_of")
     if assets is not None:
         from .multimodal import classify_image_quality
 
@@ -238,14 +249,24 @@ def build_release(
         # stage — materialize once instead of re-decoding for each of
         # the two writes below (same device as phash_near_dup)
         gated = classify_image_quality(assets).localCheckpoint()
-        write_report_json(
-            gated.filter(~F.col("keep")).select("asset_id", "reason", "score"),
-            f"{path}/image_drops",
+        idrops = gated.filter(~F.col("keep")).select(
+            "asset_id", "reason", "score", no_dup
         )
+        ikept = gated.filter(F.col("keep"))
+        if dedup_media:
+            rej = _media_near_dup(assets, ikept, "image")
+            idrops = idrops.unionByName(
+                rej.select(
+                    "asset_id",
+                    F.lit("near_duplicate").alias("reason"),
+                    F.lit(None).cast("double").alias("score"),
+                    "dup_of",
+                )
+            )
+            ikept = ikept.join(rej.select("asset_id"), "asset_id", "left_anti")
+        write_report_json(idrops, f"{path}/image_drops")
         write_report_json(
-            gated.filter(F.col("keep")).select(
-                "asset_id", "width", "height", "score"
-            ),
+            ikept.select("asset_id", "width", "height", "score"),
             f"{path}/assets",
         )
 
@@ -255,16 +276,21 @@ def build_release(
         # one decode pass, materialized once, split by verdict —
         # same device as the image tier above
         agated = audio_quality_gate(audio_stats(audio_assets)).localCheckpoint()
-        write_report_json(
-            agated.filter(F.col("verdict") != "ok").select(
-                "asset_id", F.col("verdict").alias("reason")
-            ),
-            f"{path}/audio_drops",
+        adrops = agated.filter(F.col("verdict") != "ok").select(
+            "asset_id", F.col("verdict").alias("reason"), no_dup
         )
+        akept = agated.filter(F.col("verdict") == "ok")
+        if dedup_media:
+            rej = _media_near_dup(audio_assets, akept, "audio")
+            adrops = adrops.unionByName(
+                rej.select(
+                    "asset_id", F.lit("near_duplicate").alias("reason"), "dup_of"
+                )
+            )
+            akept = akept.join(rej.select("asset_id"), "asset_id", "left_anti")
+        write_report_json(adrops, f"{path}/audio_drops")
         write_report_json(
-            agated.filter(F.col("verdict") == "ok").select(
-                "asset_id", "rate", "channels", "duration_s", "rms"
-            ),
+            akept.select("asset_id", "rate", "channels", "duration_s", "rms"),
             f"{path}/audio_assets",
         )
 
@@ -272,14 +298,21 @@ def build_release(
         from .video import video_quality_gate, video_stats
 
         vgated = video_quality_gate(video_stats(video_assets)).localCheckpoint()
-        write_report_json(
-            vgated.filter(F.col("verdict") != "ok").select(
-                "asset_id", F.col("verdict").alias("reason")
-            ),
-            f"{path}/video_drops",
+        vdrops = vgated.filter(F.col("verdict") != "ok").select(
+            "asset_id", F.col("verdict").alias("reason"), no_dup
         )
+        vkept = vgated.filter(F.col("verdict") == "ok")
+        if dedup_media:
+            rej = _media_near_dup(video_assets, vkept, "video")
+            vdrops = vdrops.unionByName(
+                rej.select(
+                    "asset_id", F.lit("near_duplicate").alias("reason"), "dup_of"
+                )
+            )
+            vkept = vkept.join(rej.select("asset_id"), "asset_id", "left_anti")
+        write_report_json(vdrops, f"{path}/video_drops")
         write_report_json(
-            vgated.filter(F.col("verdict") == "ok").select(
+            vkept.select(
                 "asset_id",
                 "width",
                 "height",
@@ -289,6 +322,24 @@ def build_release(
             ),
             f"{path}/video_assets",
         )
+
+
+def _media_near_dup(assets: DataFrame, kept: DataFrame, kind: str) -> DataFrame:
+    """(asset_id, dup_of, hamming): within-corpus perceptual near-dup
+    rejects among one tier's GATE-PASSED assets — the streaming
+    funnel's batch-mode resolution (banded pair pass → connected
+    components → min-id owner), run with no history. Materialized
+    once (localCheckpoint) because the caller consumes it for both
+    the drops union and the manifest anti-join."""
+    from ..streaming.mediadedup import media_dup_rejects, media_fingerprints
+
+    kept_payloads = assets.join(kept.select("asset_id"), "asset_id").select(
+        "asset_id", F.lit(kind).alias("kind"), "payload"
+    )
+    fps = media_fingerprints(kept_payloads).localCheckpoint()
+    return media_dup_rejects(fps, None).select(
+        "asset_id", "dup_of", "hamming"
+    ).localCheckpoint()
 
 
 def _release_drops_oracle(keep: str = "min_id") -> str:

@@ -159,3 +159,69 @@ def test_release_builder_three_media_tiers(spark, tmp_path):
     assert [d["asset_id"] for d in v_kept] == [1]
     assert v_kept[0]["n_frames"] == 8 and v_kept[0]["scene_changes"] == 7
     assert set(v_drops) | {d["asset_id"] for d in v_kept} == {1, 2, 3, 4}
+
+
+def test_release_builder_dedup_media(spark, tmp_path):
+    """build_release(dedup_media=True): gate-passed assets in each
+    tier run the perceptual near-dup resolution — identical copies
+    drop as near_duplicate with dup_of = the min-id owner, gate
+    rejects keep NULL dup_of, manifests exclude the dups, closure
+    holds per tier."""
+    import struct
+
+    from football_data_pipeline_spark.operators.audio import encode_wav
+    from football_data_pipeline_spark.operators.release import build_release
+    from football_data_pipeline_spark.operators.video import encode_y4m
+
+    docs = spark.createDataFrame(
+        [(1, "useful clean text with several plain words", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    def wav(samples16):
+        return encode_wav(8000, 1, struct.pack(f"<{len(samples16)}h", *samples16))
+
+    def clip(lumas):
+        return encode_y4m(16, 16, 25, [bytes([l]) * 256 for l in lumas])
+
+    images = spark.createDataFrame(
+        [
+            (1, _noisy(16, 16)),   # keep (owner)
+            (2, _noisy(16, 16)),   # identical -> near_duplicate of 1
+            (3, _noisy(4, 4)),     # gate: too_small (never fingerprinted)
+        ],
+        ASSET_SCHEMA,
+    )
+    tone = wav([0, 12000, -12000, 9000] * 200)
+    audio = spark.createDataFrame(
+        [(1, tone), (2, tone), (3, wav([0, 1] * 300))], ASSET_SCHEMA
+    )  # 3 = silent (gate)
+    v = clip([0, 100, 0, 100, 0, 100, 0, 100])
+    video = spark.createDataFrame(
+        [(1, v), (2, v), (3, clip([50] * 10))], ASSET_SCHEMA
+    )  # 3 = static (gate)
+
+    path = str(tmp_path / "rel")
+    build_release(
+        docs, path, assets=images, audio_assets=audio, video_assets=video,
+        dedup_media=True,
+    )
+
+    def load_json(sub):
+        out = []
+        for f in glob.glob(f"{path}/{sub}/*.json"):
+            out += [json.loads(l) for l in open(f) if l.strip()]
+        return out
+
+    for drops_sub, kept_sub, gate_reason in (
+        ("image_drops", "assets", "too_small"),
+        ("audio_drops", "audio_assets", "silent"),
+        ("video_drops", "video_assets", "static"),
+    ):
+        drops = {d["asset_id"]: d for d in load_json(drops_sub)}
+        kept = {d["asset_id"] for d in load_json(kept_sub)}
+        assert kept == {1}, drops_sub
+        assert drops[2]["reason"] == "near_duplicate" and drops[2]["dup_of"] == 1
+        assert drops[3]["reason"] == gate_reason
+        assert drops[3].get("dup_of") is None
+        assert set(drops) | kept == {1, 2, 3}  # closure
