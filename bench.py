@@ -158,6 +158,12 @@ HEADLINE = [
 #: materializes eagerly (localCheckpoint) like q_dedup_minhash's
 #: signature cache, giving the same early-trial straddle (spread
 #: ~1.5 s on a 3.5 s median at trials=3 in the r9 validation runs).
+#: q_dedup_best_of_component joined in r10: it recomputes the full
+#: minhash cascade (q_dedup_minhash's caches) PLUS the per-round
+#: connected-components checkpoints, so it inherits both straddles
+#: (spread 5.3 s on a 10.9 s median at trials=3 in the r10
+#: validation run). q_media_dedup likewise eagerly checkpoints its
+#: fingerprint table and pair stage (spread 2.0 s on 4.0 s).
 NOISY_QUERIES = {
     "q_fuzzy_join",
     "q_star_join",
@@ -166,6 +172,8 @@ NOISY_QUERIES = {
     "q_ngram_jaccard",
     "q_learned_mapping",
     "q_video_frame_dedup",
+    "q_dedup_best_of_component",
+    "q_media_dedup",
 }
 NOISY_TRIALS = 6
 

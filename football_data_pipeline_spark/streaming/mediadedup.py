@@ -53,6 +53,13 @@ Exactly-once + compaction inherit pipeline.py's proofs verbatim —
 this module adds no new history mechanics, only the media
 fingerprint geometry.
 
+10x probe (sf0.1 docs replicated 10x, tools/scale_probe.py, medians
+of 3): q_media_dedup 4.79 -> 23.98 s for 10x assets AND 10x output
+rejects (4,285 -> 42,857) — 5x wall for 10x work, sub-linear per
+row; the Arrow fingerprint kernel and the banded probes scale with
+arrivals while rep-level candidates stay bounded by the class count
+(the audiodedup/video-bridge argument, funnel form).
+
 ``media_curation_batch_writer`` composes the quality gate
 (media.gate_media_batch) IN FRONT of this screen — gate rejects are
 audited with their verdict and never fingerprinted — giving the full
