@@ -134,6 +134,9 @@ HEADLINE = [
     "q_media_dedup",
     "q_dedup_best_of_component",
     "q_release_drops_best",
+    # added late in round 10: the combined gate→dedup media curation
+    # classification over all three kinds
+    "q_media_curation",
 ]
 # NOTE (VERDICT r9 item 5, BENCH_AB_r10.json): the r9 q_video_stats
 # 1.40→1.97 s drift was host noise — the module diff r8→HEAD is

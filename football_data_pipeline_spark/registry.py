@@ -100,8 +100,12 @@ CHECK_PRIORITY = [
     "q_media_gate",
     # streaming/mediadedup.py NEW (r10): the streaming media near-dup
     # funnel (VERDICT r9 item 2) — history band probe + within-batch
-    # component resolution over planted audio fingerprints:
+    # component resolution over planted audio fingerprints; plus the
+    # COMBINED gate→dedup classification over all three kinds (its
+    # fixture's video/audio zero-fingerprint collision pins the
+    # per-kind match partitioning):
     "q_media_dedup",
+    "q_media_curation",
     # operators/curation.py: best_of_component NEW (VERDICT r9 item
     # 3) + module byte-changed, so both its queries re-check:
     "q_dedup_best_of_group",
@@ -162,7 +166,6 @@ CHECK_PRIORITY = [
     "q_temperature_sample",
     "q_heavy_hitters",
     "q_bloom_semi",
-    "q_job_expiry",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -188,13 +191,15 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The r9
 # curation notes live in git history (this file at 37579c4).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 4 r6-latest freshness refreshes the r10 head could not fit
-    # (modules byte-untouched since r6, green rows stand) — head
+    # the 5 r6-latest freshness refreshes the r10 head could not fit
+    # (modules byte-untouched since r6, green rows stand; q_job_expiry
+    # yielded its slot to q_media_curation late in the round) — head
     # these in r11:
     "q_hll_audit",
     "q_quantile_audit",
     "q_corr_profile",
     "q_weighted_sample",
+    "q_job_expiry",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -294,6 +299,7 @@ ROTATE_TAIL = [
     "q_quantile_audit",
     "q_corr_profile",
     "q_weighted_sample",
+    "q_job_expiry",
 ]
 
 

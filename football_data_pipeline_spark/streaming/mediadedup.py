@@ -173,7 +173,15 @@ def media_dup_rejects(
     one band-keyed equi join, history never self-paired. Batch
     resolution: shared banded pair pass → asset-level connected
     components → min-id canonical; history wins on overlap (module
-    docstring, steps 2–4)."""
+    docstring, steps 2–4).
+
+    Matching is PARTITIONED BY KIND: an image is never a near-dup of
+    an audio clip, and at corpus scale (≥ 2³² assets) 64-bit
+    fingerprints WILL collide across kinds by birthday alone — a
+    kind-blind band join would spuriously reject on those. The pair
+    pass runs per present kind (each a smaller input to the same
+    shared machinery) and the history probe carries kind in its join
+    key."""
     from ..operators.dedup import connected_components
     from ..operators.multimodal import hash_near_dup
 
@@ -181,8 +189,12 @@ def media_dup_rejects(
     kinds = fps.select("asset_id", "kind").distinct()
 
     # --- within-batch: fid-level pairs via the SHARED banded pass,
-    # lifted to asset pairs (same-asset frame pairs are not dups)
-    fid_pairs = hash_near_dup(_fid(fps), max_hamming)
+    # per kind, lifted to asset pairs (same-asset frame pairs are
+    # not dups)
+    fid_pairs = None
+    for k in ("image", "audio", "video"):
+        p = hash_near_dup(_fid(fps.filter(F.col("kind") == k)), max_hamming)
+        fid_pairs = p if fid_pairs is None else fid_pairs.unionByName(p)
     asset_pairs = (
         fid_pairs.select(
             F.expr(f"id_a DIV {FRAME_KEY}").alias("asset_a"),
@@ -220,7 +232,8 @@ def media_dup_rejects(
         cand = (
             bb.join(
                 hb,
-                (F.col("b_band_idx") == F.col("h_band_idx"))
+                (F.col("b_kind") == F.col("h_kind"))
+                & (F.col("b_band_idx") == F.col("h_band_idx"))
                 & (F.col("b_band_val") == F.col("h_band_val")),
             )
             .select("b_fid", "h_fid")
@@ -276,6 +289,7 @@ def _explode_bands(fps: DataFrame, prefix: str) -> DataFrame:
         (F.col("asset_id") * FRAME_KEY + F.col("fp_seq"))
         .cast("long")
         .alias(f"{prefix}_fid"),
+        F.col("kind").alias(f"{prefix}_kind"),
         F.posexplode(F.array(*[F.col(c) for c in _BAND_COLS])).alias(
             f"{prefix}_band_idx", f"{prefix}_band_val"
         ),
@@ -451,6 +465,192 @@ def start_media_dedup_pipeline(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+# --- driver oracle: the COMBINED gate→dedup classification ----------
+
+
+def _synth_curation_assets(docs: DataFrame) -> DataFrame:
+    """Mixed-kind fixture with closed-form GATE verdicts AND
+    closed-form FINGERPRINTS (ids doc*4 / +1 / +2):
+
+    - image: media.synth_gate_assets' image tier — too_small
+      (doc%5==0) / flat (doc%3==0) / else one IDENTICAL 16×16
+      checker, so every kept image shares one fingerprint;
+    - audio: audiodedup.synth_patterned_tones — all gate-pass
+      (0.203 s, unclipped, non-silent), (m, pert) fingerprint
+      classes;
+    - video: media's synth_clip_assets tier — static or kept; kept
+      clips are CONSTANT-luma frames whose dHash is 0, so every kept
+      video shares fingerprint 0 — which COLLIDES with the audio
+      m=0 base class's all-zero fingerprint: this fixture fails
+      under kind-blind matching, pinning the per-kind partition."""
+    from ..operators.audiodedup import synth_patterned_tones
+    from .media import synth_gate_assets
+
+    base = synth_gate_assets(docs)
+    img = base.filter(F.col("kind") == "image")
+    vid = base.filter(F.col("kind") == "video")
+    aud = synth_patterned_tones(docs).select(
+        (F.col("asset_id") * 4 + 1).alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        "payload",
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def _media_curation_oracle() -> str:
+    # gate verdicts = media._media_gate_oracle's image/video closed
+    # forms (audio all-pass); dedup closed forms: kept images one
+    # fingerprint (owner = min hist kept image), kept videos one
+    # fingerprint (owner = min hist kept video), audio = the
+    # q_media_dedup class logic with aid = 4·doc+1
+    from ..operators.audiodedup import ENV_GROUPS
+    from ..operators.video import SCENE_DELTA
+
+    luma = "CAST((doc_id * 31 + k * 17) % 256 AS DOUBLE)"
+    prev = "CAST((doc_id * 31 + (k - 1) * 17) % 256 AS DOUBLE)"
+    return f"""
+    WITH img AS (
+      SELECT CAST(doc_id * 4 AS BIGINT) AS asset_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'too_small'
+                  WHEN doc_id % 3 = 0 THEN 'flat' END AS reason,
+             doc_id % 7 = 0 AS is_hist
+      FROM documents
+    ),
+    vid AS (
+      SELECT CAST(doc_id * 4 + 2 AS BIGINT) AS asset_id,
+             CASE WHEN 4 + doc_id % 13 >= 8
+                   AND coalesce(list_sum(list_transform(
+                         range(1, 4 + doc_id % 13),
+                         k -> CASE WHEN abs({luma} - {prev})
+                                        >= {SCENE_DELTA}
+                                   THEN 1 ELSE 0 END)), 0) = 0
+                   THEN 'static' END AS reason,
+             doc_id % 7 = 0 AS is_hist
+      FROM documents
+    ),
+    aud AS (
+      SELECT CAST(doc_id * 4 + 1 AS BIGINT) AS aid,
+             doc_id % {ENV_GROUPS} AS m,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS pert,
+             doc_id % 7 = 0 AS is_hist
+      FROM documents
+    ),
+    gate_drops AS (
+      SELECT asset_id, 'image' AS kind, reason FROM img
+      WHERE NOT is_hist AND reason IS NOT NULL
+      UNION ALL
+      SELECT asset_id, 'video' AS kind, reason FROM vid
+      WHERE NOT is_hist AND reason IS NOT NULL
+    ),
+    img_owner AS (
+      SELECT min(asset_id) AS o FROM img WHERE is_hist AND reason IS NULL
+    ),
+    vid_owner AS (
+      SELECT min(asset_id) AS o FROM vid WHERE is_hist AND reason IS NULL
+    ),
+    media_dups AS (
+      SELECT i.asset_id, 'image' AS kind, (SELECT o FROM img_owner) AS dup_of
+      FROM img i WHERE NOT i.is_hist AND i.reason IS NULL
+      UNION ALL
+      SELECT v.asset_id, 'video' AS kind, (SELECT o FROM vid_owner) AS dup_of
+      FROM vid v WHERE NOT v.is_hist AND v.reason IS NULL
+    ),
+    hist_cls AS (
+      SELECT m, pert, min(aid) AS owner FROM aud WHERE is_hist
+      GROUP BY m, pert
+    ),
+    arr AS (SELECT aid, m, pert FROM aud WHERE NOT is_hist),
+    hist_hits AS (
+      SELECT a.aid, coalesce(s.owner, o.owner) AS dup_of,
+             CASE WHEN s.owner IS NOT NULL THEN 0 ELSE 2 END AS hamming
+      FROM arr a
+      LEFT JOIN hist_cls s ON s.m = a.m AND s.pert = a.pert
+      LEFT JOIN hist_cls o ON o.m = a.m AND o.pert = 1 - a.pert
+      WHERE coalesce(s.owner, o.owner) IS NOT NULL
+    ),
+    grp AS (SELECT m, min(aid) AS canon, count(*) AS n FROM arr GROUP BY m),
+    cls_n AS (SELECT m, pert, count(*) AS n_cls FROM arr GROUP BY m, pert),
+    batch_rej AS (
+      SELECT a.aid, g.canon AS dup_of,
+             CASE WHEN c.n_cls >= 2 THEN 0 ELSE 2 END AS hamming
+      FROM arr a
+      JOIN grp g ON g.m = a.m
+      JOIN cls_n c ON c.m = a.m AND c.pert = a.pert
+      WHERE a.aid <> g.canon AND g.n >= 2
+    )
+    SELECT asset_id, kind, reason,
+           CAST(NULL AS BIGINT) AS dup_of,
+           CAST(NULL AS INTEGER) AS hamming,
+           CAST(NULL AS VARCHAR) AS scope
+    FROM gate_drops
+    UNION ALL
+    SELECT asset_id, kind, 'near_duplicate' AS reason, dup_of,
+           CAST(0 AS INTEGER) AS hamming, 'history' AS scope
+    FROM media_dups
+    UNION ALL
+    SELECT aid AS asset_id, 'audio' AS kind, 'near_duplicate' AS reason,
+           dup_of, CAST(hamming AS INTEGER) AS hamming, 'history' AS scope
+    FROM hist_hits
+    UNION ALL
+    SELECT b.aid AS asset_id, 'audio' AS kind, 'near_duplicate' AS reason,
+           b.dup_of, CAST(b.hamming AS INTEGER) AS hamming, 'batch' AS scope
+    FROM batch_rej b
+    WHERE b.aid NOT IN (SELECT aid FROM hist_hits)
+    """
+
+
+@query("q_media_curation", oracle=_media_curation_oracle())
+def q_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED media curation funnel's classification stage
+    end-to-end over all three kinds: gate every asset (real tier
+    gates + codecs), then screen the gate-passed arriving half
+    against the gate-passed history half's fingerprints (real
+    fingerprint kernels + per-kind banded resolution). Returns every
+    reject with verdict or owner/hamming/scope. The oracle recomputes
+    the full decision table from doc_id arithmetic; the fixture's
+    video/audio zero-fingerprint collision makes kind-blind matching
+    fail the hash (module docstring of _synth_curation_assets)."""
+    from ..catalog import load
+    from .media import gate_media_batch
+
+    docs = load(spark, sf_dir, "documents")
+    assets = _synth_curation_assets(docs)
+    doc = F.expr("asset_id DIV 4")
+    arriving = assets.filter(doc % 7 != 0)
+    hist = assets.filter(doc % 7 == 0)
+
+    gated_arr = gate_media_batch(arriving).localCheckpoint()
+    gate_drops = gated_arr.filter(F.col("reason").isNotNull()).select(
+        "asset_id",
+        "kind",
+        "reason",
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit(None).cast("string").alias("scope"),
+    )
+    passed_arr = arriving.join(
+        gated_arr.filter(F.col("reason").isNull()).select("asset_id"), "asset_id"
+    )
+    passed_hist = hist.join(
+        gate_media_batch(hist)
+        .filter(F.col("reason").isNull())
+        .select("asset_id"),
+        "asset_id",
+    )
+    dup = media_dup_rejects(
+        media_fingerprints(passed_arr).localCheckpoint(),
+        media_fingerprints(passed_hist).localCheckpoint(),
+    ).select(
+        "asset_id",
+        "kind",
+        F.lit("near_duplicate").alias("reason"),
+        "dup_of",
+        "hamming",
+        "scope",
+    )
+    return gate_drops.unionByName(dup)
 
 
 # --- driver oracle: the classification stage over planted tones -----

@@ -303,6 +303,33 @@ def test_history_probe_plan_shape(spark):
     assert got[1].dup_of == 90 and got[1].scope == "history"
 
 
+def test_cross_kind_fingerprint_collision_never_pairs(spark, tmp_path):
+    """Identical 64-bit fingerprints across KINDS must not pair — at
+    corpus scale cross-kind collisions are a birthday certainty.
+    Identical BYTES under different kinds hit the md5 fallback on
+    both paths (undecodable as image AND as audio), producing equal
+    fingerprints — neither within-batch nor against history may that
+    become a rejection."""
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_dedup_batch_writer,
+    )
+
+    root = str(tmp_path / "m")
+    w = media_dedup_batch_writer(root)
+    blob = b"same bytes, different modality"
+    # within one batch
+    w(spark.createDataFrame([(1, "image", blob), (2, "audio", blob)], SCHEMA), 0)
+    # and across history: same blob arrives again under the OTHER kind
+    w(spark.createDataFrame([(3, "audio", blob)], SCHEMA), 1)
+    rej = {r.asset_id: r for r in _read(spark, root, "rejected").collect()}
+    acc = {r.asset_id for r in _read(spark, root, "accepted").collect()}
+    # 3 IS a (byte-exact, md5-fallback) dup of 2 — same kind; 1 never
+    # pairs with either despite the identical fingerprint
+    assert acc == {1, 2}
+    assert set(rej) == {3}
+    assert rej[3].dup_of == 2 and rej[3].scope == "history"
+
+
 def test_fingerprint_schema_uniform_across_kinds(spark):
     batch = spark.createDataFrame(
         [(1, "image", _ppm(1)), (2, "audio", _tone(0x01)), (3, "video", _clip(2))],
