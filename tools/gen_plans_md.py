@@ -172,6 +172,13 @@ KNOWN_NOTES = {
         "_phash_pair_plan), and connected-components rounds checkpoint "
         "per iteration by design"
     ),
+    "q_media_curation": (
+        "smj count is a checkpoint artifact: the probe joins read "
+        "localCheckpoint scans whose statistics are unknown to the "
+        "static planner, so it defaults to sort-merge; at runtime AQE "
+        "demotes the small sides to broadcast — all joins are "
+        "band/kind/asset_id equi joins (cartesian-free pytest-locked)"
+    ),
 }
 
 
