@@ -74,7 +74,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import DHASH_BANDS, DHASH_MAX_HAMMING
+from ..operators.multimodal import (
+    DHASH_BANDS,
+    DHASH_BITS_PER_BAND,
+    DHASH_MAX_HAMMING,
+)
 from ..registry import query
 from .pipeline import HIST_COMPACT_EVERY, _maybe_compact_history, _read_history
 
@@ -100,11 +104,12 @@ def media_fingerprints(
     kernels — one row for image/audio (fp_seq 0), one per sampled
     frame for video (fp_seq = frame index). Non-media kinds get NO
     row here; the writer audits them before fingerprinting.
-    Undecodable payloads fall back to the kernels' md5 bands
-    (decoded=false): byte-exact duplicates still collide."""
+    Undecodable payloads fall back to md5 bands (decoded=false) in
+    EVERY tier — byte-exact duplicates still collide; without the
+    video fallback an undecodable clip would be accepted but never
+    indexed, invisible to future byte-identical arrivals."""
     from ..operators.audiodedup import audio_fingerprint
     from ..operators.multimodal import image_phash
-    from ..operators.video import sample_frames_y4m
 
     payloads = batch.select("asset_id", "kind", "payload")
     img = image_phash(
@@ -125,24 +130,91 @@ def media_fingerprints(
         "decoded",
         *_BAND_COLS,
     )
-    frames = sample_frames_y4m(
+    vid = video_fingerprints(
         payloads.filter(F.col("kind") == "video").select("asset_id", "payload"),
-        every_n=frame_every_n,
-    )
-    stills = frames.select(
-        (F.col("asset_id") * FRAME_KEY + F.col("frame_idx"))
-        .cast("long")
-        .alias("asset_id"),
-        "payload",
-    )
-    vid = image_phash(stills).select(
-        F.expr(f"asset_id DIV {FRAME_KEY}").alias("asset_id"),
+        frame_every_n,
+    ).select(
+        "asset_id",
         F.lit("video").alias("kind"),
-        (F.col("asset_id") % FRAME_KEY).cast("int").alias("fp_seq"),
+        "fp_seq",
         "decoded",
         *_BAND_COLS,
     )
     return img.unionByName(aud).unionByName(vid)
+
+
+def video_fingerprints(
+    assets: DataFrame, frame_every_n: int = MEDIA_FRAME_EVERY_N
+) -> DataFrame:
+    """(asset_id, fp_seq, decoded, band0..3): the video→frame→dHash
+    bridge FUSED into one Arrow pass — decode the Y4M once and hash
+    every Nth frame directly (video.sample_frames_y4m's gray→RGB
+    expansion feeding multimodal.dhash64, bit-identical to the
+    PPM-round-trip path the batch bridge uses, which is exact), no
+    intermediate PPM re-encode/re-decode. Undecodable clips emit ONE
+    md5-fallback row (fp_seq 0, decoded=false) like the image/audio
+    kernels, so byte-exact duplicate junk still collides."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import dhash64
+    from ..operators.video import try_decode_y4m
+
+    if frame_every_n < 1:
+        raise ValueError("frame_every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                got = try_decode_y4m(payload)
+                if got is None:
+                    h = int.from_bytes(
+                        hashlib.md5(bytes(payload)).digest()[:8], "big"
+                    )
+                    rows.append(
+                        (
+                            aid,
+                            0,
+                            False,
+                            *(
+                                (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
+                                for i in range(DHASH_BANDS)
+                            ),
+                        )
+                    )
+                    continue
+                w, h_px, _fn, _fd, _cs, frames = got
+                for idx in range(0, len(frames), frame_every_n):
+                    rgb = np.repeat(
+                        np.frombuffer(frames[idx], dtype="u1"), 3
+                    ).tobytes()
+                    hv = dhash64(w, h_px, rgb)
+                    rows.append(
+                        (
+                            aid,
+                            idx,
+                            True,
+                            *(
+                                (hv >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
+                                for i in range(DHASH_BANDS)
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "fp_seq", "decoded", *_BAND_COLS],
+            )
+
+    return assets.mapInPandas(
+        kernel,
+        schema="asset_id long, fp_seq int, decoded boolean, "
+        + ", ".join(f"{c} int" for c in _BAND_COLS),
+    )
 
 
 def _fid(df: DataFrame) -> DataFrame:

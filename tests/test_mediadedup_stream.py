@@ -330,6 +330,53 @@ def test_cross_kind_fingerprint_collision_never_pairs(spark, tmp_path):
     assert rej[3].dup_of == 2 and rej[3].scope == "history"
 
 
+def test_video_fingerprints_fused_equals_bridge_and_falls_back(spark):
+    """The fused Y4M→dHash kernel must be bit-identical to the batch
+    bridge (sample_frames_y4m → PPM → image_phash) on planted-hash
+    clips, and undecodable clips must emit ONE md5-fallback row
+    instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.multimodal import image_phash
+    from football_data_pipeline_spark.operators.video import (
+        sample_frames_y4m,
+        synth_patterned_clips,
+    )
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_fingerprints,
+        video_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    clips = synth_patterned_clips(docs)
+    fused = {
+        (r.asset_id, r.fp_seq): (r.decoded, r.band0, r.band1, r.band2, r.band3)
+        for r in video_fingerprints(clips, 4).collect()
+    }
+    frames = sample_frames_y4m(clips, every_n=4)
+    stills = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_idx")).alias("asset_id"),
+        "payload",
+    )
+    bridge = {
+        (r.asset_id // 1000, r.asset_id % 1000): (
+            r.decoded, r.band0, r.band1, r.band2, r.band3,
+        )
+        for r in image_phash(stills).collect()
+    }
+    assert fused == bridge and len(fused) > 12
+
+    # undecodable clips: one md5-fallback row, and byte-exact junk
+    # pairs within a batch through the normal machinery
+    junk = spark.createDataFrame(
+        [(1, "video", b"not a clip"), (2, "video", b"not a clip")], SCHEMA
+    )
+    rows = media_fingerprints(junk).collect()
+    assert len(rows) == 2
+    assert all(not r.decoded and r.fp_seq == 0 for r in rows)
+    assert rows[0].band0 == rows[1].band0
+
+
 def test_fingerprint_schema_uniform_across_kinds(spark):
     batch = spark.createDataFrame(
         [(1, "image", _ppm(1)), (2, "audio", _tone(0x01)), (3, "video", _clip(2))],
