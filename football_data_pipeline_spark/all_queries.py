@@ -27,6 +27,7 @@ from .operators import (  # noqa: F401
     mixing,
     multimodal,
     ordering,
+    paired,
     prep,
     privacy,
     profiling,
@@ -51,4 +52,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, media, mediadedup, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [windowed, media, mediadedup, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

@@ -119,6 +119,10 @@ CHECK_PRIORITY = [
     # operators/ivfpq.py: shadowed-name rename (ADVICE r9) —
     # byte-changed, so its query re-checks:
     "q_knn_ivfpq",
+    # operators/paired.py NEW (r10, late): paired image-text curation
+    # — the VLM pair table joined against BOTH funnels' verdicts with
+    # dual drop attribution and the missing-asset rule:
+    "q_pair_curation",
     # --- freshness: 43 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -165,7 +169,6 @@ CHECK_PRIORITY = [
     "q_salted_distinct",
     "q_temperature_sample",
     "q_heavy_hitters",
-    "q_bloom_semi",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -191,15 +194,16 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The r9
 # curation notes live in git history (this file at 37579c4).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 5 r6-latest freshness refreshes the r10 head could not fit
+    # the 6 r6-latest freshness refreshes the r10 head could not fit
     # (modules byte-untouched since r6, green rows stand; q_job_expiry
-    # yielded its slot to q_media_curation late in the round) — head
-    # these in r11:
+    # and q_bloom_semi yielded their slots to q_media_curation and
+    # q_pair_curation late in the round) — head these in r11:
     "q_hll_audit",
     "q_quantile_audit",
     "q_corr_profile",
     "q_weighted_sample",
     "q_job_expiry",
+    "q_bloom_semi",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -300,6 +304,7 @@ ROTATE_TAIL = [
     "q_corr_profile",
     "q_weighted_sample",
     "q_job_expiry",
+    "q_bloom_semi",
 ]
 
 
