@@ -76,6 +76,55 @@ def curate_pairs(
     )
 
 
+def pair_curation_batch_writer(root: str):
+    """foreachBatch body for a PAIR stream — rows of (doc_id, text,
+    lang, source, asset_id, kind, payload), one row per pair (a doc
+    or asset repeated across pairs is deduplicated by key before the
+    funnels run). Per micro-batch N::
+
+        {root}/pair_drops/batch_id=N  (doc_id, asset_id,
+                                       text_reason, media_reason)
+        {root}/pairs/batch_id=N       (doc_id, asset_id)
+
+    curate_pairs over the batch (text release verdicts + media tier
+    gates + missing-asset rule), split by ``keep`` — every pair of
+    every batch lands in exactly one side. Exactly-once: both writes
+    are overwrite-mode batch_id=N partition writes with no state
+    read-back (the media-gate writer's argument verbatim); history-
+    based near-dup screening of each SIDE belongs to the existing
+    single-modality funnels (streaming/pipeline.py text,
+    streaming/mediadedup.py media) — this writer is the pair-level
+    gate between them."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        docs = batch.select("doc_id", "text", "lang", "source").dropDuplicates(
+            ["doc_id"]
+        )
+        # a pair row whose asset side never arrived carries NULL
+        # kind AND payload — that's an absent asset (missing_asset),
+        # not a present asset of unknown kind, so it must not reach
+        # the gate
+        assets = (
+            batch.filter(
+                F.col("kind").isNotNull() | F.col("payload").isNotNull()
+            )
+            .select("asset_id", "kind", "payload")
+            .dropDuplicates(["asset_id"])
+        )
+        pairs = batch.select("doc_id", "asset_id")
+        out = curate_pairs(docs, assets, pairs).localCheckpoint()
+        out.filter(~F.col("keep")).select(
+            "doc_id", "asset_id", "text_reason", "media_reason"
+        ).write.mode("overwrite").parquet(
+            f"{root}/pair_drops/batch_id={batch_id}"
+        )
+        out.filter(F.col("keep")).select("doc_id", "asset_id").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/pairs/batch_id={batch_id}")
+
+    return write_batch
+
+
 def _pair_curation_oracle() -> str:
     # text side = the q_release_drops oracle verbatim (composed, not
     # re-derived); media side = the image tier's closed-form gate
