@@ -188,6 +188,13 @@ CHECK_PRIORITY = [
 #   q_release_drops + q_release_drops_best IN HEAD. Its imports
 #   (quality/redact/dedup/datacard/sinks) byte-untouched.
 # - operators/ivfpq.py (shortlisted rename): q_knn_ivfpq IN HEAD.
+# - LATE r10 additions: streaming/mediadedup.py also gained the
+#   combined curation writer, per-kind match partitioning, the fused
+#   video fingerprint kernel (md5 fallback) and q_media_curation
+#   (IN HEAD); operators/paired.py NEW (pair curation + streaming
+#   writer) -> q_pair_curation IN HEAD; operators/release.py also
+#   gained dedup_media (no new query; q_release_drops* already in
+#   head cover the module).
 # - all_queries.py, registry.py curation lists, bench.py, tools/*,
 #   tests/*: no runtime query lineage.
 # Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
