@@ -123,11 +123,17 @@ CHECK_PRIORITY = [
     # — the VLM pair table joined against BOTH funnels' verdicts with
     # dual drop attribution and the missing-asset rule:
     "q_pair_curation",
-    # --- freshness: 43 of the 47 queries whose latest green driver
+    # streaming/supersede.py NEW (r10, late): keep-best streaming
+    # dedup — a higher-quality arrival supersedes its accepted owner
+    # (tombstones, live-owner probes); the decision table is
+    # oracle-checked over the incremental split:
+    "q_supersede",
+    # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
-    # listing order; the remaining 4 (q_hll_audit, q_quantile_audit,
-    # q_corr_profile, q_weighted_sample) carry to the r11 head:
+    # listing order; the remaining 7 carry to the r11 head
+    # (CARRY_TO_NEXT_ROUND below — three of them yielded their slots
+    # to this round's late new queries):
     "q_windowed_volatility",
     "q_bpe_merges",
     "q_bpe_tokenize",
@@ -168,7 +174,6 @@ CHECK_PRIORITY = [
     "q_mixture_epochs",
     "q_salted_distinct",
     "q_temperature_sample",
-    "q_heavy_hitters",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -201,16 +206,18 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The r9
 # curation notes live in git history (this file at 37579c4).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 6 r6-latest freshness refreshes the r10 head could not fit
-    # (modules byte-untouched since r6, green rows stand; q_job_expiry
-    # and q_bloom_semi yielded their slots to q_media_curation and
-    # q_pair_curation late in the round) — head these in r11:
+    # the 7 r6-latest freshness refreshes the r10 head could not fit
+    # (modules byte-untouched since r6, green rows stand; q_job_expiry,
+    # q_bloom_semi and q_heavy_hitters yielded their slots to
+    # q_media_curation, q_pair_curation and q_supersede late in the
+    # round) — head these in r11:
     "q_hll_audit",
     "q_quantile_audit",
     "q_corr_profile",
     "q_weighted_sample",
     "q_job_expiry",
     "q_bloom_semi",
+    "q_heavy_hitters",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -312,6 +319,7 @@ ROTATE_TAIL = [
     "q_weighted_sample",
     "q_job_expiry",
     "q_bloom_semi",
+    "q_heavy_hitters",
 ]
 
 
