@@ -3,10 +3,14 @@
 as laws rather than examples.
 
 - audio envelope bits (audiodedup.envelope_fingerprint64) are GAIN
-  invariant: scaling a signal by any positive factor preserves the
-  strict ordering of window means, hence every difference bit — the
-  property that makes the fingerprint robust to re-encoding volume
-  changes (module docstring's Haitsma-Kalker argument);
+  invariant for any EXACTLY-representable scaling (powers of two —
+  float multiplication by 2^k is exact, so every strict window-mean
+  comparison is preserved bit-for-bit). For arbitrary gains the law
+  holds only up to float rounding: hypothesis found window means
+  differing by ~1 ULP whose ordering flips under mean(|x·g|) vs
+  g·mean(|x|) — which is the honest contract (the module docstring
+  says "gain changes that preserve ordering", and a 1-2 bit flip is
+  exactly what the Hamming-3 verify budget absorbs);
 - image dHash (multimodal.dhash64) is BRIGHTNESS-SHIFT invariant
   while unclipped: adding a constant to every gray level preserves
   the strict < comparisons of the downsampled gradient — the
@@ -38,12 +42,16 @@ from football_data_pipeline_spark.operators.multimodal import dhash64
         min_size=ENV_WINDOWS,
         max_size=ENV_WINDOWS * 8,
     ),
-    st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+    st.integers(min_value=-6, max_value=6),
 )
-def test_envelope_bits_gain_invariant(samples, gain):
+def test_envelope_bits_gain_invariant(samples, gain_exp):
+    # power-of-two gains: exact float scaling, so the strict
+    # window-mean ordering (hence every bit) is preserved exactly —
+    # see module docstring for why arbitrary gains are only
+    # ULP-approximately invariant
     mono = np.asarray(samples, dtype=np.float64)
     base = envelope_fingerprint64(mono)
-    scaled = envelope_fingerprint64(mono * gain)
+    scaled = envelope_fingerprint64(mono * 2.0**gain_exp)
     assert base == scaled
     # determinism
     assert base == envelope_fingerprint64(mono)
