@@ -195,8 +195,15 @@ def keep_best_batch_writer(
             batch_rows.unpersist()
             collapsed.unpersist()
             history.unpersist()
+        # BOTH history tables are probed every batch (accepted by the
+        # dedup pass, tombstones by the liveness prune) — both fold
+        # on the shared cadence, or the tombstone read amplifies one
+        # directory per batch forever
         _maybe_compact_history(
             spark, corpus_root, "accepted", batch_id, compact_every
+        )
+        _maybe_compact_history(
+            spark, corpus_root, "tombstones", batch_id, compact_every
         )
 
     return write_batch
@@ -257,18 +264,23 @@ def q_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: "all batches" watermark for read_live_corpus — any id above every
+#: real batch id
+_ALL_BATCHES = 1 << 62
+
+
 def read_live_corpus(spark: SparkSession, corpus_root: str) -> DataFrame:
     """The corpus a consumer trains on: every accepted doc that has
     not been superseded — accepted − tombstones, across ALL batches
     (use after the stream quiesces; mid-stream readers should prune
-    by their own batch watermark)."""
-    acc = spark.read.option("basePath", f"{corpus_root}/accepted").parquet(
-        f"{corpus_root}/accepted"
-    ).drop("batch_id")
-    try:
-        tomb = spark.read.option(
-            "basePath", f"{corpus_root}/tombstones"
-        ).parquet(f"{corpus_root}/tombstones")
-    except Exception:  # no tombstones yet: nothing superseded
+    by their own batch watermark). Reads through the funnel's own
+    history reader so COMPACTED rows (the `.__hist_base__` fold) are
+    included — a raw partition-glob read silently loses everything
+    compaction has folded."""
+    acc = _read_history(spark, corpus_root, "accepted", _ALL_BATCHES)
+    if acc is None:
+        raise ValueError(f"no accepted history under {corpus_root!r}")
+    tomb = _read_history(spark, corpus_root, "tombstones", _ALL_BATCHES)
+    if tomb is None:
         return acc
     return acc.join(tomb.select("doc_id"), "doc_id", "left_anti")

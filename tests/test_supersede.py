@@ -105,6 +105,32 @@ def test_replay_idempotent(spark, tmp_path):
     assert snap() == before
 
 
+def test_tombstone_compaction_folds_and_liveness_survives(spark, tmp_path):
+    """Both history tables compact on the cadence — tombstones are
+    read every batch by the liveness prune, so they must fold too —
+    and a FOLDED tombstone still hides its superseded doc from the
+    probe."""
+    import glob
+
+    root = str(tmp_path / "c")
+    w = keep_best_batch_writer(root, compact_every=2)
+    w(_df(spark, [(1, BASE)]), 0)
+    w(_df(spark, [(11, BASE + " sludge")]), 1)  # supersedes 1 (near)
+    # 21 repeats a high-weight word: SAME set as 11 (exact dup,
+    # higher mean) — the chain's word set must not drift from BASE
+    # or generation 3 would fall under the 0.9 verify vs doc 31
+    w(_df(spark, [(21, BASE + " sludge beta beta")]), 2)
+    # compaction ran on both tables: fewer live dirs than batches
+    assert len(glob.glob(f"{root}/tombstones/batch_id=*")) < 3
+    assert len(glob.glob(f"{root}/accepted/batch_id=*")) < 3
+    # liveness after folding: a copy of the ORIGINAL text is judged
+    # against the current owner 21, not the folded tombstoned 1/11
+    w(_df(spark, [(31, BASE)]), 3)
+    rej = {r.doc_id: r.dup_of for r in _read(spark, root, "rejected").collect()}
+    assert rej[31] == 21
+    assert {r.doc_id for r in read_live_corpus(spark, root).collect()} == {21}
+
+
 def test_unique_docs_flow_through_untouched(spark, tmp_path):
     root = str(tmp_path / "c")
     w = keep_best_batch_writer(root)
