@@ -4,6 +4,7 @@
 fully-populated registry.
 """
 
+from .sources import zorder  # noqa: F401
 from .streaming import media, mediadedup, supersede, windowed  # noqa: F401
 from .operators import (  # noqa: F401
     audio,
@@ -52,4 +53,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [zorder, windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, embedsearch, er_queries, etl, events, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

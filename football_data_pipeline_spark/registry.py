@@ -128,6 +128,10 @@ CHECK_PRIORITY = [
     # (tombstones, live-owner probes); the decision table is
     # oracle-checked over the incremental split:
     "q_supersede",
+    # sources/zorder.py NEW (r10, late): z-order clustering + 2-D
+    # data-skipping audit (per-file grid bounding boxes under zorder
+    # vs linear layout, bit-exact Morton oracle):
+    "q_zorder_skipping",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -173,7 +177,6 @@ CHECK_PRIORITY = [
     "q_ewma",
     "q_mixture_epochs",
     "q_salted_distinct",
-    "q_temperature_sample",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -218,6 +221,9 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_job_expiry",
     "q_bloom_semi",
     "q_heavy_hitters",
+    # yielded its r10 freshness slot to q_zorder_skipping (module
+    # mixing.py byte-untouched since its green r6 row):
+    "q_temperature_sample",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -320,6 +326,7 @@ ROTATE_TAIL = [
     "q_job_expiry",
     "q_bloom_semi",
     "q_heavy_hitters",
+    "q_temperature_sample",
 ]
 
 
