@@ -135,9 +135,11 @@ HEADLINE = [
     "q_dedup_best_of_component",
     "q_release_drops_best",
     # added late in round 10: the z-order clustering audit (two
-    # bounded hash aggregates over orders — cheap, and the layout
-    # math is the part worth watching round-over-round)
+    # bounded hash aggregates over orders) and the PSI drift
+    # decomposition (two token-count aggregates) — both cheap, and
+    # the layout/index math is worth watching round-over-round
     "q_zorder_skipping",
+    "q_drift_psi",
     # NOT headlined: q_media_curation (the combined gate→dedup
     # classification) measures 46-60 s/trial at sf0.1 — it gates AND
     # fingerprints 15,000 synthesized assets across two halves, so

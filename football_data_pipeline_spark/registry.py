@@ -132,6 +132,10 @@ CHECK_PRIORITY = [
     # data-skipping audit (per-file grid bounding boxes under zorder
     # vs linear layout, bit-exact Morton oracle):
     "q_zorder_skipping",
+    # operators/drift.py NEW (r10, late): PSI distribution-drift
+    # monitor (stable-rounded ln per the lm.py recipe, Laplace
+    # smoothing over the union bucket set):
+    "q_drift_psi",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -176,7 +180,6 @@ CHECK_PRIORITY = [
     "q_gopher_rules",
     "q_ewma",
     "q_mixture_epochs",
-    "q_salted_distinct",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -221,9 +224,11 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_job_expiry",
     "q_bloom_semi",
     "q_heavy_hitters",
-    # yielded its r10 freshness slot to q_zorder_skipping (module
-    # mixing.py byte-untouched since its green r6 row):
+    # yielded their r10 freshness slots to q_zorder_skipping and
+    # q_drift_psi (modules mixing.py / skew.py byte-untouched since
+    # their green r6 rows):
     "q_temperature_sample",
+    "q_salted_distinct",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -327,6 +332,7 @@ ROTATE_TAIL = [
     "q_bloom_semi",
     "q_heavy_hitters",
     "q_temperature_sample",
+    "q_salted_distinct",
 ]
 
 
