@@ -140,6 +140,7 @@ HEADLINE = [
     # the layout/index math is worth watching round-over-round
     "q_zorder_skipping",
     "q_drift_psi",
+    "q_html_extract",
     # NOT headlined: q_media_curation (the combined gate→dedup
     # classification) measures 46-60 s/trial at sf0.1 — it gates AND
     # fingerprints 15,000 synthesized assets across two halves, so

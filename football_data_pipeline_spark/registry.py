@@ -136,6 +136,10 @@ CHECK_PRIORITY = [
     # monitor (stable-rounded ln per the lm.py recipe, Laplace
     # smoothing over the union bucket set):
     "q_drift_psi",
+    # operators/extraction.py NEW (r10, late): HTML → text
+    # extraction + local boilerplate-line drop (closed-form template
+    # fixture, oracle states the expectation from documents.text):
+    "q_html_extract",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -179,7 +183,6 @@ CHECK_PRIORITY = [
     "q_cube_report",
     "q_gopher_rules",
     "q_ewma",
-    "q_mixture_epochs",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -206,6 +209,12 @@ CHECK_PRIORITY = [
 #   writer) -> q_pair_curation IN HEAD; operators/release.py also
 #   gained dedup_media (no new query; q_release_drops* already in
 #   head cover the module).
+# - LATE r10 additions (second wave): sources/zorder.py NEW
+#   (imports nothing engine-side beyond catalog) -> q_zorder_skipping
+#   IN HEAD; operators/drift.py NEW (imports textstats._words —
+#   byte-untouched — and functions/stable.py — byte-untouched) ->
+#   q_drift_psi IN HEAD; operators/extraction.py NEW (imports only
+#   catalog) -> q_html_extract IN HEAD.
 # - all_queries.py, registry.py curation lists, bench.py, tools/*,
 #   tests/*: no runtime query lineage.
 # Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
@@ -224,11 +233,12 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_job_expiry",
     "q_bloom_semi",
     "q_heavy_hitters",
-    # yielded their r10 freshness slots to q_zorder_skipping and
-    # q_drift_psi (modules mixing.py / skew.py byte-untouched since
-    # their green r6 rows):
+    # yielded their r10 freshness slots to q_zorder_skipping,
+    # q_drift_psi and q_html_extract (modules mixing.py / skew.py
+    # byte-untouched since their green r6 rows):
     "q_temperature_sample",
     "q_salted_distinct",
+    "q_mixture_epochs",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -333,6 +343,7 @@ ROTATE_TAIL = [
     "q_heavy_hitters",
     "q_temperature_sample",
     "q_salted_distinct",
+    "q_mixture_epochs",
 ]
 
 
