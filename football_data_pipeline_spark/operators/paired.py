@@ -21,9 +21,14 @@ Output, one row per pair::
 ``text_reason`` NULL = the doc survived the text release;
 ``media_reason`` NULL = the asset passed its tier gate; a pair whose
 asset_id has NO row in the asset table gets ``media_reason =
-'missing_asset'`` (a dangling pair is a drop, never a silent keep).
-``keep`` = both NULL. Neither side's machinery is re-implemented —
-drifts in either funnel surface here through composition.
+'missing_asset'`` and a pair whose doc_id has NO row in the document
+table gets ``text_reason = 'missing_doc'`` — a dangling pair is a
+drop on EITHER side, never a silent keep (the NULL-kind lesson of
+VERDICT r9, applied symmetrically: under a bare left join an absent
+doc row and a surviving doc row are both NULL, and the absent one
+would silently count as kept text). ``keep`` = both NULL. Neither
+side's machinery is re-implemented — drifts in either funnel surface
+here through composition.
 
 100 TB shape: both inputs are the funnels' own plans (each
 documented at its definition); this module adds two doc_id/asset_id
@@ -51,7 +56,11 @@ def curate_pairs(
     from ..streaming.media import gate_media_batch
 
     drops, _final = release_frames(docs)
-    text_r = drops.select("doc_id", F.col("reason").alias("text_reason"))
+    text_r = docs.select("doc_id", F.lit(True).alias("__doc_present")).join(
+        drops.select("doc_id", F.col("reason").alias("text_reason")),
+        "doc_id",
+        "left",
+    )
     media_r = gate_media_batch(assets).select(
         "asset_id",
         F.col("reason").alias("media_reason"),
@@ -64,7 +73,9 @@ def curate_pairs(
         .select(
             "doc_id",
             "asset_id",
-            "text_reason",
+            F.when(~F.coalesce("__doc_present", F.lit(False)), "missing_doc")
+            .otherwise(F.col("text_reason"))
+            .alias("text_reason"),
             F.when(~F.coalesce("__present", F.lit(False)), "missing_asset")
             .otherwise(F.col("media_reason"))
             .alias("media_reason"),
@@ -97,8 +108,18 @@ def pair_curation_batch_writer(root: str):
     gate between them."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        docs = batch.select("doc_id", "text", "lang", "source").dropDuplicates(
-            ["doc_id"]
+        # a pair row whose DOC side never arrived carries NULL text
+        # AND lang AND source — an absent document (missing_doc),
+        # not a present empty document, so it must not reach the
+        # release gate (the asset-side rule below, mirrored)
+        docs = (
+            batch.filter(
+                F.col("text").isNotNull()
+                | F.col("lang").isNotNull()
+                | F.col("source").isNotNull()
+            )
+            .select("doc_id", "text", "lang", "source")
+            .dropDuplicates(["doc_id"])
         )
         # a pair row whose asset side never arrived carries NULL
         # kind AND payload — that's an absent asset (missing_asset),
@@ -140,11 +161,18 @@ def _pair_curation_oracle() -> str:
       FROM ({_release_drops_oracle()})
     ),
     pairs AS (
-      SELECT doc_id,
+      SELECT doc_id, FALSE AS doc_missing,
              CASE WHEN doc_id % 11 = 0
                   THEN CAST(-doc_id - 1 AS BIGINT)
                   ELSE CAST(doc_id * 4 AS BIGINT) END AS asset_id
       FROM documents
+      UNION ALL
+      -- planted DANGLING-DOC pairs: a doc_id no document row
+      -- carries, pointing at an EXISTING asset — must be audited
+      -- as missing_doc, never silently kept
+      SELECT CAST(-doc_id - 1 AS BIGINT) AS doc_id, TRUE AS doc_missing,
+             CAST(doc_id * 4 AS BIGINT) AS asset_id
+      FROM documents WHERE doc_id % 13 = 0
     ),
     media AS (
       SELECT CAST(doc_id * 4 AS BIGINT) AS asset_id,
@@ -152,10 +180,13 @@ def _pair_curation_oracle() -> str:
                   WHEN doc_id % 3 = 0 THEN 'flat' END AS media_reason
       FROM documents
     )
-    SELECT p.doc_id, p.asset_id, t.text_reason,
+    SELECT p.doc_id, p.asset_id,
+           CASE WHEN p.doc_missing THEN 'missing_doc'
+                ELSE t.text_reason END AS text_reason,
            CASE WHEN m.asset_id IS NULL THEN 'missing_asset'
                 ELSE m.media_reason END AS media_reason,
-           t.text_reason IS NULL
+           NOT p.doc_missing
+             AND t.text_reason IS NULL
              AND m.asset_id IS NOT NULL
              AND m.media_reason IS NULL AS keep
     FROM pairs p
@@ -168,12 +199,14 @@ def _pair_curation_oracle() -> str:
 def q_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired image-text curation end-to-end: every document paired
     with its synth image asset (every 11th doc deliberately paired
-    with a nonexistent asset id), the REAL text release pipeline and
-    the REAL image gate each contributing their verdict, the pair
-    kept only when both sides survive. The oracle recomposes the
-    text side with the q_release_drops SQL and the media side from
-    the synth's closed forms — a drift in either funnel, the join
-    glue, or the missing-asset rule breaks the value hash."""
+    with a nonexistent asset id, and every 13th doc contributing an
+    extra pair under a nonexistent DOC id), the REAL text release
+    pipeline and the REAL image gate each contributing their
+    verdict, the pair kept only when both sides survive. The oracle
+    recomposes the text side with the q_release_drops SQL and the
+    media side from the synth's closed forms — a drift in either
+    funnel, the join glue, or the missing-asset / missing-doc rules
+    breaks the value hash."""
     from ..streaming.media import synth_gate_assets
 
     docs = load(spark, sf_dir, "documents")
@@ -186,5 +219,13 @@ def q_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_id") * 4)
         .cast("long")
         .alias("asset_id"),
+    ).unionByName(
+        # planted dangling-DOC pairs (the missing_doc twin of the
+        # missing-asset plant): a doc id no document carries, paired
+        # with an existing asset
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (-F.col("doc_id") - 1).cast("long").alias("doc_id"),
+            (F.col("doc_id") * 4).cast("long").alias("asset_id"),
+        )
     )
     return curate_pairs(docs, assets, pairs)

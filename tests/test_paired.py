@@ -80,6 +80,58 @@ def test_dual_attribution_and_missing_asset(spark):
     assert out[(4, 99)].text_reason is None
 
 
+def test_missing_doc_audited_never_silently_kept(spark):
+    # a pair whose DOC side has no row must be missing_doc — under a
+    # bare left join it would be indistinguishable from surviving
+    # text (the NULL-kind lesson, doc side)
+    docs = spark.createDataFrame([(1, GOOD, "en", "a")], DOCS)
+    assets = spark.createDataFrame([(10, "image", _checker())], ASSETS)
+    pairs = spark.createDataFrame([(1, 10), (77, 10), (78, 99)], PAIRS)
+    out = {
+        (r.doc_id, r.asset_id): r
+        for r in curate_pairs(docs, assets, pairs).collect()
+    }
+    assert out[(1, 10)].keep
+    assert not out[(77, 10)].keep
+    assert out[(77, 10)].text_reason == "missing_doc"
+    assert out[(77, 10)].media_reason is None
+    # both sides dangling → both audited on the one row
+    assert out[(78, 99)].text_reason == "missing_doc"
+    assert out[(78, 99)].media_reason == "missing_asset"
+
+
+def test_writer_missing_doc_from_null_columns(spark, tmp_path):
+    # in the pair STREAM an absent doc side arrives as NULL
+    # text/lang/source on the pair row — the writer must route it to
+    # missing_doc, not gate a NULL document
+    root = str(tmp_path / "md")
+    w = pair_curation_batch_writer(root)
+    batch = spark.createDataFrame(
+        [
+            (1, GOOD, "en", "a", 10, "image", _checker()),
+            (9, None, None, None, 10, "image", _checker()),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "asset_id long, kind string, payload binary",
+    )
+    w(batch, 0)
+    drops = {
+        (r.doc_id, r.asset_id): r
+        for r in spark.read.option("basePath", f"{root}/pair_drops")
+        .parquet(f"{root}/pair_drops")
+        .collect()
+    }
+    kept = {
+        (r.doc_id, r.asset_id)
+        for r in spark.read.option("basePath", f"{root}/pairs")
+        .parquet(f"{root}/pairs")
+        .collect()
+    }
+    assert kept == {(1, 10)}
+    assert drops[(9, 10)].text_reason == "missing_doc"
+    assert drops[(9, 10)].media_reason is None
+
+
 def test_both_sides_can_fail_one_pair(spark):
     docs = spark.createDataFrame([(2, BAD, "en", "a")], DOCS)
     assets = spark.createDataFrame([(20, "image", _flat())], ASSETS)
