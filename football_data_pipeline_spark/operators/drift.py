@@ -35,6 +35,10 @@ only the ARRIVING micro-batch against a broadcast-sized frozen
 reference (collected once at writer build — bounded by the bucket
 count), writes per-batch report + 1-row summary as batchId-keyed
 overwrites with NO history read: replay-idempotent by construction.
+
+10x probe (documents replicated 10x, 5k -> 50k docs, medians of 3):
+q_drift_psi 0.57 -> 0.66 s — the token-count aggregates absorb the
+10x scan map-side; everything after them is bucket-count-sized.
 """
 
 from __future__ import annotations

