@@ -1,0 +1,105 @@
+"""Small-file compaction (OPTIMIZE bin-packing) — the layout
+MAINTENANCE half of the manifest/zorder story. Reference parity:
+yml:661-680 only VACUUMs; this is the Delta ``OPTIMIZE`` / Iceberg
+``rewrite_data_files`` analogue for the engine's plain-Parquet +
+manifest layout.
+
+Why: streaming funnels and incremental writes accrete small files
+(one per micro-batch partition); at 100 TB a table of millions of
+KB-sized files spends more time planning splits than scanning.
+Compaction bin-packs the undersized files into target-sized ones —
+WITHOUT touching the already-right-sized files, which is what
+separates OPTIMIZE from sinks.compact_partitions' full rewrite.
+
+Manifest-first design (the Iceberg view: the MANIFEST is the table,
+directories are just storage):
+
+- ``plan_compaction``: first-fit-decreasing over the manifest's
+  per-file row counts — driver-side, bounded by FILE count (the
+  same planning-time work prune_files does). Files with
+  ``n_rows >= target_rows`` are left alone; the rest pack into bins
+  of capacity ``target_rows``.
+- ``compact_small_files``: per bin, read exactly that bin's files →
+  one output file (optionally re-sorted on the cluster column so
+  min/max stay TIGHT — compaction must not undo zorder/linear
+  clustering) → returns the NEW manifest: untouched files' rows
+  carried over verbatim + freshly measured rows for the bin files.
+  Readers that consume the manifest (manifest.pruned_read,
+  zorder.read_box take explicit file lists) switch atomically by
+  switching manifests; the replaced small files become orphans for
+  retention GC, exactly a table format's snapshot semantics.
+
+100 TB shape: planning is one manifest collect; the rewrite reads
+ONLY the undersized tail (bin count × target_rows rows), one
+coalesce(1) write per bin — embarrassingly parallel across bins,
+never a full-table pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .manifest import build_manifest
+
+
+def plan_compaction(
+    manifest: DataFrame, target_rows: int
+) -> tuple[list[list[str]], list[str]]:
+    """(bins, keep_files): first-fit-decreasing packing of every
+    file with fewer than ``target_rows`` rows into bins of that
+    capacity; right-sized files stay in ``keep_files`` untouched.
+    Deterministic: candidates ordered by (n_rows desc, path). The
+    collect is bounded by the table's FILE count."""
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    rows = manifest.select("file", "n_rows").collect()
+    small = sorted(
+        ((r.n_rows, r.file) for r in rows if r.n_rows < target_rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    keep = [r.file for r in rows if r.n_rows >= target_rows]
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for n, f in small:
+        for i, load in enumerate(loads):
+            if load + n <= target_rows:
+                bins[i].append(f)
+                loads[i] += n
+                break
+        else:
+            bins.append([f])
+            loads.append(n)
+    return bins, keep
+
+
+def compact_small_files(
+    spark: SparkSession,
+    manifest: DataFrame,
+    target_rows: int,
+    out_dir: str,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Rewrite the undersized files into ``out_dir`` (one file per
+    bin, re-sorted on ``sort_col`` when given so clustering
+    survives) and return the NEW manifest — carried-over rows for
+    untouched files + measured rows for the compacted ones. The
+    input manifest's tracked columns are preserved."""
+    tracked = sorted(
+        {
+            c[: -len("_min")]
+            for c in manifest.columns
+            if c.endswith("_min") and f"{c[:-len('_min')]}_max" in manifest.columns
+        }
+    )
+    bins, keep = plan_compaction(manifest, target_rows)
+    for i, bin_files in enumerate(bins):
+        df = spark.read.parquet(*bin_files).coalesce(1)
+        if sort_col is not None:
+            df = df.sortWithinPartitions(sort_col)
+        df.write.mode("overwrite").parquet(f"{out_dir}/part-{i}")
+    carried = manifest.filter(F.col("file").isin(keep))
+    if not bins:
+        return carried
+    fresh = build_manifest(spark, f"{out_dir}/part-*", tracked)
+    return carried.unionByName(fresh.select(*carried.columns))
