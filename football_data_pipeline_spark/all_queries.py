@@ -4,7 +4,7 @@
 fully-populated registry.
 """
 
-from .sources import zorder  # noqa: F401
+from .sources import snapshots, zorder  # noqa: F401
 from .streaming import media, mediadedup, supersede, windowed  # noqa: F401
 from .operators import (  # noqa: F401
     audio,

@@ -140,6 +140,11 @@ CHECK_PRIORITY = [
     # extraction + local boilerplate-line drop (closed-form template
     # fixture, oracle states the expectation from documents.text):
     "q_html_extract",
+    # sources/snapshots.py NEW (r10, late): snapshot log + COW
+    # delete — the plan_cow_delete classification + per-file survivor
+    # counts over a fixed-width layout, oracle reproduces the
+    # geometry and the in-plan delete-range derivation exactly:
+    "q_cow_delete",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -182,7 +187,6 @@ CHECK_PRIORITY = [
     "q_star_join",
     "q_cube_report",
     "q_gopher_rules",
-    "q_ewma",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -215,6 +219,12 @@ CHECK_PRIORITY = [
 #   byte-untouched — and functions/stable.py — byte-untouched) ->
 #   q_drift_psi IN HEAD; operators/extraction.py NEW (imports only
 #   catalog) -> q_html_extract IN HEAD.
+# - LATE r10 additions (third wave): sources/snapshots.py NEW
+#   (snapshot log + COW delete + streaming append commits; imports
+#   manifest.build_manifest — byte-untouched — and catalog) ->
+#   q_cow_delete IN HEAD. optimize.py/manifest.py themselves are
+#   byte-untouched (snapshots only CALLS them), so their pytest-only
+#   surfaces stand.
 # - all_queries.py, registry.py curation lists, bench.py, tools/*,
 #   tests/*: no runtime query lineage.
 # Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
@@ -234,11 +244,13 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_bloom_semi",
     "q_heavy_hitters",
     # yielded their r10 freshness slots to q_zorder_skipping,
-    # q_drift_psi and q_html_extract (modules mixing.py / skew.py
-    # byte-untouched since their green r6 rows):
+    # q_drift_psi, q_html_extract and q_cow_delete (modules
+    # mixing.py / skew.py / timeseries.py byte-untouched since their
+    # green r6 rows):
     "q_temperature_sample",
     "q_salted_distinct",
     "q_mixture_epochs",
+    "q_ewma",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -332,6 +344,9 @@ ROTATE_TAIL = [
     "q_containment",
     "q_moving_avg",
     "q_anomaly",
+    # green r6 driver row, module (timeseries.py) untouched since;
+    # yielded its r10 freshness slot to q_cow_delete (carried above):
+    "q_ewma",
     # green r6 driver rows, modules untouched since (the freshness
     # remainder recorded in CARRY_TO_NEXT_ROUND above):
     "q_hll_audit",

@@ -1,0 +1,486 @@
+"""Snapshot log — versioned manifests, time travel, copy-on-write
+delete and orphan-file GC for the plain-Parquet + manifest layout.
+Reference parity: the reference VACUUMs a SQLite file on a cron
+(`.github/workflows/*.yml:661-680`) and has no multi-version story;
+this is the scale extension that turns manifest.py / optimize.py /
+zorder.py into a coherent table format (Iceberg's snapshot +
+`expire_snapshots` + copy-on-write `DELETE`, Delta's transaction log
++ `VACUUM`), built from engine-native pieces.
+
+Why the pieces demand it: optimize.compact_small_files and
+zorder.write_zordered both end with "switch manifests and the old
+files become orphans" — but until now the manifest only ever lived
+in the caller's hands. The snapshot log makes that contract durable:
+
+- ``commit_snapshot``: persist a manifest as the next numbered
+  snapshot under ``{log_dir}/snap-N/`` — manifest parquet first,
+  then a 1-row commit-marker parquet (version, parent, n_files,
+  n_rows) LAST, so a crash mid-commit leaves an uncommitted
+  directory that every reader ignores (the marker is the commit).
+- ``read_manifest`` / ``read_snapshot``: pin any committed version —
+  ``read_snapshot`` reads exactly that version's file list, which is
+  what makes a reader immune to concurrent compaction/delete (the
+  files it reads are immutable; only the MANIFEST ever changes).
+- ``plan_cow_delete`` / ``delete_where_cow``: copy-on-write range
+  delete — a pure manifest projection classifies every file
+  ``rewrite`` (its [min, max] intersects the delete range — the
+  exact predicate prune_files uses, flipped to the write path) or
+  ``carry``; only the rewrite tail is read and rewritten without the
+  deleted rows (one range-partitioned write, re-sorted so the
+  clustering and tight min/max survive), carried files' manifest
+  rows pass through verbatim. Files never mutate — old versions
+  still read the deleted rows (time travel), new versions don't.
+- ``orphan_files`` / ``expire_snapshots`` / ``vacuum``: retention.
+  A data file is an orphan when every snapshot referencing it has
+  been expired — one anti-join of expired manifests against
+  retained ones (``orphan_files``, a pure DataFrame op). expire
+  drops the snapshot directories and returns the orphan list;
+  ``vacuum`` unlinks the orphans. Split on purpose: computing
+  orphans is cheap and reversible, deleting data is not.
+
+100 TB shape: every planning decision here is bounded by FILE count
+(manifest rows), never row count — commit metadata is one bounded
+aggregate, orphan computation one file-keyed anti-join, the COW
+delete reads only the intersecting tail. Directory listing uses the
+local filesystem (`os.scandir`); on an object store the same layout
+maps to a LIST of the log prefix — still bounded by snapshot count.
+
+Driver-checked: ``q_cow_delete`` runs plan_cow_delete's
+classification over a deterministic fixed-width synthetic layout of
+``documents`` (the zorder-audit trick: file geometry as pure
+arithmetic, so the DuckDB oracle reproduces the layout, the
+intersection test and the per-file survivor counts bit-for-bit).
+Filesystem semantics (marker atomicity, time travel through
+compaction and delete, orphan GC) are pytest-locked in
+tests/test_snapshots.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from urllib.parse import urlparse
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .manifest import build_manifest
+
+_SNAP_RE = re.compile(r"^snap-(\d{6})$")
+
+
+def _snap_dir(log_dir: str, version: int) -> str:
+    return os.path.join(log_dir, f"snap-{version:06d}")
+
+
+def _marker_path(log_dir: str, version: int) -> str:
+    return os.path.join(_snap_dir(log_dir, version), "commit")
+
+
+def _local_path(file_uri: str) -> str:
+    """input_file_name() yields file: URIs on the local FS; unlink
+    and os.path checks need the bare path."""
+    if file_uri.startswith("file:"):
+        return urlparse(file_uri).path
+    return file_uri
+
+
+def snapshot_versions(spark: SparkSession, log_dir: str) -> list[int]:
+    """Committed versions, ascending. A snap-N directory without its
+    commit marker (crash between manifest write and marker write) is
+    invisible — the marker IS the commit."""
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for e in os.scandir(log_dir):
+        m = _SNAP_RE.match(e.name)
+        if m and e.is_dir():
+            v = int(m.group(1))
+            if os.path.isdir(_marker_path(log_dir, v)):
+                out.append(v)
+    return sorted(out)
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    log_dir: str,
+    manifest: DataFrame,
+    parent: int | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Persist ``manifest`` as the next committed version and return
+    its number. Write order is the atomicity story: manifest parquet
+    first, the 1-row marker parquet last — readers only trust marked
+    snapshots. Commit metadata (n_files, n_rows) is one aggregate
+    over the manifest, bounded by file count. ``batch_id`` stamps
+    streaming commits so a replayed micro-batch can recognize itself
+    (``snapshot_append_writer``)."""
+    versions = snapshot_versions(spark, log_dir)
+    # number past EVERY snap dir, committed or not — a crashed commit
+    # leaves an unmarked directory behind, and a retry must take a
+    # fresh number rather than collide with the debris
+    taken = [
+        int(m.group(1))
+        for e in (os.scandir(log_dir) if os.path.isdir(log_dir) else [])
+        if (m := _SNAP_RE.match(e.name))
+    ]
+    version = (max(taken) + 1) if taken else 0
+    if parent is None and versions:
+        parent = versions[-1]
+    snap = _snap_dir(log_dir, version)
+    manifest.write.mode("errorifexists").parquet(
+        os.path.join(snap, "manifest")
+    )
+    meta = manifest.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+    ).select(
+        F.lit(version).alias("version"),
+        F.lit(parent).cast("int").alias("parent"),
+        "n_files",
+        "n_rows",
+        F.lit(batch_id).cast("long").alias("batch_id"),
+    )
+    meta.coalesce(1).write.mode("errorifexists").parquet(
+        _marker_path(log_dir, version)
+    )
+    return version
+
+
+def commit_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    """The table's history: one row per committed snapshot (version,
+    parent, n_files, n_rows) — the markers read back as a table."""
+    versions = snapshot_versions(spark, log_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {log_dir!r}")
+    return spark.read.parquet(
+        *[_marker_path(log_dir, v) for v in versions]
+    ).orderBy("version")
+
+
+def read_manifest(
+    spark: SparkSession, log_dir: str, version: int | None = None
+) -> DataFrame:
+    """The manifest pinned at ``version`` (default: latest
+    committed). Raises on an uncommitted or unknown version."""
+    versions = snapshot_versions(spark, log_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {log_dir!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} is not a committed snapshot of {log_dir!r}"
+        )
+    return spark.read.parquet(os.path.join(_snap_dir(log_dir, version), "manifest"))
+
+
+def read_snapshot(
+    spark: SparkSession,
+    log_dir: str,
+    version: int | None = None,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Time travel: the table's rows exactly as of ``version`` —
+    reads that snapshot's explicit file list, so later compactions
+    and deletes (which only ADD files and switch manifests) cannot
+    change what this returns until the snapshot is expired. Pass the
+    table root as ``base_path`` on directory-partitioned layouts
+    (manifest.pruned_read's basePath contract)."""
+    manifest = read_manifest(spark, log_dir, version)
+    files = [r.file for r in manifest.select("file").collect()]
+    if not files:
+        raise ValueError("snapshot has an empty manifest")
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(*files)
+
+
+# --- copy-on-write delete --------------------------------------------
+
+
+def plan_cow_delete(
+    manifest: DataFrame,
+    col: str,
+    lo: int | float | Column,
+    hi: int | float | Column,
+) -> DataFrame:
+    """``manifest`` + ``action``: 'rewrite' for files whose
+    [min, max] intersects the closed delete range [lo, hi] —
+    prune_files' intersection test pointed at the write path —
+    'carry' for the rest. A pure projection, bounded by file count;
+    lo/hi may be Columns already present in the frame (the audit
+    query derives them in-plan)."""
+    lo_c = lo if isinstance(lo, Column) else F.lit(lo)
+    hi_c = hi if isinstance(hi, Column) else F.lit(hi)
+    hit = (F.col(f"{col}_max") >= lo_c) & (F.col(f"{col}_min") <= hi_c)
+    return manifest.withColumn(
+        "action", F.when(hit, F.lit("rewrite")).otherwise(F.lit("carry"))
+    )
+
+
+def delete_where_cow(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    out_dir: str,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Copy-on-write ``DELETE WHERE col BETWEEN lo AND hi``: rewrite
+    ONLY the files the manifest says can hold doomed rows — survivors
+    go to ``out_dir`` in one range-partitioned, within-file-sorted
+    write (one file per rewritten input file, so clustering and tight
+    min/max survive) — and return the NEW manifest: carried files'
+    rows verbatim + freshly measured rows for the rewrites. Input
+    files never mutate; commit the result as the next snapshot and
+    old versions still time-travel to the deleted rows."""
+    tracked = sorted(
+        {
+            c[: -len("_min")]
+            for c in manifest.columns
+            if c.endswith("_min") and f"{c[:-len('_min')]}_max" in manifest.columns
+        }
+    )
+    plan = plan_cow_delete(manifest, col, lo, hi)
+    actions = plan.select("file", "action").collect()
+    rewrite = [r.file for r in actions if r.action == "rewrite"]
+    carried = manifest.filter(
+        F.col("file").isin([r.file for r in actions if r.action == "carry"])
+    )
+    if not rewrite:
+        return manifest
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    survivors = reader.parquet(*rewrite).filter(
+        ~F.col(col).between(F.lit(lo), F.lit(hi))
+    )
+    (
+        survivors.repartitionByRange(len(rewrite), col)
+        .sortWithinPartitions(col)
+        .write.mode("errorifexists")
+        .parquet(out_dir)
+    )
+    fresh = build_manifest(spark, out_dir, tracked)
+    return carried.unionByName(fresh.select(*carried.columns))
+
+
+# --- streaming: exactly-once snapshot commits --------------------------
+
+
+def latest_committed_batch(spark: SparkSession, log_dir: str) -> int | None:
+    """The highest ``batch_id`` any committed marker carries, or None
+    when the log is empty / holds only non-streaming commits. One
+    read over the markers — bounded by snapshot count."""
+    if not snapshot_versions(spark, log_dir):
+        return None
+    row = commit_log(spark, log_dir).agg(F.max("batch_id").alias("b")).first()
+    return row.b
+
+
+def snapshot_append_writer(
+    log_dir: str, data_dir: str, tracked_cols: list[str]
+):
+    """foreachBatch sink that turns every micro-batch into an ATOMIC
+    snapshot commit — the streaming half of the table format, and a
+    stronger idempotence story than the funnels' partition
+    overwrites: a reader pinned to version N never sees a half-written
+    batch, because data files and the manifest both land before the
+    marker that makes them visible.
+
+    Per batch N:
+
+    1. replay guard FIRST: if a committed marker already carries
+       ``batch_id >= N`` the whole batch is a no-op (the crash
+       happened after the marker — the commit is durable);
+    2. the batch's rows land under ``{data_dir}/batch_id=N``
+       (overwrite — a crash BEFORE the marker leaves invisible debris
+       this replay simply rewrites);
+    3. the new manifest = latest committed manifest + one
+       build_manifest pass over JUST the new files (incremental: the
+       old files are never re-scanned);
+    4. ``commit_snapshot(..., batch_id=N)`` — marker last.
+
+    Every version remains time-travelable mid-stream:
+    ``read_snapshot(log_dir, v, base_path=data_dir)`` (basePath
+    recovers the batch_id partition column). Empty batches still
+    commit (same manifest, advanced batch_id) so the replay guard
+    never regresses."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        done = latest_committed_batch(spark, log_dir)
+        if done is not None and done >= batch_id:
+            return
+        versions = snapshot_versions(spark, log_dir)
+        base = read_manifest(spark, log_dir) if versions else None
+        if batch.isEmpty():
+            if base is None:
+                return  # nothing to commit a snapshot OF yet
+            commit_snapshot(spark, log_dir, base, batch_id=batch_id)
+            return
+        out = os.path.join(data_dir, f"batch_id={batch_id}")
+        batch.write.mode("overwrite").parquet(out)
+        fresh = build_manifest(spark, out, tracked_cols)
+        manifest = (
+            base.unionByName(fresh.select(*base.columns))
+            if base is not None
+            else fresh
+        )
+        commit_snapshot(spark, log_dir, manifest, batch_id=batch_id)
+
+    return write_batch
+
+
+# --- retention: orphans, expire, vacuum -------------------------------
+
+
+def orphan_files(expired: DataFrame, retained: DataFrame) -> DataFrame:
+    """Distinct data files referenced by ``expired`` manifests and by
+    NO ``retained`` one — the set a GC may delete. One file-keyed
+    anti-join; both sides are manifests (bounded by file count)."""
+    return (
+        expired.select("file")
+        .distinct()
+        .join(retained.select("file").distinct(), "file", "left_anti")
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession, log_dir: str, keep_latest: int = 2
+) -> tuple[list[int], list[str]]:
+    """Expire every committed snapshot but the newest
+    ``keep_latest``: returns (expired_versions, orphan_data_files)
+    and removes the expired snapshot directories (their manifests and
+    markers). Data files are NOT touched — pass the orphan list to
+    ``vacuum`` for that; computing is cheap and reversible, deleting
+    is neither."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    versions = snapshot_versions(spark, log_dir)
+    expired = versions[:-keep_latest]
+    if not expired:
+        return [], []
+    retained = versions[-keep_latest:]
+    exp_m = spark.read.parquet(
+        *[os.path.join(_snap_dir(log_dir, v), "manifest") for v in expired]
+    )
+    ret_m = spark.read.parquet(
+        *[os.path.join(_snap_dir(log_dir, v), "manifest") for v in retained]
+    )
+    orphans = sorted(r.file for r in orphan_files(exp_m, ret_m).collect())
+    import shutil
+
+    for v in expired:
+        shutil.rmtree(_snap_dir(log_dir, v))
+    return expired, orphans
+
+
+def vacuum(orphans: list[str]) -> int:
+    """Unlink the orphan data files (the list ``expire_snapshots``
+    returned); missing files are skipped (a re-run after a partial
+    failure is a no-op, not an error). Returns the number removed."""
+    removed = 0
+    for f in orphans:
+        p = _local_path(f)
+        if os.path.isfile(p):
+            os.remove(p)
+            removed += 1
+    return removed
+
+
+# --- driver oracle: COW-delete planning audit -------------------------
+
+#: docs per synthetic file in the audit layout (sf0.01 → 32 files)
+_COW_FILE_ROWS = 16
+
+
+def cow_delete_audit(docs: DataFrame) -> DataFrame:
+    """(file_id, n_before, id_min, id_max, action, n_after): the
+    copy-on-write delete plan over a deterministic fixed-width layout
+    of ``documents`` — file_id = doc_id DIV 16, delete range = the
+    middle [3/8, 5/8] of the table's doc_id span (derived in-plan
+    from one scalar aggregate, all-integer so both engines agree
+    exactly). Carried files keep every row; rewritten files keep the
+    rows outside the range — n_before/n_after quantify the rewrite
+    the plan buys vs a full rewrite. The REAL plan_cow_delete does
+    the classification; the synthetic manifest is one hash aggregate
+    keyed by file_id."""
+    bounds = docs.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    ).select(
+        F.expr("__lo + (3 * (__hi - __lo)) DIV 8").alias("__dlo"),
+        F.expr("__lo + (5 * (__hi - __lo)) DIV 8").alias("__dhi"),
+    )
+    per_file = (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn("file_id", F.expr(f"doc_id DIV {_COW_FILE_ROWS}"))
+        .groupBy("file_id", "__dlo", "__dhi")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+            F.sum(
+                F.when(
+                    F.col("doc_id").between(F.col("__dlo"), F.col("__dhi")),
+                    F.lit(0),
+                ).otherwise(F.lit(1))
+            ).alias("n_after"),
+        )
+    )
+    planned = plan_cow_delete(
+        per_file, "doc_id", F.col("__dlo"), F.col("__dhi")
+    )
+    return planned.select(
+        "file_id",
+        "n_before",
+        F.col("doc_id_min").alias("id_min"),
+        F.col("doc_id_max").alias("id_max"),
+        "action",
+        "n_after",
+    )
+
+
+_COW_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(min(doc_id) + (3 * (max(doc_id) - min(doc_id))) // 8 AS BIGINT) AS dlo,
+         CAST(min(doc_id) + (5 * (max(doc_id) - min(doc_id))) // 8 AS BIGINT) AS dhi
+  FROM documents
+),
+per_file AS (
+  SELECT doc_id // {_COW_FILE_ROWS} AS file_id,
+         CAST(count(*) AS BIGINT) AS n_before,
+         min(doc_id) AS id_min,
+         max(doc_id) AS id_max,
+         CAST(sum(CASE WHEN doc_id BETWEEN (SELECT dlo FROM b)
+                                       AND (SELECT dhi FROM b)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+  FROM documents
+  GROUP BY file_id
+)
+SELECT file_id, n_before, id_min, id_max,
+       CASE WHEN id_max >= (SELECT dlo FROM b)
+             AND id_min <= (SELECT dhi FROM b)
+            THEN 'rewrite' ELSE 'carry' END AS action,
+       n_after
+FROM per_file
+"""
+
+
+@query("q_cow_delete", oracle=_COW_ORACLE)
+def q_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write delete planning, measured as the write path
+    sees it: per synthetic file, the rows before, the REAL
+    plan_cow_delete classification against the in-plan middle-[3/8,
+    5/8] doc_id range, and the rows a rewrite would keep. The oracle
+    reproduces the fixed-width layout, the integer range derivation
+    and the intersection test exactly — a drift in any of them (an
+    off-by-one on the closed range, a wrong DIV) breaks the value
+    hash."""
+    from ..catalog import load
+
+    return cow_delete_audit(load(spark, sf_dir, "documents"))

@@ -1,0 +1,295 @@
+"""Snapshot log: commit/marker atomicity, time travel through
+compaction and copy-on-write delete, orphan computation and vacuum.
+The driver-facing classification audit is oracle-checked as
+q_cow_delete; these tests pin the filesystem semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_data_pipeline_spark.sources.manifest import build_manifest
+from football_data_pipeline_spark.sources.optimize import compact_small_files
+from football_data_pipeline_spark.sources.snapshots import (
+    _local_path,
+    commit_log,
+    commit_snapshot,
+    delete_where_cow,
+    expire_snapshots,
+    orphan_files,
+    plan_cow_delete,
+    read_manifest,
+    read_snapshot,
+    snapshot_versions,
+    vacuum,
+)
+
+N_ROWS = 2000
+DEL_LO, DEL_HI = 700, 1099  # spans parts of several 125-row files
+
+
+def _rows(df):
+    return sorted((r.id, r.v) for r in df.select("id", "v").collect())
+
+
+def _files(manifest):
+    return sorted(r.file for r in manifest.select("file").collect())
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """A 16-file id-clustered table with a three-version history:
+    v0 = the raw fragmented write, v1 = compacted, v2 = COW-deleted
+    [DEL_LO, DEL_HI]."""
+    base = tmp_path_factory.mktemp("snap")
+    path = str(base / "tbl")
+    log = str(base / "log")
+    df = spark.range(N_ROWS).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    df.repartitionByRange(16, "id").write.parquet(path)
+    m0 = build_manifest(spark, path, ["id"])
+    v0 = commit_snapshot(spark, log, m0)
+    m1 = compact_small_files(
+        spark, m0, target_rows=500, out_dir=str(base / "compact"), sort_col="id"
+    )
+    v1 = commit_snapshot(spark, log, m1)
+    m2 = delete_where_cow(
+        spark, m1, "id", DEL_LO, DEL_HI, out_dir=str(base / "deleted")
+    )
+    v2 = commit_snapshot(spark, log, m2)
+    return {"base": str(base), "log": log, "versions": (v0, v1, v2)}
+
+
+def test_versions_and_log(spark, table):
+    v0, v1, v2 = table["versions"]
+    assert snapshot_versions(spark, table["log"]) == [v0, v1, v2]
+    log = commit_log(spark, table["log"]).collect()
+    assert [r.version for r in log] == [v0, v1, v2]
+    assert [r.parent for r in log] == [None, v0, v1]
+    assert log[0].n_rows == N_ROWS and log[1].n_rows == N_ROWS
+    assert log[2].n_rows == N_ROWS - (DEL_HI - DEL_LO + 1)
+
+
+def test_time_travel_row_parity(spark, table):
+    v0, v1, v2 = table["versions"]
+    expect = [(i, i % 7) for i in range(N_ROWS)]
+    assert _rows(read_snapshot(spark, table["log"], v0)) == expect
+    # compaction is row-preserving: v1 reads the SAME rows from a
+    # different (smaller) file set
+    assert _rows(read_snapshot(spark, table["log"], v1)) == expect
+    assert len(_files(read_manifest(spark, table["log"], v0))) > len(
+        _files(read_manifest(spark, table["log"], v1))
+    )
+    # the COW delete only shows at v2; v1 still time-travels to the
+    # deleted rows (files never mutate)
+    assert _rows(read_snapshot(spark, table["log"], v2)) == [
+        (i, i % 7) for i in range(N_ROWS) if not (DEL_LO <= i <= DEL_HI)
+    ]
+    # default = latest committed
+    assert _rows(read_snapshot(spark, table["log"])) == _rows(
+        read_snapshot(spark, table["log"], v2)
+    )
+
+
+def test_cow_delete_rewrites_only_intersecting_files(spark, table):
+    _, v1, v2 = table["versions"]
+    m1 = read_manifest(spark, table["log"], v1)
+    m2 = read_manifest(spark, table["log"], v2)
+    plan = plan_cow_delete(m1, "id", DEL_LO, DEL_HI).collect()
+    carried = sorted(r.file for r in plan if r.action == "carry")
+    rewritten = sorted(r.file for r in plan if r.action == "rewrite")
+    assert rewritten, "the fixture range must hit at least one file"
+    assert carried, "the fixture range must miss at least one file"
+    # carried files pass through verbatim; rewritten ones are gone
+    f2 = set(_files(m2))
+    assert set(carried) <= f2
+    assert not (set(rewritten) & f2)
+    # the fresh files hold exactly the rewritten survivors: the
+    # original rewritten rows minus every deleted id (carried files
+    # don't intersect the range, so ALL deletions land here)
+    fresh = m2.filter(~F.col("file").isin(carried)).collect()
+    rewritten_rows = sum(
+        r.n_rows for r in plan if r.action == "rewrite"
+    )
+    assert sum(r.n_rows for r in fresh) == rewritten_rows - (
+        DEL_HI - DEL_LO + 1
+    )
+
+
+def test_cow_delete_no_intersection_is_noop(spark, table):
+    _, v1, _ = table["versions"]
+    m1 = read_manifest(spark, table["log"], v1)
+    out = delete_where_cow(
+        spark, m1, "id", N_ROWS + 10, N_ROWS + 20,
+        out_dir=table["base"] + "/never",
+    )
+    assert _files(out) == _files(m1)
+    assert not os.path.exists(table["base"] + "/never")
+
+
+def test_plan_cow_delete_closed_range_boundary(spark):
+    man = spark.createDataFrame(
+        [("a", 10, 0, 99), ("b", 10, 100, 199), ("c", 10, 200, 299)],
+        "file string, n_rows int, id_min int, id_max int",
+    )
+    acts = {
+        r.file: r.action
+        for r in plan_cow_delete(man, "id", 99, 200).collect()
+    }
+    # closed range: touching a single endpoint is an intersection
+    assert acts == {"a": "rewrite", "b": "rewrite", "c": "rewrite"}
+    acts2 = {
+        r.file: r.action
+        for r in plan_cow_delete(man, "id", 100, 199).collect()
+    }
+    assert acts2 == {"a": "carry", "b": "rewrite", "c": "carry"}
+
+
+def test_uncommitted_snapshot_is_invisible(spark, table, tmp_path):
+    log = str(tmp_path / "log")
+    m = read_manifest(spark, table["log"])
+    v0 = commit_snapshot(spark, log, m)
+    # a crashed commit: manifest written, marker never made it
+    m.write.parquet(os.path.join(log, "snap-000001", "manifest"))
+    assert snapshot_versions(spark, log) == [v0]
+    assert read_manifest(spark, log).count() == m.count()  # latest = v0
+    # a retry numbers PAST the debris instead of colliding with it
+    v_next = commit_snapshot(spark, log, m)
+    assert v_next == 2
+    assert snapshot_versions(spark, log) == [v0, v_next]
+    log_rows = {r.version: r.parent for r in commit_log(spark, log).collect()}
+    assert log_rows[v_next] == v0  # parent is the latest COMMITTED
+
+
+def test_orphan_files_is_expired_minus_retained(spark):
+    exp = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "file string, n_rows int"
+    )
+    ret = spark.createDataFrame([("b", 1), ("d", 1)], "file string, n_rows int")
+    assert sorted(
+        r.file for r in orphan_files(exp, ret).collect()
+    ) == ["a", "c"]
+
+
+def test_expire_and_vacuum(spark, table):
+    v0, v1, v2 = table["versions"]
+    m0_files = set(_files(read_manifest(spark, table["log"], v0)))
+    m1_files = set(_files(read_manifest(spark, table["log"], v1)))
+    m2_files = set(_files(read_manifest(spark, table["log"], v2)))
+    with pytest.raises(ValueError):
+        expire_snapshots(spark, table["log"], keep_latest=0)
+    expired, orphans = expire_snapshots(spark, table["log"], keep_latest=1)
+    assert expired == [v0, v1]
+    # orphans = everything v0/v1 referenced that v2 does not
+    assert set(orphans) == (m0_files | m1_files) - m2_files
+    assert snapshot_versions(spark, table["log"]) == [v2]
+    with pytest.raises(ValueError):
+        read_manifest(spark, table["log"], v0)
+    # data files untouched until vacuum; vacuum is idempotent
+    assert all(os.path.isfile(_local_path(f)) for f in orphans)
+    assert vacuum(orphans) == len(orphans)
+    assert vacuum(orphans) == 0
+    assert not any(os.path.isfile(_local_path(f)) for f in orphans)
+    # the retained snapshot still reads completely
+    assert read_snapshot(spark, table["log"], v2).count() == N_ROWS - (
+        DEL_HI - DEL_LO + 1
+    )
+    # expiring down to the only version is a no-op
+    assert expire_snapshots(spark, table["log"], keep_latest=1) == ([], [])
+
+
+def test_read_manifest_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_manifest(object(), str(tmp_path / "nolog"))
+
+
+# --- streaming append writer ------------------------------------------
+
+
+def test_snapshot_append_writer_exactly_once(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        latest_committed_batch,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+
+    b0 = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    b1 = spark.range(100, 250).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    write(b0, 0)
+    write(b1, 1)
+    vs = snapshot_versions(spark, log)
+    assert len(vs) == 2
+    assert latest_committed_batch(spark, log) == 1
+    # latest = both batches; v0 time-travels to batch 0 alone even
+    # though the stream has moved on
+    assert read_snapshot(spark, log, vs[-1], base_path=data).count() == 250
+    assert read_snapshot(spark, log, vs[0], base_path=data).count() == 100
+    # the partition column is recovered through basePath
+    got = read_snapshot(spark, log, vs[-1], base_path=data)
+    assert set(r.batch_id for r in got.select("batch_id").distinct().collect()) == {0, 1}
+
+    # replaying an already-committed batch is a full no-op
+    write(b1, 1)
+    write(b0, 0)
+    assert snapshot_versions(spark, log) == vs
+    assert read_snapshot(spark, log, base_path=data).count() == 250
+
+    # incremental manifests: v1 carries v0's file rows verbatim
+    m0 = set(r.file for r in read_manifest(spark, log, vs[0]).collect())
+    m1 = set(r.file for r in read_manifest(spark, log, vs[1]).collect())
+    assert m0 < m1
+
+
+def test_snapshot_append_writer_crash_before_marker(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    b0 = spark.range(50).select(F.col("id"), F.lit("x").alias("v"))
+    write(b0, 0)
+    # crash window: batch 1's data landed but the commit never did —
+    # readers can't see it, and the replay rewrites it exactly once
+    b1 = spark.range(50, 80).select(F.col("id"), F.lit("y").alias("v"))
+    b1.write.parquet(os.path.join(data, "batch_id=1"))
+    assert read_snapshot(spark, log, base_path=data).count() == 50
+    write(b1, 1)
+    assert read_snapshot(spark, log, base_path=data).count() == 80
+    assert sorted(
+        r.id for r in read_snapshot(spark, log, base_path=data).collect()
+    ) == list(range(80))
+
+
+def test_snapshot_append_writer_empty_batch(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        latest_committed_batch,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    empty = spark.range(0).select(F.col("id"), F.lit("x").alias("v"))
+    # an empty FIRST batch has nothing to snapshot at all
+    write(empty, 0)
+    assert snapshot_versions(spark, log) == []
+    b1 = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    write(b1, 1)
+    # an empty later batch still advances the replay guard with an
+    # unchanged manifest
+    write(empty, 2)
+    assert latest_committed_batch(spark, log) == 2
+    vs = snapshot_versions(spark, log)
+    assert len(vs) == 2
+    m_last = read_manifest(spark, log, vs[-1])
+    m_prev = read_manifest(spark, log, vs[0])
+    assert sorted(r.file for r in m_last.collect()) == sorted(
+        r.file for r in m_prev.collect()
+    )
+    assert read_snapshot(spark, log, base_path=data).count() == 10
