@@ -141,6 +141,11 @@ HEADLINE = [
     "q_zorder_skipping",
     "q_drift_psi",
     "q_html_extract",
+    # added late in round 10: the snapshot-log COW-delete planning
+    # audit (one scalar-bounds aggregate + one file-keyed hash
+    # aggregate over documents) — cheap, and the lakehouse write-path
+    # math deserves the same round-over-round watch as the zorder row
+    "q_cow_delete",
     # NOT headlined: q_media_curation (the combined gate→dedup
     # classification) measures 46-60 s/trial at sf0.1 — it gates AND
     # fingerprints 15,000 synthesized assets across two halves, so

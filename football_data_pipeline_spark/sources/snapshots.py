@@ -336,6 +336,51 @@ def snapshot_append_writer(
     return write_batch
 
 
+def scan_appends(
+    spark: SparkSession,
+    log_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Incremental read: the rows ADDED between two committed
+    snapshots — exactly the files ``to_version``'s manifest holds
+    that ``from_version``'s does not, which with
+    ``snapshot_append_writer`` means "the micro-batches committed
+    after my last read". This is what lets a downstream consumer
+    (an index refresher, a dedup history builder) process each
+    snapshot delta exactly once without replaying the table.
+
+    Sound ONLY while history is append-only between the two pins: a
+    compaction or COW delete REMOVES files, after which the file
+    diff is no longer the row diff — the scan detects any removed
+    file and raises instead of silently double-counting rewritten
+    rows. Planning is two manifest reads + a set diff, bounded by
+    file count."""
+    m_from = read_manifest(spark, log_dir, from_version)
+    m_to = read_manifest(spark, log_dir, to_version)
+    from_files = {r.file for r in m_from.select("file").collect()}
+    to_files = {r.file for r in m_to.select("file").collect()}
+    removed = from_files - to_files
+    if removed:
+        raise ValueError(
+            "history between the two versions is not append-only "
+            f"({len(removed)} file(s) rewritten or deleted, e.g. "
+            f"{sorted(removed)[0]!r}); incremental file-diff reads "
+            "would double-count — re-read the full snapshot instead"
+        )
+    added = sorted(to_files - from_files)
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    if not added:
+        any_file = sorted(to_files)
+        if not any_file:
+            raise ValueError("both snapshots have empty manifests")
+        return reader.parquet(any_file[0]).filter(F.lit(False))
+    return reader.parquet(*added)
+
+
 # --- retention: orphans, expire, vacuum -------------------------------
 
 

@@ -293,3 +293,57 @@ def test_snapshot_append_writer_empty_batch(spark, tmp_path):
         r.file for r in m_prev.collect()
     )
     assert read_snapshot(spark, log, base_path=data).count() == 10
+
+
+def test_scan_appends_incremental_reads(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        scan_appends,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    write(spark.range(0, 40).select("id"), 0)
+    write(spark.range(40, 90).select("id"), 1)
+    write(spark.range(90, 100).select("id"), 2)
+    v0, v1, v2 = snapshot_versions(spark, log)
+    # the delta between two pins is exactly the later batches' rows
+    assert sorted(
+        r.id for r in scan_appends(spark, log, v0, v2, base_path=data).collect()
+    ) == list(range(40, 100))
+    assert sorted(
+        r.id for r in scan_appends(spark, log, v1, v2, base_path=data).collect()
+    ) == list(range(90, 100))
+    # same pin twice = empty delta with the table schema
+    empty = scan_appends(spark, log, v2, v2, base_path=data)
+    assert empty.count() == 0 and "id" in empty.columns
+    # default to_version = latest
+    assert scan_appends(spark, log, v0, base_path=data).count() == 60
+
+
+def test_scan_appends_rejects_rewritten_history(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        scan_appends,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    write(spark.range(0, 40).select("id"), 0)
+    write(spark.range(40, 80).select("id"), 1)
+    v0, v1 = snapshot_versions(spark, log)
+    # a COW delete between the pins rewrites files: the file diff is
+    # no longer the row diff, so the incremental scan must refuse
+    m2 = delete_where_cow(
+        spark,
+        read_manifest(spark, log, v1),
+        "id",
+        10,
+        20,
+        out_dir=str(tmp_path / "rewrite"),
+    )
+    v2 = commit_snapshot(spark, log, m2)
+    with pytest.raises(ValueError, match="not append-only"):
+        scan_appends(spark, log, v0, v2, base_path=data)
