@@ -438,6 +438,67 @@ def vacuum(orphans: list[str]) -> int:
     return removed
 
 
+def maintain(
+    spark: SparkSession,
+    log_dir: str,
+    target_rows: int,
+    out_dir: str,
+    sort_col: str | None = None,
+    keep_latest: int = 2,
+    do_vacuum: bool = True,
+) -> dict:
+    """One housekeeping pass over the table — the OPTIMIZE loop a
+    long-lived streaming table needs, composed from the pieces:
+    compact the latest snapshot's small files (optimize.
+    compact_small_files — a no-op commit is skipped entirely),
+    commit the compacted manifest, expire everything but the newest
+    ``keep_latest`` versions, and (optionally) vacuum the orphans.
+    Safe to run on a schedule alongside ``snapshot_append_writer``:
+    appends between the manifest read and the commit are NOT lost —
+    they live in their own snapshot, and the next pass folds them.
+    Each pass rewrites into its own ``{out_dir}/gen-N`` (N = the
+    version it is about to commit), so repeated passes never
+    overwrite files a retained snapshot still references. Returns a
+    small audit dict (committed version or None, expired versions,
+    orphan count, vacuumed count).
+
+    Caveat: once a snapshot mixes file roots (data dir + optimize
+    generations), directory-encoded partition columns like the
+    append writer's ``batch_id`` are NOT recoverable via basePath
+    any more — an OPTIMIZE rewrite keeps only real columns. Read
+    post-maintenance snapshots without ``base_path``; if a partition
+    value must survive compaction, materialize it as a column before
+    writing."""
+    from .optimize import compact_small_files, plan_compaction
+
+    manifest = read_manifest(spark, log_dir)
+    bins, _ = plan_compaction(manifest, target_rows)
+    version = None
+    if bins:
+        taken = [
+            int(m.group(1))
+            for e in os.scandir(log_dir)
+            if (m := _SNAP_RE.match(e.name))
+        ]
+        gen = (max(taken) + 1) if taken else 0
+        compacted = compact_small_files(
+            spark,
+            manifest,
+            target_rows,
+            os.path.join(out_dir, f"gen-{gen}"),
+            sort_col=sort_col,
+        )
+        version = commit_snapshot(spark, log_dir, compacted)
+    expired, orphans = expire_snapshots(spark, log_dir, keep_latest)
+    vacuumed = vacuum(orphans) if do_vacuum else 0
+    return {
+        "compacted_version": version,
+        "expired": expired,
+        "orphans": len(orphans),
+        "vacuumed": vacuumed,
+    }
+
+
 # --- driver oracle: COW-delete planning audit -------------------------
 
 #: docs per synthetic file in the audit layout (sf0.01 → 32 files)

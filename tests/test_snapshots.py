@@ -347,3 +347,72 @@ def test_scan_appends_rejects_rewritten_history(spark, tmp_path):
     v2 = commit_snapshot(spark, log, m2)
     with pytest.raises(ValueError, match="not append-only"):
         scan_appends(spark, log, v0, v2, base_path=data)
+
+
+def test_maintain_housekeeping_loop(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        maintain,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    opt = str(tmp_path / "opt")
+    write = snapshot_append_writer(log, data, ["id"])
+    # 5 small append batches -> 5 snapshots of accreting small files
+    for i in range(5):
+        write(
+            spark.range(i * 40, (i + 1) * 40).select("id").coalesce(1), i
+        )
+    assert len(snapshot_versions(spark, log)) == 5
+    report = maintain(
+        spark, log, target_rows=200, out_dir=opt, sort_col="id",
+        keep_latest=1,
+    )
+    # the pass compacted, committed, expired everything else and
+    # vacuumed the replaced files
+    assert report["compacted_version"] is not None
+    assert len(report["expired"]) == 5
+    assert report["vacuumed"] == report["orphans"] > 0
+    vs = snapshot_versions(spark, log)
+    assert vs == [report["compacted_version"]]
+    # post-compaction files live under the optimize root, so the
+    # batch_id path metadata is gone (an OPTIMIZE rewrite keeps only
+    # real columns) — read without basePath
+    got = read_snapshot(spark, log)
+    assert sorted(r.id for r in got.collect()) == list(range(200))
+    # a second pass on an already-right-sized table is a no-op
+    # commit-wise (nothing under target) and touches no files
+    report2 = maintain(
+        spark, log, target_rows=200, out_dir=opt, sort_col="id",
+        keep_latest=1,
+    )
+    assert report2["compacted_version"] is None
+    assert report2["expired"] == [] and report2["vacuumed"] == 0
+    assert snapshot_versions(spark, log) == vs
+
+
+def test_maintain_does_not_lose_concurrent_appends(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        maintain,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    for i in range(3):
+        write(spark.range(i * 30, (i + 1) * 30).select("id").coalesce(1), i)
+    maintain(
+        spark, log, target_rows=100, out_dir=str(tmp_path / "opt"),
+        sort_col="id", keep_latest=2,
+    )
+    # appends keep landing after a maintenance pass; the next pass
+    # folds them in without losing a row
+    write(spark.range(90, 120).select("id").coalesce(1), 3)
+    maintain(
+        spark, log, target_rows=200, out_dir=str(tmp_path / "opt"),
+        sort_col="id", keep_latest=1,
+    )
+    got = read_snapshot(spark, log)
+    assert sorted(r.id for r in got.collect()) == list(range(120))
