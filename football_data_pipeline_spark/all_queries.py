@@ -38,6 +38,7 @@ from .operators import (  # noqa: F401
     redact,
     relational,
     release,
+    repetition,
     rules,
     sampling,
     selection,
@@ -55,4 +56,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [zorder, windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, drift, embedsearch, er_queries, etl, events, extraction, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [zorder, windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, drift, embedsearch, er_queries, etl, events, extraction, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, repetition, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]

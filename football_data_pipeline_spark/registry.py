@@ -140,6 +140,11 @@ CHECK_PRIORITY = [
     # extraction + local boilerplate-line drop (closed-form template
     # fixture, oracle states the expectation from documents.text):
     "q_html_extract",
+    # operators/repetition.py NEW (r10, late): the Gopher REPETITION
+    # filter family (dup line/para fractions + top/dup word-n-gram
+    # char shares, n=2..10) as a ZERO-exchange sorted-array HOF fold;
+    # oracle re-derives every stat by slice-explode-GROUP BY:
+    "q_gopher_repetition",
     # sources/snapshots.py NEW (r10, late): snapshot log + COW
     # delete — the plan_cow_delete classification + per-file survivor
     # counts over a fixed-width layout, oracle reproduces the
@@ -186,7 +191,6 @@ CHECK_PRIORITY = [
     "q_skew_report",
     "q_star_join",
     "q_cube_report",
-    "q_gopher_rules",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -251,6 +255,10 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_salted_distinct",
     "q_mixture_epochs",
     "q_ewma",
+    # yielded its r10 freshness slot to q_gopher_repetition (rules.py
+    # byte-untouched since its green r6 row; the new repetition gate
+    # is a SEPARATE module, not a rules.py dep):
+    "q_gopher_rules",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -359,6 +367,7 @@ ROTATE_TAIL = [
     "q_temperature_sample",
     "q_salted_distinct",
     "q_mixture_epochs",
+    "q_gopher_rules",
 ]
 
 
