@@ -30,6 +30,18 @@ in the caller's hands. The snapshot log makes that contract durable:
   clustering and tight min/max survive), carried files' manifest
   rows pass through verbatim. Files never mutate — old versions
   still read the deleted rows (time travel), new versions don't.
+- ``plan_cow_merge`` / ``merge_cow``: copy-on-write keyed MERGE
+  (upsert) — the UPDATE half of the DML story. Planning is one
+  broadcast range join of the update keys against the manifest's
+  per-file [min, max]: a file is ``rewrite`` iff SOME update key
+  falls inside its key range, else ``carry`` — and because the
+  classification is range-based, a carried file can never contain
+  an update key, so exact key membership only ever needs the
+  rewrite tail's rows. The merge itself is one anti-join (old rows
+  whose key is replaced) unioned with ALL updates (an update key
+  present in the old rows is a replacement, an absent one an
+  insert — no separate membership pass needed), written in one
+  range-partitioned within-file-sorted job.
 - ``orphan_files`` / ``expire_snapshots`` / ``vacuum``: retention.
   A data file is an orphan when every snapshot referencing it has
   been expired — one anti-join of expired manifests against
@@ -262,6 +274,120 @@ def delete_where_cow(
     (
         survivors.repartitionByRange(len(rewrite), col)
         .sortWithinPartitions(col)
+        .write.mode("errorifexists")
+        .parquet(out_dir)
+    )
+    fresh = build_manifest(spark, out_dir, tracked)
+    return carried.unionByName(fresh.select(*carried.columns))
+
+
+# --- copy-on-write merge (keyed upsert) --------------------------------
+
+
+def plan_cow_merge(
+    manifest: DataFrame,
+    col: str,
+    updates: DataFrame,
+    key_col: str | None = None,
+    file_col: str = "file",
+) -> DataFrame:
+    """``manifest`` + ``action``: 'rewrite' for files whose
+    [min, max] key range contains at least one update key, 'carry'
+    for the rest. One broadcast range join (manifest side broadcast —
+    bounded by file count) + a distinct on the hit files; the update
+    side streams through once, so planning cost is one scan of the
+    updates regardless of table size. ``key_col`` names the key in
+    ``updates`` when it differs from ``col``."""
+    k = key_col or col
+    hits = (
+        updates.select(F.col(k).alias("__k"))
+        .join(
+            F.broadcast(
+                manifest.select(file_col, f"{col}_min", f"{col}_max")
+            ),
+            (F.col("__k") >= F.col(f"{col}_min"))
+            & (F.col("__k") <= F.col(f"{col}_max")),
+            "inner",
+        )
+        .select(file_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        manifest.join(F.broadcast(hits), file_col, "left")
+        .withColumn(
+            "action",
+            F.when(F.col("__hit"), F.lit("rewrite")).otherwise(
+                F.lit("carry")
+            ),
+        )
+        .drop("__hit")
+    )
+
+
+def merge_cow(
+    spark: SparkSession,
+    manifest: DataFrame,
+    updates: DataFrame,
+    key: str,
+    out_dir: str,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Copy-on-write ``MERGE INTO table USING updates ON key`` with
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics: rewrite
+    ONLY the files whose key range can hold an update key; their
+    surviving old rows (key not updated) plus EVERY update row go to
+    ``out_dir`` in one range-partitioned, within-file-sorted write,
+    and the returned manifest is carried rows verbatim + fresh
+    measurements of the new files. Old snapshots still time-travel
+    to the pre-merge rows.
+
+    Correctness hinges on the planning invariant: a carried file's
+    [min, max] contains no update key, so (a) no replaced row can
+    hide in a carried file and (b) updates need no exact-membership
+    split — a key present in the rewrite tail is replaced by the
+    anti-join, an absent one is an insert, and both are just "union
+    the updates". Updates must be unique on ``key`` (validated with
+    one aggregate — duplicate keys would make the merge
+    order-dependent)."""
+    dup = updates.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias("d")
+    ).first()
+    if dup.d:
+        raise ValueError(
+            f"updates carry {dup.d} duplicate {key!r} key(s); "
+            "MERGE requires a unique update key — dedupe first"
+        )
+    tracked = sorted(
+        {
+            c[: -len("_min")]
+            for c in manifest.columns
+            if c.endswith("_min")
+            and f"{c[:-len('_min')]}_max" in manifest.columns
+        }
+    )
+    plan = plan_cow_merge(manifest, key, updates)
+    actions = plan.select("file", "action").collect()
+    rewrite = [r.file for r in actions if r.action == "rewrite"]
+    carried = manifest.filter(
+        F.col("file").isin([r.file for r in actions if r.action == "carry"])
+    )
+    if rewrite:
+        reader = spark.read
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        old = reader.parquet(*rewrite)
+        merged = old.join(
+            updates.select(F.col(key).alias("__k")),
+            old[key] == F.col("__k"),
+            "left_anti",
+        ).unionByName(updates.select(*old.columns))
+    else:
+        merged = updates
+    n_out = max(1, len(rewrite) + 1)
+    (
+        merged.repartitionByRange(n_out, key)
+        .sortWithinPartitions(key)
         .write.mode("errorifexists")
         .parquet(out_dir)
     )
@@ -575,6 +701,153 @@ SELECT file_id, n_before, id_min, id_max,
        n_after
 FROM per_file
 """
+
+
+def cow_merge_audit(docs: DataFrame) -> DataFrame:
+    """(file_id, n_before, id_min, id_max, action, n_replaced,
+    n_inserted): the copy-on-write MERGE plan over a deterministic
+    fixed-width layout of ``documents`` with planted holes — base
+    table = docs with ``doc_id % 7 != 5`` dropped (so some update
+    keys fall INSIDE a file's range but match no row: range-local
+    inserts), update keys = ``doc_id % 3 == 0`` localized to every
+    4th file (so the plan shows BOTH rewrite and carry) plus
+    ``doc_id % 5 == 0`` shifted past the table's span (pure
+    inserts, derived in-plan from one scalar aggregate). The REAL
+    plan_cow_merge does the rewrite/carry classification; the audit
+    splits each file's incoming keys into replaced (key exists) vs
+    inserted (hole), and a final ``file_id = -1 / action = 'insert'``
+    row accounts for every key outside all file ranges — so the
+    three-way accounting (replaced + range inserts + outside
+    inserts = all update keys) is closed."""
+    span = docs.agg((F.max("doc_id") + F.lit(1)).alias("__span"))
+    base = docs.filter(F.col("doc_id") % 7 != 5)
+    upd_rep = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.expr(f"doc_id DIV {_COW_FILE_ROWS}") % 4 == 0)
+    ).select(F.col("doc_id").alias("k"))
+    upd_ins = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(span))
+        .select((F.col("doc_id") + F.col("__span")).alias("k"))
+    )
+    updates = upd_rep.unionByName(upd_ins)
+    per_file = (
+        base.withColumn("file_id", F.expr(f"doc_id DIV {_COW_FILE_ROWS}"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+        )
+    )
+    plan = plan_cow_merge(
+        per_file, "doc_id", updates, key_col="k", file_col="file_id"
+    )
+    in_range = updates.join(
+        F.broadcast(per_file.select("file_id", "doc_id_min", "doc_id_max")),
+        (F.col("k") >= F.col("doc_id_min"))
+        & (F.col("k") <= F.col("doc_id_max")),
+        "inner",
+    )
+    tagged = in_range.join(
+        base.select(F.col("doc_id").alias("k"), F.lit(True).alias("__ex")),
+        "k",
+        "left",
+    )
+    per_counts = tagged.groupBy("file_id").agg(
+        F.sum(F.when(F.col("__ex"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_replaced"),
+        F.sum(F.when(F.col("__ex"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_inserted"),
+    )
+    rows = (
+        plan.join(per_counts, "file_id", "left")
+        .select(
+            "file_id",
+            "n_before",
+            F.col("doc_id_min").alias("id_min"),
+            F.col("doc_id_max").alias("id_max"),
+            "action",
+            F.coalesce("n_replaced", F.lit(0)).cast("long").alias("n_replaced"),
+            F.coalesce("n_inserted", F.lit(0)).cast("long").alias("n_inserted"),
+        )
+    )
+    outside = (
+        updates.join(in_range.select("k"), "k", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-1).cast("long").alias("file_id"),
+            F.lit(0).cast("long").alias("n_before"),
+            F.lit(-1).cast("long").alias("id_min"),
+            F.lit(-1).cast("long").alias("id_max"),
+            F.lit("insert").alias("action"),
+            F.lit(0).cast("long").alias("n_replaced"),
+            F.col("n").cast("long").alias("n_inserted"),
+        )
+    )
+    return rows.unionByName(outside)
+
+
+_MERGE_ORACLE = f"""
+WITH span AS (SELECT max(doc_id) + 1 AS s FROM documents),
+base AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 5),
+updates AS (
+  SELECT doc_id AS k FROM documents
+  WHERE doc_id % 3 = 0 AND (doc_id // {_COW_FILE_ROWS}) % 4 = 0
+  UNION ALL
+  SELECT doc_id + (SELECT s FROM span) FROM documents WHERE doc_id % 5 = 0
+),
+per_file AS (
+  SELECT doc_id // {_COW_FILE_ROWS} AS file_id,
+         CAST(count(*) AS BIGINT) AS n_before,
+         min(doc_id) AS id_min, max(doc_id) AS id_max
+  FROM base GROUP BY 1
+),
+in_range AS (
+  SELECT u.k, p.file_id FROM updates u
+  JOIN per_file p ON u.k BETWEEN p.id_min AND p.id_max
+),
+tagged AS (
+  SELECT i.file_id,
+         CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS ex
+  FROM in_range i LEFT JOIN base b ON i.k = b.doc_id
+),
+per_counts AS (
+  SELECT file_id, CAST(sum(ex) AS BIGINT) AS n_replaced,
+         CAST(sum(1 - ex) AS BIGINT) AS n_inserted
+  FROM tagged GROUP BY 1
+)
+SELECT CAST(p.file_id AS BIGINT) AS file_id, p.n_before,
+       CAST(p.id_min AS BIGINT) AS id_min,
+       CAST(p.id_max AS BIGINT) AS id_max,
+       CASE WHEN c.file_id IS NULL THEN 'carry' ELSE 'rewrite' END
+         AS action,
+       CAST(coalesce(c.n_replaced, 0) AS BIGINT) AS n_replaced,
+       CAST(coalesce(c.n_inserted, 0) AS BIGINT) AS n_inserted
+FROM per_file p LEFT JOIN per_counts c USING (file_id)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), 'insert', CAST(0 AS BIGINT),
+       CAST((SELECT count(*) FROM updates u WHERE NOT EXISTS
+             (SELECT 1 FROM per_file p
+              WHERE u.k BETWEEN p.id_min AND p.id_max)) AS BIGINT)
+"""
+
+
+@query("q_merge_cow", oracle=_MERGE_ORACLE)
+def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE planning, measured as the write path sees
+    it: per synthetic file, the REAL plan_cow_merge rewrite/carry
+    classification against planted update keys, with each file's
+    incoming keys split into replacements vs range-local inserts
+    (the planted holes) and a closing row for the keys outside every
+    file range. The oracle reproduces the hole pattern, the span
+    shift, the range join and the three-way accounting exactly."""
+    from ..catalog import load
+
+    return cow_merge_audit(load(spark, sf_dir, "documents"))
 
 
 @query("q_cow_delete", oracle=_COW_ORACLE)

@@ -19,7 +19,9 @@ from football_data_pipeline_spark.sources.snapshots import (
     delete_where_cow,
     expire_snapshots,
     orphan_files,
+    merge_cow,
     plan_cow_delete,
+    plan_cow_merge,
     read_manifest,
     read_snapshot,
     snapshot_versions,
@@ -416,3 +418,91 @@ def test_maintain_does_not_lose_concurrent_appends(spark, tmp_path):
     )
     got = read_snapshot(spark, log)
     assert sorted(r.id for r in got.collect()) == list(range(120))
+
+
+# --- copy-on-write MERGE (keyed upsert) --------------------------------
+
+
+def _merge_table(spark, base, n=400, files=8, hole_mod=10, hole_rem=3):
+    """An id-clustered table with planted holes (id % 10 == 3 absent)
+    so in-range inserts exist."""
+    path = str(base / "tbl")
+    df = (
+        spark.range(n)
+        .filter((F.col("id") % hole_mod) != hole_rem)
+        .select(F.col("id"), (F.col("id") % 7).alias("v"))
+    )
+    df.repartitionByRange(files, "id").write.parquet(path)
+    return build_manifest(spark, path, ["id"])
+
+
+def test_merge_cow_upsert_semantics(spark, tmp_path):
+    m = _merge_table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        # 100/200: replacements; 13/23: in-range holes (inserts);
+        # 1000/1001: past the span (inserts)
+        [(100, 99), (200, 99), (13, 99), (23, 99), (1000, 99), (1001, 99)],
+        "id long, v long",
+    )
+    new_m = merge_cow(spark, m, updates, "id", str(tmp_path / "merged"))
+    got = dict(_rows(read_files(spark, new_m)))
+    assert got[100] == 99 and got[200] == 99  # replaced
+    assert got[13] == 99 and got[23] == 99  # hole inserts
+    assert got[1000] == 99 and got[1001] == 99  # span inserts
+    assert got[101] == 101 % 7  # untouched neighbor keeps its value
+    base_ids = {i for i in range(400) if i % 10 != 3}
+    assert set(got) == base_ids | {13, 23, 1000, 1001}
+
+
+def read_files(spark, manifest):
+    return spark.read.parquet(*_files(manifest))
+
+
+def test_merge_cow_rewrites_only_hit_files(spark, tmp_path):
+    m = _merge_table(spark, tmp_path)
+    old_files = set(_files(m))
+    # keys 0 and 60 both land in the low id range -> few files hit
+    updates = spark.createDataFrame([(0, 99), (60, 99)], "id long, v long")
+    plan = plan_cow_merge(m, "id", updates)
+    carry = {r.file for r in plan.collect() if r.action == "carry"}
+    rewrite = {r.file for r in plan.collect() if r.action == "rewrite"}
+    assert rewrite and carry  # both classes present
+    new_m = merge_cow(spark, m, updates, "id", str(tmp_path / "merged"))
+    new_files = set(_files(new_m))
+    # carried files pass through verbatim; rewritten ones are gone
+    assert carry <= new_files
+    assert not (rewrite & new_files)
+    assert new_files - old_files  # fresh files exist
+
+
+def test_merge_cow_all_inserts_no_rewrite(spark, tmp_path):
+    m = _merge_table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(5000 + i, 1) for i in range(5)], "id long, v long"
+    )
+    plan = plan_cow_merge(m, "id", updates)
+    assert {r.action for r in plan.collect()} == {"carry"}
+    new_m = merge_cow(spark, m, updates, "id", str(tmp_path / "m2"))
+    assert set(_files(m)) <= set(_files(new_m))
+    got = dict(_rows(read_files(spark, new_m)))
+    assert all(got[5000 + i] == 1 for i in range(5))
+    assert len(got) == len(dict(_rows(read_files(spark, m)))) + 5
+
+
+def test_merge_cow_duplicate_update_keys_raise(spark, tmp_path):
+    m = _merge_table(spark, tmp_path)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_cow(spark, m, dup, "id", str(tmp_path / "m3"))
+
+
+def test_merge_cow_time_travel(spark, tmp_path):
+    log = str(tmp_path / "log")
+    m = _merge_table(spark, tmp_path)
+    v0 = commit_snapshot(spark, log, m)
+    updates = spark.createDataFrame([(100, 99)], "id long, v long")
+    new_m = merge_cow(spark, m, updates, "id", str(tmp_path / "merged"))
+    v1 = commit_snapshot(spark, log, new_m)
+    before = dict(_rows(read_snapshot(spark, log, v0)))
+    after = dict(_rows(read_snapshot(spark, log, v1)))
+    assert before[100] == 100 % 7 and after[100] == 99
