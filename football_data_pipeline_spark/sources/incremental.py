@@ -1,0 +1,244 @@
+"""Incremental materialized-view maintenance over the snapshot log —
+the CONSUMER half of ``snapshots.scan_appends``: keep a grouped
+aggregate view of a growing table fresh by folding in only the rows
+added since the last refresh, never re-scanning the table.
+Reference parity: the reference recomputes its report JSONs from the
+full SQLite table on every cron tick
+(/root/reference/database_integration.py's report queries); this is
+that pattern made O(delta) instead of O(table).
+
+Pieces:
+
+- ``delta_aggregate``: one partial aggregate over a delta —
+  count + any mix of sum/min/max measures, grouped by the view keys.
+- ``merge_view``: fold a delta aggregate into the prior view state
+  with one full-outer join keyed by the view keys — counts and sums
+  add, mins take the least, maxes the greatest, and a group present
+  on only one side passes through (the null-safe three-way
+  ``when``). Only MERGEABLE measures are offered: count/sum always
+  merge; min/max merge because the snapshot scan is append-only
+  (``scan_appends`` raises on any rewrite, so a retraction can
+  never slip through and make a stale min unsound). AVG is
+  deliberately absent — materialize sum + count and divide at read
+  time.
+- ``refresh_view``: the maintenance loop. The view is ITSELF a
+  snapshot table: each refresh writes the new state under
+  ``{view_data}/ref-N`` and commits it to the view's own log with
+  ``batch_id`` = the TABLE version it reflects — so the view has
+  time travel, its lineage to the base table is durable in its
+  markers, and a crashed refresh retries cleanly (marker-last
+  atomicity, inherited from ``commit_snapshot``). First refresh =
+  full aggregate of the table's latest snapshot; every later one =
+  ``scan_appends(reflected, latest)`` + one merge.
+
+100 TB shape: a refresh shuffles ONLY the delta (its aggregate is
+delta-sized with map-side combine) and joins it against the prior
+state (state-sized, i.e. group-count-sized — not table-sized). The
+base table is never re-read. That is the entire point: a view over
+a 100 TB append-only fact table refreshes at the cost of the new
+micro-batches plus the dimension-sized state.
+
+Driver-checked: ``q_incremental_view`` runs the REAL
+delta_aggregate + merge_view over an in-plan split of ``orders``
+(delta = every 4th order key, interleaved across customers so
+one-sided groups exist on both sides) and must equal the oracle's
+straight GROUP BY over the whole table — the merge arithmetic
+(null passes, least/greatest, decimal sums) has nowhere to hide.
+The log lifecycle (markers, lineage, no-op refresh, crash retry)
+is pytest-locked in tests/test_incremental.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .manifest import build_manifest
+from .snapshots import (
+    commit_log,
+    commit_snapshot,
+    read_snapshot,
+    scan_appends,
+    snapshot_versions,
+)
+
+#: (op, column, alias) measure spec; op in MERGEABLE_OPS
+MERGEABLE_OPS = ("sum", "min", "max")
+
+
+def delta_aggregate(
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Group ``delta`` by ``keys``: ``n_rows`` plus one column per
+    (op, col, alias) measure. The partial-aggregate half of the
+    view — map-side combine does most of the work on a well-mixed
+    delta."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for op, col, alias in measures:
+        if op not in MERGEABLE_OPS:
+            raise ValueError(
+                f"measure op {op!r} is not mergeable; use one of "
+                f"{MERGEABLE_OPS} (avg = sum + count, divide at read)"
+            )
+        aggs.append(getattr(F, op)(F.col(col)).alias(alias))
+    return delta.groupBy(*keys).agg(*aggs)
+
+
+def _merge_col(op: str, a: Column, b: Column) -> Column:
+    if op in ("sum", "n_rows"):
+        combined = a + b
+    elif op == "min":
+        combined = F.least(a, b)
+    else:
+        combined = F.greatest(a, b)
+    return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
+
+
+def merge_view(
+    state: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    measures: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Fold a ``delta_aggregate`` output into the prior view state:
+    one full-outer join on the view keys, null-safe merge per
+    measure. Column contract: both inputs carry exactly
+    keys + n_rows + measure aliases (what delta_aggregate emits)."""
+    a, b = state.alias("a"), delta_agg.alias("b")
+    joined = a.join(b, keys, "full_outer")
+    merged = {
+        "n_rows": _merge_col(
+            "n_rows", F.col("a.n_rows"), F.col("b.n_rows")
+        )
+    }
+    for op, _, alias in measures:
+        merged[alias] = _merge_col(
+            op, F.col(f"a.{alias}"), F.col(f"b.{alias}")
+        )
+    return joined.select(*keys, *[merged[c].alias(c) for c in merged])
+
+
+def reflected_table_version(
+    spark: SparkSession, view_log: str
+) -> int | None:
+    """The base-table version the view's latest refresh reflects
+    (the marker's batch_id lineage), or None for a never-refreshed
+    view."""
+    if not snapshot_versions(spark, view_log):
+        return None
+    row = (
+        commit_log(spark, view_log)
+        .orderBy(F.col("version").desc())
+        .select("batch_id")
+        .first()
+    )
+    return row.batch_id
+
+
+def refresh_view(
+    spark: SparkSession,
+    table_log: str,
+    view_log: str,
+    view_data: str,
+    keys: list[str],
+    measures: list[tuple[str, str, str]],
+    base_path: str | None = None,
+) -> dict:
+    """One maintenance tick: bring the view up to the table's latest
+    committed version. No-op when already fresh. Returns a small
+    audit dict (mode full/incremental/noop, table version reflected,
+    view version committed)."""
+    table_versions = snapshot_versions(spark, table_log)
+    if not table_versions:
+        raise ValueError(f"base table has no snapshots: {table_log!r}")
+    latest = table_versions[-1]
+    reflected = reflected_table_version(spark, view_log)
+    if reflected is not None and reflected >= latest:
+        return {"mode": "noop", "table_version": reflected, "view_version": None}
+    if reflected is None:
+        full = read_snapshot(spark, table_log, latest, base_path=base_path)
+        state = delta_aggregate(full, keys, measures)
+        mode = "full"
+    else:
+        delta = scan_appends(
+            spark, table_log, reflected, latest, base_path=base_path
+        )
+        prior = read_snapshot(spark, view_log)
+        state = merge_view(
+            prior, delta_aggregate(delta, keys, measures), keys, measures
+        )
+        mode = "incremental"
+    versions = snapshot_versions(spark, view_log)
+    ref = (versions[-1] + 1) if versions else 0
+    out = os.path.join(view_data, f"ref-{ref}")
+    state.write.mode("errorifexists").parquet(out)
+    manifest = build_manifest(spark, out, [])
+    view_version = commit_snapshot(
+        spark, view_log, manifest, batch_id=latest
+    )
+    return {
+        "mode": mode,
+        "table_version": latest,
+        "view_version": view_version,
+    }
+
+
+# --- driver oracle: the merge arithmetic --------------------------------
+
+_VIEW_MEASURES = [
+    ("sum", "__price", "sum_price"),
+    ("min", "o_orderkey", "min_key"),
+    ("max", "o_orderkey", "max_key"),
+]
+
+_INC_ORACLE = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("q_incremental_view", oracle=_INC_ORACLE)
+def q_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, checked where it can actually
+    break — the merge arithmetic: state = the view aggregated over
+    orders with ``o_orderkey % 4 != 0``, delta = the rest
+    (interleaved across customers, so the outer join sees one-sided
+    groups both ways), folded with the REAL merge_view. The oracle
+    is the straight GROUP BY over ALL orders — incremental must be
+    indistinguishable from recompute. Sums run in DECIMAL (exact on
+    both engines, any grouping); only the final value is cast to a
+    rounded double for the hash."""
+    from ..catalog import load
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "__price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    state = delta_aggregate(
+        orders.filter(F.col("o_orderkey") % 4 != 0),
+        ["o_custkey"],
+        _VIEW_MEASURES,
+    )
+    delta = delta_aggregate(
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        ["o_custkey"],
+        _VIEW_MEASURES,
+    )
+    merged = merge_view(state, delta, ["o_custkey"], _VIEW_MEASURES)
+    return merged.select(
+        "o_custkey",
+        "n_rows",
+        F.round(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        "min_key",
+        "max_key",
+    )
