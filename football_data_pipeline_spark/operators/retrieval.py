@@ -1,0 +1,211 @@
+"""BM25 sparse retrieval — the lexical top-k that pairs with the
+ANN family (embedsearch.py / ivfpq.py are the DENSE side; this is
+the inverted-index side a hybrid retrieval stack needs): score
+documents against a bag of query terms with Okapi BM25 (Lucene's
+idf variant) and return the top-k. Reference parity: none —
+LLM-data-pipeline extension (RAG retrieval over the corpus the
+engine already chunks, embeds and deduplicates).
+
+Scale shape — the inverted-index discipline without building an
+index: the explode emits (doc, term) postings but the query-term
+filter runs MAP-SIDE immediately after, so only postings matching
+the query survive to the one (doc, term) aggregate; document length
+rides along with the explode (no second join against a doc-length
+table); df/N/avgdl are a term-count-bounded broadcast. Total
+shuffle = matched postings + one doc-keyed aggregate — independent
+of vocabulary size, linear in query selectivity. For a standing
+query workload you would materialize the postings table once and
+skip the scan; the scoring algebra is identical.
+
+Engine parity (the float discipline from textstats.q_tfidf_terms +
+drift.py): ln() is the one libm call that differs across engines,
+so idf is stable-rounded to 6 dp BEFORE use; every other factor is
+the same IEEE expression tree on both sides (integer-to-double
+division included); per-term scores stable-round to 6 dp and the
+per-doc sum runs in exact DECIMAL (stable.dsum) so summation order
+cannot move the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.stable import dsum, oracle_dsum, oracle_rnd, rnd
+from ..registry import query
+
+#: Okapi constants (Lucene defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: the driver query's fixed term bag + cut
+QUERY_TERMS = ("spark", "window", "merge", "fast")
+TOP_K = 15
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(id, n_matched, score): BM25 over a whitespace tokenization.
+
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   [always > 0]
+    s(d,t) = idf * (tf * (k1+1)) / (tf + k1*((1-b) + b*(dl*N)/L))
+    score  = sum over matched terms, DECIMAL-exact.
+
+    where dl is the document's word count and L the corpus total —
+    avgdl enters as the rational dl*N/L so both engines divide the
+    same integers once.
+    """
+    words = F.array_remove(F.split(F.col(text_col), "[ \n]+"), "")
+    sized = docs.select(
+        F.col(id_col), words.alias("__ws")
+    ).select(
+        id_col, F.size("__ws").alias("__dl"), F.col("__ws")
+    )
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_len"),
+    )
+    postings = (
+        sized.select(
+            id_col, "__dl", F.explode("__ws").alias("term")
+        )
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            rnd(
+                F.log(
+                    (F.col("__n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__ts",
+            rnd(
+                (F.col("__idf") * (F.col("tf") * (k1 + 1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * (
+                            (F.col("__dl") * F.col("__n_docs"))
+                            / F.col("__total_len")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        dsum(F.col("__ts"), 4).alias("score"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = TOP_K,
+    **kwargs,
+) -> DataFrame:
+    """Top-k by (score desc, id asc) — deterministic ties. One
+    global window over the MATCHED docs only (query-selectivity-
+    sized, not corpus-sized); swap in TakeOrdered for a standing
+    multi-query service."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scored = bm25_scores(docs, terms, **kwargs)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "n_matched", "score")
+    )
+
+
+def _oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    idf = oracle_rnd(
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 6
+    )
+    ts = oracle_rnd(
+        f"(idf * (tf * {BM25_K1 + 1.0})) / "
+        f"(tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * "
+        f"((dl * n_docs) / total_len)))",
+        6,
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS dl,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM sized
+    ),
+    postings AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM sized, unnest(ws) AS t(term)
+      WHERE term IN ({terms})
+      GROUP BY 1, 2, 3
+    ),
+    dfs AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM postings GROUP BY term
+    ),
+    idfd AS (
+      SELECT p.doc_id, p.dl, p.tf, d.df, s.n_docs, s.total_len,
+             {idf} AS idf
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+    ),
+    ts AS (
+      SELECT doc_id, {ts} AS term_score FROM idfd
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+             {oracle_dsum("term_score", 4)} AS score
+      FROM ts GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             AS BIGINT) AS rank,
+           doc_id, n_matched, score
+    FROM scored
+    ORDER BY rank
+    LIMIT {TOP_K}
+    """
+
+
+@query("q_bm25_topk", oracle=_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} for a fixed four-term query over documents:
+    inverted-index postings (map-side term filter, doc length riding
+    the explode), broadcast df/N/avgdl, stable-rounded idf and term
+    scores, DECIMAL-exact per-doc sums, deterministic (score desc,
+    doc_id) ties. The oracle recomputes the identical algebra from
+    the same tokenization."""
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(QUERY_TERMS), TOP_K)

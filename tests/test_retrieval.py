@@ -1,0 +1,105 @@
+"""BM25: hand-computed scores on a tiny corpus, tf monotonicity,
+length normalization, deterministic ties, and query selectivity.
+The full algebra is oracle-checked as q_bm25_topk."""
+
+from __future__ import annotations
+
+import math
+
+from football_data_pipeline_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_scores,
+    bm25_topk,
+)
+
+
+def _py_bm25(corpus: dict[int, str], terms: list[str]) -> dict[int, float]:
+    def rnd(x, k):
+        return math.floor(x * 10**k + 0.5) / 10**k
+
+    docs = {d: t.split() for d, t in corpus.items()}
+    n = len(docs)
+    total = sum(len(ws) for ws in docs.values())
+    out = {}
+    for d, ws in docs.items():
+        dl = len(ws)
+        s = 0.0
+        for t in set(terms):
+            tf = ws.count(t)
+            if not tf:
+                continue
+            df = sum(1 for w2 in docs.values() if t in w2)
+            idf = rnd(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+            ts = rnd(
+                (idf * (tf * (BM25_K1 + 1.0)))
+                / (
+                    tf
+                    + BM25_K1
+                    * ((1.0 - BM25_B) + BM25_B * ((dl * n) / total))
+                ),
+                6,
+            )
+            s += ts
+        if s:
+            out[d] = round(s, 4)
+    return out
+
+
+CORPUS = {
+    0: "spark runs fast and spark scales",
+    1: "window functions rank rows",
+    2: "merge upsert keyed rows fast",
+    3: "nothing relevant here at all",
+}
+TERMS = ["spark", "fast", "window"]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def test_scores_match_python_reference(spark):
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(_df(spark), TERMS).collect()
+    }
+    want = _py_bm25(CORPUS, TERMS)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_unmatched_docs_absent_and_selectivity(spark):
+    rows = {r.doc_id: r.n_matched for r in bm25_scores(_df(spark), TERMS).collect()}
+    assert 3 not in rows  # no query term -> never scored
+    assert rows[0] == 2 and rows[1] == 1 and rows[2] == 1
+
+
+def test_topk_order_and_tie_determinism(spark):
+    ranked = bm25_topk(_df(spark), TERMS, k=10).collect()
+    assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    scores = [r.score for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+    # exact ties (duplicate docs) break by doc_id ascending
+    dup = spark.createDataFrame(
+        [(1, "spark a b"), (2, "spark a b")], "doc_id long, text string"
+    )
+    r = bm25_topk(dup, ["spark"], k=2).collect()
+    assert [x.doc_id for x in r] == [1, 2]
+
+
+def test_tf_and_length_behavior(spark):
+    # more tf -> higher score; longer doc (same tf) -> lower score
+    df = spark.createDataFrame(
+        [
+            (1, "spark x"),
+            (2, "spark spark x"),
+            (3, "spark x y z w v u t s r q p"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["spark"]).collect()}
+    assert got[2] > got[1] > got[3]
