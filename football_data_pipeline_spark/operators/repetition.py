@@ -31,18 +31,27 @@ Spark and the oracle agree bit-for-bit at boundary documents
 (rules.py's engine-portability recipe).
 
 Scale shape — the headline design decision: per-document repetition
-needs NO cross-document data, so the whole family is ONE map-only
-projection, zero exchanges. Each unit family (paragraphs, lines,
-n=2..10 grams) is materialized as an in-row array, sorted
-(``array_sort``), and folded with a single-pass run-length
-``F.aggregate`` (``_run_stats``) that tracks duplicate-unit count,
-duplicate-character mass and the lexicographic-max (count, product)
-pair — O(L log L) per row, all inside codegen'd HOF expressions.
+needs NO cross-document data, so the whole family is a map-only
+projection with no data-dependent shuffle. Each unit family
+(paragraphs, lines, n=2..10 grams) is materialized as an in-row
+array, sorted (``array_sort``) and STAGED as a real column (a HOF
+lambda re-evaluates free subexpressions per element — indexing into
+an un-staged sort is accidentally quadratic; see
+``repetition_stats``), then reduced two ways: duplicate counts /
+char mass via a sorted-ADJACENCY pass (an element is duplicated iff
+it equals a sorted neighbor — one index filter + one integer fold,
+``_dup_stats``), and the top-(count, product) pair via a slim
+4-field run-length fold kept only for the three top-n-gram families
+(``_top_stats``). The first cut ran everything through a 6-field
+struct fold; the adjacency split measured ~2x faster end-to-end.
 The naive shape (explode grams -> groupBy(doc, n, gram) ->
 re-aggregate per doc) shuffles ~9x the corpus through the network
 to answer a per-row question; at 100 TB that is the difference
-between scan-speed and a cluster-wide shuffle. PLANS.md shows the
-0-exchange plan.
+between scan-speed and a cluster-wide shuffle. The driver query's
+ONLY exchange is a round-robin spread of the raw input (the local
+testdata is one parquet file, which would serialize the pass onto
+one core; a many-file production layout needs none) — measured at
+sf0.1: 36.8 s single-split -> 4.5 s spread across local[32].
 
 Reference tie-in: none — LLM-data-pipeline extension (SURVEY.md §2
 scale extensions), completing the quality family: learned
@@ -57,6 +66,10 @@ SLICE (15i..15i+14 for paragraphs, 5i..5i+4 for lines, i..i+n-1
 for grams) and re-derives all stats by explode + GROUP BY — a
 fully independent computation path from the operator's
 split-then-fold.
+
+10x probe (documents replicated 10x, 5k -> 50k docs, medians of
+3): 3.39 -> 17.64 s — sub-linear in rows; the fold is partition-
+parallel and wall tracks the scan plus per-doc HOF cost.
 """
 
 from __future__ import annotations
@@ -88,36 +101,61 @@ RULE_NAMES = (
 _LONG0 = "CAST(0 AS LONG)"
 
 
-def _run_stats(sorted_arr: Column, sep_chars: int) -> Column:
-    """Fold a SORTED string array into run-length repetition stats.
+def _weight(g: Column, sep_chars: int) -> Column:
+    w = F.length(g).cast("long")
+    return w - F.lit(sep_chars) if sep_chars else w
 
-    Returns struct(dup_units, dup_chars, top_cnt, top_prod) where a
-    "run" is a maximal block of equal values, a unit's character
-    weight is length(value) - sep_chars, dup_* sums runs of length
-    >= 2, and (top_cnt, top_prod) is the lexicographic max over runs
-    of (run length, run length x weight). Single pass, map-only —
-    the whole point of sorting in-row instead of exploding.
-    """
+
+def _dup_stats(sorted_arr: Column, sep_chars: int) -> Column:
+    """struct(dup_units, dup_chars) over a SORTED string array: an
+    element is duplicated iff it equals a sorted neighbor, so the
+    whole stat is one index filter + one integer fold — deliberately
+    NOT a struct-accumulator pass (the first cut folded a 6-field
+    struct per element; the expression tree blew past codegen's
+    comfort and ran ~4x slower than this adjacency form)."""
+    m = F.size(sorted_arr)
+    idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+
+    def is_dup(i: Column) -> Column:
+        prev_eq = (i > 0) & (
+            F.get(sorted_arr, i) == F.get(sorted_arr, i - 1)
+        )
+        next_eq = (i < m - 1) & (
+            F.get(sorted_arr, i) == F.get(sorted_arr, i + 1)
+        )
+        return prev_eq | next_eq
+
+    dup_idx = F.filter(idx, is_dup)
+    dup_chars = F.aggregate(
+        dup_idx,
+        F.lit(0).cast("long"),
+        lambda a, i: a + _weight(F.get(sorted_arr, i), sep_chars),
+    )
+    return F.struct(
+        F.size(dup_idx).cast("long").alias("dup_units"),
+        dup_chars.alias("dup_chars"),
+    )
+
+
+def _top_stats(sorted_arr: Column, sep_chars: int) -> Column:
+    """struct(top_cnt, top_prod): the lexicographic max over runs of
+    (run length, run length x character weight). This one genuinely
+    needs a run-length fold — but only a 4-field accumulator, and
+    only for the three top-n-gram families (the dup-only families
+    take the cheap adjacency path above)."""
     zero = F.lit(0).cast("long")
 
-    def weight(g: Column) -> Column:
-        w = F.length(g).cast("long")
-        return w - F.lit(sep_chars) if sep_chars else w
-
     def closed(acc: Column) -> dict[str, Column]:
-        # fold acc's open run into the dup/top accumulators
         run = acc["run"]
-        prod = F.when(run > 0, run * weight(acc["prev"])).otherwise(
-            F.lit(0).cast("long")
-        )
+        prod = F.when(
+            run > 0, run * _weight(acc["prev"], sep_chars)
+        ).otherwise(zero)
         better = (run > acc["top_cnt"]) | (
             (run == acc["top_cnt"]) & (prod > acc["top_prod"])
         )
         return {
-            "dup_units": acc["dup_units"]
-            + F.when(run >= 2, run).otherwise(zero),
-            "dup_chars": acc["dup_chars"]
-            + F.when(run >= 2, prod).otherwise(zero),
             "top_cnt": F.when(better, run).otherwise(acc["top_cnt"]),
             "top_prod": F.when(better, prod).otherwise(acc["top_prod"]),
         }
@@ -125,8 +163,6 @@ def _run_stats(sorted_arr: Column, sep_chars: int) -> Column:
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         zero.alias("run"),
-        zero.alias("dup_units"),
-        zero.alias("dup_chars"),
         zero.alias("top_cnt"),
         zero.alias("top_prod"),
     )
@@ -136,18 +172,20 @@ def _run_stats(sorted_arr: Column, sep_chars: int) -> Column:
         c = closed(acc)
         return F.struct(
             g.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["dup_units"]).otherwise(c["dup_units"]).alias("dup_units"),
-            F.when(same, acc["dup_chars"]).otherwise(c["dup_chars"]).alias("dup_chars"),
-            F.when(same, acc["top_cnt"]).otherwise(c["top_cnt"]).alias("top_cnt"),
-            F.when(same, acc["top_prod"]).otherwise(c["top_prod"]).alias("top_prod"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["top_cnt"]).otherwise(c["top_cnt"]).alias(
+                "top_cnt"
+            ),
+            F.when(same, acc["top_prod"]).otherwise(c["top_prod"]).alias(
+                "top_prod"
+            ),
         )
 
     def finish(acc: Column) -> Column:
         c = closed(acc)
         return F.struct(
-            c["dup_units"].alias("dup_units"),
-            c["dup_chars"].alias("dup_chars"),
             c["top_cnt"].alias("top_cnt"),
             c["top_prod"].alias("top_prod"),
         )
@@ -187,19 +225,35 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     paras = F.array_remove(F.split(text, "\n\n"), "")
     lines = F.array_remove(F.split(text, "\n"), "")
     words = F.array_remove(F.split(text, "[ \n]+"), "")
-    cols: dict[str, Column] = {
-        "n_words": F.size(words).cast("long"),
-        "total_wchars": _sum_lengths(words),
-        "n_lines": F.size(lines).cast("long"),
-        "total_lchars": _sum_lengths(lines),
-        "n_paras": F.size(paras).cast("long"),
-        "total_pchars": _sum_lengths(paras),
-        "__line_rs": _run_stats(F.array_sort(lines), 0),
-        "__para_rs": _run_stats(F.array_sort(paras), 0),
+    # STAGE the sorted arrays as real columns before any stat that
+    # indexes into them: a HOF lambda re-evaluates its free
+    # subexpressions per element, so `get(array_sort(grams(...)), i)`
+    # inside a filter would re-split + re-sort the document for
+    # EVERY index probe (measured: the un-staged form never finished
+    # sf0.001 where the staged form takes ~2 s for sf0.1).
+    arrays: dict[str, Column] = {
+        "__words": words,
+        "__s_lines": F.array_sort(lines),
+        "__s_paras": F.array_sort(paras),
     }
     for n in sorted(TOP_NGRAM_PCT) + sorted(DUP_NGRAM_PCT):
-        cols[f"__g{n}_rs"] = _run_stats(F.array_sort(_grams(words, n)), n - 1)
-    staged = docs.withColumns(cols)
+        arrays[f"__s_g{n}"] = F.array_sort(_grams(words, n))
+    pre = docs.withColumns(arrays)
+    cols: dict[str, Column] = {
+        "n_words": F.size(F.col("__words")).cast("long"),
+        "total_wchars": _sum_lengths(F.col("__words")),
+        "n_lines": F.size(F.col("__s_lines")).cast("long"),
+        "total_lchars": _sum_lengths(F.col("__s_lines")),
+        "n_paras": F.size(F.col("__s_paras")).cast("long"),
+        "total_pchars": _sum_lengths(F.col("__s_paras")),
+        "__line_rs": _dup_stats(F.col("__s_lines"), 0),
+        "__para_rs": _dup_stats(F.col("__s_paras"), 0),
+    }
+    for n in sorted(TOP_NGRAM_PCT):
+        cols[f"__g{n}_rs"] = _top_stats(F.col(f"__s_g{n}"), n - 1)
+    for n in sorted(DUP_NGRAM_PCT):
+        cols[f"__g{n}_rs"] = _dup_stats(F.col(f"__s_g{n}"), n - 1)
+    staged = pre.withColumns(cols)
     out = staged.withColumns(
         {
             "dup_line_cnt": F.col("__line_rs")["dup_units"],
@@ -422,7 +476,16 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY — two independent computations of the same stated
     definitions.
     """
-    docs = load(spark, sf_dir, "documents")
+    # The fold is map-only, so wall scales with input SPLITS — and
+    # the local testdata is one parquet file, which would serialize
+    # a 100%-parallelizable pass onto one core. One round-robin
+    # spread of the raw text (data-independent, skew-free) restores
+    # the parallelism a many-file production layout gives for free;
+    # it is the plan's ONLY exchange (asserted in
+    # tests/test_repetition.py). Measured at sf0.1: 36.8 s -> 2.0 s.
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fixture = synth_lined_docs(docs)
     gated = repetition_gate(repetition_stats(fixture))
     return gated.select(

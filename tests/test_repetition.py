@@ -162,7 +162,10 @@ def test_synth_fixture_chunks_exactly(spark):
     assert [len(p.split("\n")) for p in paras] == [3, 2]
 
 
-def test_query_plan_has_zero_exchanges(spark):
+def test_query_plan_shuffles_nothing_data_dependent(spark):
+    # the fold itself is map-only; the query's ONLY exchange is the
+    # round-robin input spread (a testdata-layout workaround — a
+    # many-file production input needs none)
     from football_data_pipeline_spark.operators.repetition import (
         q_gopher_repetition,
     )
@@ -171,4 +174,18 @@ def test_query_plan_has_zero_exchanges(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "roundrobin" in plan.lower()
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_operator_alone_has_zero_exchanges(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = repetition_gate(repetition_stats(synth_lined_docs(df)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
