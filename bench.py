@@ -146,6 +146,21 @@ HEADLINE = [
     # aggregate over documents) — cheap, and the lakehouse write-path
     # math deserves the same round-over-round watch as the zorder row
     "q_cow_delete",
+    # added latest in round 10: the Gopher repetition family (a
+    # zero-exchange HOF fold — watching it is watching codegen'd
+    # sort+fold cost per row), the COW MERGE planning audit (the
+    # upsert twin of the q_cow_delete row), and the incremental
+    # view merge (delta-agg + state-sized full-outer join)
+    "q_gopher_repetition",
+    "q_merge_cow",
+    "q_incremental_view",
+    # and the other two lakehouse write/read-path audits of the same
+    # wave: MOR delete planning and the bloom-skipping funnel
+    "q_mor_delete",
+    "q_bloom_skipping",
+    "q_partition_prune",
+    # and the lexical-retrieval twin of the ANN rows
+    "q_bm25_topk",
     # NOT headlined: q_media_curation (the combined gate→dedup
     # classification) measures 46-60 s/trial at sf0.1 — it gates AND
     # fingerprints 15,000 synthesized assets across two halves, so

@@ -150,6 +150,34 @@ CHECK_PRIORITY = [
     # counts over a fixed-width layout, oracle reproduces the
     # geometry and the in-plan delete-range derivation exactly:
     "q_cow_delete",
+    # sources/snapshots.py also gained COW MERGE (r10, late):
+    # plan_cow_merge/merge_cow — the audit splits planted update keys
+    # into per-file replacements / range-local inserts (holes) /
+    # outside inserts with closed three-way accounting:
+    "q_merge_cow",
+    # sources/incremental.py NEW (r10, late): incremental
+    # materialized-view maintenance over scan_appends deltas — the
+    # REAL merge_view over an interleaved orders split must equal
+    # the oracle's straight GROUP BY over the whole table:
+    "q_incremental_view",
+    # sources/mor.py NEW (r10, late): merge-on-read deletes — the
+    # REAL plan_mor_read drop/filter/keep classification under two
+    # in-plan ranges + a planted key-delete set, drop files
+    # accounting zero without being opened:
+    "q_mor_delete",
+    # sources/bloomskip.py NEW (r10, late): bloom-filter file
+    # skipping with an engine-portable hash family — the oracle
+    # rebuilds every bloom bit and must land the identical
+    # total→minmax→bloom→true pruning funnel:
+    "q_bloom_skipping",
+    # sources/partitions.py NEW (r10, late): hidden partitioning —
+    # truncate×bucket grid classification under the REAL predicate
+    # mappers (eq pins both dims, range prunes truncate only):
+    "q_partition_prune",
+    # operators/retrieval.py NEW (r10, late): BM25 sparse top-k —
+    # the lexical twin of the ANN family; stable-rounded idf/term
+    # scores, DECIMAL-exact sums, deterministic ties:
+    "q_bm25_topk",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -184,13 +212,7 @@ CHECK_PRIORITY = [
     "q_ivf_reassign",
     "q_semantic_decontam",
     "q_team_form",
-    "q_k_anonymity",
-    "q_profile_documents",
-    "q_length_quantiles",
-    "q_length_filter",
-    "q_skew_report",
     "q_star_join",
-    "q_cube_report",
 ]
 
 # --- r10 SHARED-DEP LEDGER -------------------------------------------
@@ -229,6 +251,21 @@ CHECK_PRIORITY = [
 #   q_cow_delete IN HEAD. optimize.py/manifest.py themselves are
 #   byte-untouched (snapshots only CALLS them), so their pytest-only
 #   surfaces stand.
+# - LATE r10 additions (fourth wave): operators/repetition.py NEW
+#   (zero-shuffle Gopher repetition fold; imports only catalog) ->
+#   q_gopher_repetition IN HEAD; sources/snapshots.py gained
+#   plan_cow_merge/merge_cow -> q_merge_cow IN HEAD (q_cow_delete
+#   already in head covers the module edit); sources/incremental.py
+#   NEW (imports snapshots + manifest) -> q_incremental_view IN
+#   HEAD; sources/mor.py NEW (imports manifest + snapshots; also
+#   the retraction pair + fold, pytest-only) -> q_mor_delete IN
+#   HEAD; sources/bloomskip.py NEW (imports only catalog) ->
+#   q_bloom_skipping IN HEAD; sources/partitions.py NEW (imports
+#   bloomskip's hash constants — bloomskip covered in head) ->
+#   q_partition_prune IN HEAD; sources/manifest.py gained
+#   manifest_agg (pytest-only surface; module has no registered
+#   query — its dependents' queries q_cow_delete/q_merge_cow/
+#   q_zorder_skipping are all IN HEAD this round).
 # - all_queries.py, registry.py curation lists, bench.py, tools/*,
 #   tests/*: no runtime query lineage.
 # Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
@@ -259,6 +296,24 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     # byte-untouched since its green r6 row; the new repetition gate
     # is a SEPARATE module, not a rules.py dep):
     "q_gopher_rules",
+    # yielded its r10 freshness slot to q_merge_cow (gold.py
+    # byte-untouched since its green r6 row):
+    "q_cube_report",
+    # yielded its r10 freshness slot to q_incremental_view (skew.py
+    # byte-untouched since its green r6 row):
+    "q_skew_report",
+    # yielded its r10 freshness slot to q_mor_delete (prep.py
+    # byte-untouched since its green r6 row):
+    "q_length_filter",
+    # yielded its r10 freshness slot to q_bloom_skipping
+    # (profiling.py byte-untouched since its green r6 row):
+    "q_length_quantiles",
+    # yielded its r10 freshness slot to q_partition_prune
+    # (profiling.py byte-untouched since its green r6 row):
+    "q_profile_documents",
+    # yielded its r10 freshness slot to q_bm25_topk (privacy.py
+    # byte-untouched since its green r6 row):
+    "q_k_anonymity",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -368,6 +423,12 @@ ROTATE_TAIL = [
     "q_salted_distinct",
     "q_mixture_epochs",
     "q_gopher_rules",
+    "q_cube_report",
+    "q_skew_report",
+    "q_length_filter",
+    "q_length_quantiles",
+    "q_profile_documents",
+    "q_k_anonymity",
 ]
 
 

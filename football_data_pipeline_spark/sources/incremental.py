@@ -46,6 +46,11 @@ straight GROUP BY over the whole table — the merge arithmetic
 (null passes, least/greatest, decimal sums) has nowhere to hide.
 The log lifecycle (markers, lineage, no-op refresh, crash retry)
 is pytest-locked in tests/test_incremental.py.
+
+10x probe (orders replicated 10x — 10x customers, constant orders
+per customer; medians of 3): q_incremental_view 0.65 -> 1.27 s —
+sub-linear; delta agg and state join both scale with group count
+as designed.
 """
 
 from __future__ import annotations

@@ -48,6 +48,10 @@ surviving rows per file (drop files count zero without being
 "read"). Filesystem semantics (read_mor == COW result, fold-in
 equivalence, drop files never scanned, snapshot-versioned delete
 logs) are pytest-locked in tests/test_mor.py.
+
+10x probe (documents replicated 10x, 313 -> 5000 synthetic files;
+medians of 3): q_mor_delete 0.52 -> 0.48 s — flat; planning is a
+pure manifest projection, bounded by file count.
 """
 
 from __future__ import annotations

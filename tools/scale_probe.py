@@ -86,6 +86,15 @@ VEC_PROBED = [
 #: --queries all (or by name) like every list here.
 MIX_PROBED = ["q_mixture_epochs", "q_temperature_sample"]
 
+#: orders-side probes (late round 10): q_incremental_view's refresh
+#: cost must track delta + state, so under a 10× orders build with
+#: 10× customers (constant orders per customer) both the delta agg
+#: and the state join grow linearly — plain linearity is the pass.
+#: q_merge_cow / q_gopher_repetition ride the documents corpus:
+#: merge planning is file-count bounded (10× files → linear), the
+#: repetition fold is map-only (scan-bound).
+ORD_PROBED = ["q_incremental_view"]
+
 #: events-side probes (late round 4): the 10× events build spreads
 #: user_id over COPIES distinct users per source user (10× users,
 #: constant per-user activity), the contract under which session
@@ -198,6 +207,27 @@ def build_probe_events(spark, out_dir: str) -> None:
     _materialize(perturbed, out_dir, "events")
 
 
+def build_probe_orders(spark, out_dir: str) -> None:
+    """10× orders: copy i of order o gets o_orderkey = o·16 + i and
+    o_custkey = c·COPIES + i — ten customers per source customer,
+    each with the source customer's order set. View groups (one per
+    customer) grow 10× while per-group size stays constant — the
+    contract under which an incremental refresh must stay linear."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+    copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+    perturbed = orders.crossJoin(F.broadcast(copies)).select(
+        (F.col("o_orderkey") * 16 + F.col("copy_i")).alias("o_orderkey"),
+        (F.col("o_custkey") * COPIES + F.col("copy_i")).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    _materialize(perturbed, out_dir, "orders")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
@@ -209,7 +239,7 @@ def main() -> None:
     ap.add_argument("--corpus", default=None, help="build-once/reuse dir")
     args = ap.parse_args()
     if args.queries.strip() == "all":
-        probed = PROBED + VEC_PROBED + EVT_PROBED + MIX_PROBED
+        probed = PROBED + VEC_PROBED + EVT_PROBED + MIX_PROBED + ORD_PROBED
     else:
         probed = [q.strip() for q in args.queries.split(",") if q.strip()]
 
@@ -230,6 +260,10 @@ def main() -> None:
             f"{probe_dir}/events.parquet"
         ):
             build_probe_events(spark, probe_dir)
+        if any(q in ORD_PROBED for q in probed) and not os.path.isdir(
+            f"{probe_dir}/orders.parquet"
+        ):
+            build_probe_orders(spark, probe_dir)
         n10 = spark.read.parquet(f"{probe_dir}/documents.parquet").count()
         print(f"probe corpus: {n10} docs at {probe_dir}", file=sys.stderr, flush=True)
 
