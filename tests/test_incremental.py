@@ -112,3 +112,47 @@ def test_non_mergeable_measure_raises(spark):
     df = spark.createDataFrame([(1, 1)], "k long, v long")
     with pytest.raises(ValueError, match="not mergeable"):
         delta_aggregate(df, ["k"], [("avg", "v", "avg_v")])
+
+
+def test_e2e_readstream_appends_then_view_refresh(spark, tmp_path):
+    """A real file-source stream drives snapshot_append_writer in two
+    micro-batches; refresh_view ticks between runs stay equal to a
+    straight recompute — the full append->commit->delta->merge path
+    with no hand-fed batches."""
+    import json as _json
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [{"k": i % 5, "v": i} for i in range(40)]
+    rows2 = [{"k": i % 5, "v": i} for i in range(40, 130)]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    now = time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+
+    tlog, tdata = str(tmp_path / "tlog"), str(tmp_path / "tdata")
+    vlog, vdata = str(tmp_path / "vlog"), str(tmp_path / "vdata")
+    write = snapshot_append_writer(tlog, tdata, ["v"])
+
+    def run_stream():
+        stream = spark.readStream.schema("k long, v long").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_stream()
+    r1 = refresh_view(spark, tlog, vlog, vdata, ["k"], MEASURES)
+    assert r1["mode"] == "full"
+    assert _state(spark, vlog, vdata) == _expected(spark, 0, 40)
+
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run_stream()
+    r2 = refresh_view(spark, tlog, vlog, vdata, ["k"], MEASURES)
+    assert r2["mode"] == "incremental"
+    assert _state(spark, vlog, vdata) == _expected(spark, 0, 130)
