@@ -82,6 +82,10 @@ from .manifest import build_manifest
 _SNAP_RE = re.compile(r"^snap-(\d{6})$")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A compare-and-swap commit lost the race (``expect_latest``)."""
+
+
 def _snap_dir(log_dir: str, version: int) -> str:
     return os.path.join(log_dir, f"snap-{version:06d}")
 
@@ -120,6 +124,7 @@ def commit_snapshot(
     manifest: DataFrame,
     parent: int | None = None,
     batch_id: int | None = None,
+    expect_latest: int | None = None,
 ) -> int:
     """Persist ``manifest`` as the next committed version and return
     its number. Write order is the atomicity story: manifest parquet
@@ -127,8 +132,22 @@ def commit_snapshot(
     snapshots. Commit metadata (n_files, n_rows) is one aggregate
     over the manifest, bounded by file count. ``batch_id`` stamps
     streaming commits so a replayed micro-batch can recognize itself
-    (``snapshot_append_writer``)."""
+    (``snapshot_append_writer``). ``expect_latest`` is the
+    optimistic-concurrency guard: the commit raises instead of
+    landing when another writer committed past the version this one
+    derived its manifest from (compare-and-swap at the log level —
+    the caller re-reads, re-derives and retries, Iceberg-style).
+    Without it, last-writer-wins: safe for a single maintainer,
+    lost-update-prone for concurrent rewriters."""
     versions = snapshot_versions(spark, log_dir)
+    if expect_latest is not None:
+        latest = versions[-1] if versions else None
+        if latest != expect_latest:
+            raise ConcurrentCommitError(
+                f"expected latest committed version {expect_latest}, "
+                f"found {latest}: a concurrent commit landed first — "
+                "re-derive from the new latest and retry"
+            )
     # number past EVERY snap dir, committed or not — a crashed commit
     # leaves an unmarked directory behind, and a retry must take a
     # fresh number rather than collide with the debris
@@ -193,13 +212,19 @@ def read_snapshot(
     log_dir: str,
     version: int | None = None,
     base_path: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time travel: the table's rows exactly as of ``version`` —
     reads that snapshot's explicit file list, so later compactions
     and deletes (which only ADD files and switch manifests) cannot
     change what this returns until the snapshot is expired. Pass the
     table root as ``base_path`` on directory-partitioned layouts
-    (manifest.pruned_read's basePath contract)."""
+    (manifest.pruned_read's basePath contract). ``merge_schema=True``
+    is the ADD-COLUMN evolution read: a snapshot whose files predate
+    a column widening reads the union schema, pre-evolution rows
+    NULL in the new columns (parquet mergeSchema — additive changes
+    only; renames/retypes need a rewrite, same as every table
+    format)."""
     manifest = read_manifest(spark, log_dir, version)
     files = [r.file for r in manifest.select("file").collect()]
     if not files:
@@ -207,6 +232,8 @@ def read_snapshot(
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
 
 

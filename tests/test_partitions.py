@@ -93,3 +93,33 @@ def test_hidden_partitioning_keeps_source_column(spark, tmp_path):
     assert "id" in df.columns  # source column survives in the data
     assert {"p_trunc", "p_bucket"} <= set(df.columns)
     assert df.count() == N
+
+
+def test_partitioned_layout_composes_with_snapshot_log(spark, tmp_path):
+    """The partition grid is just a layout: build_manifest captures
+    the derived partition values as per-file stats, the snapshot log
+    versions it, and manifest-level pruning on a partition column
+    agrees with the directory-level cut."""
+    from football_data_pipeline_spark.sources.manifest import (
+        build_manifest,
+        prune_files,
+    )
+    from football_data_pipeline_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    root = _table(spark, tmp_path)
+    m = build_manifest(spark, root, ["id", "p_trunc"])
+    log = str(tmp_path / "log")
+    v = commit_snapshot(spark, log, m)
+    got = read_snapshot(spark, log, v, base_path=root)
+    assert got.count() == N and {"id", "p_trunc"} <= set(got.columns)
+    # manifest pruning on the derived column == the directory cut:
+    # width 100 -> files for p_trunc in {200,300} only
+    files = prune_files(m, "p_trunc", 200, 300)
+    vals = (
+        spark.read.option("basePath", root).parquet(*files)
+        .select("p_trunc").distinct().collect()
+    )
+    assert {r.p_trunc for r in vals} == {200, 300}

@@ -506,3 +506,51 @@ def test_merge_cow_time_travel(spark, tmp_path):
     before = dict(_rows(read_snapshot(spark, log, v0)))
     after = dict(_rows(read_snapshot(spark, log, v1)))
     assert before[100] == 100 % 7 and after[100] == 99
+
+
+# --- schema evolution + optimistic concurrency --------------------------
+
+
+def test_add_column_evolution_read(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_append_writer,
+    )
+
+    log, data = str(tmp_path / "log"), str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    old = spark.range(5).select(F.col("id"))
+    write(old.coalesce(1), 0)
+    new = spark.range(5, 10).select(F.col("id"), (F.col("id") * 2).alias("w"))
+    write(new.coalesce(1), 1)
+    got = read_snapshot(spark, log, merge_schema=True)
+    assert set(got.columns) >= {"id", "w"}
+    rows = {r.id: r.w for r in got.collect()}
+    assert rows[2] is None  # pre-evolution rows NULL in the new col
+    assert rows[7] == 14
+    # pre-evolution snapshot still reads with its own schema
+    v0 = read_snapshot(spark, log, 0, base_path=data)
+    assert "w" not in [c for c in v0.columns if c != "batch_id"]
+
+
+def test_expect_latest_cas_commit(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        ConcurrentCommitError,
+    )
+
+    base = tmp_path
+    path = str(base / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    log = str(base / "log")
+    v0 = commit_snapshot(spark, log, m)
+    # writer A derives from v0; writer B commits first
+    v_b = commit_snapshot(spark, log, m, expect_latest=v0)
+    assert v_b == v0 + 1
+    with pytest.raises(ConcurrentCommitError, match="concurrent"):
+        commit_snapshot(spark, log, m, expect_latest=v0)
+    # retry from the new latest succeeds
+    assert commit_snapshot(spark, log, m, expect_latest=v_b) == v_b + 1
+    # CAS against an empty log: expect None semantics via fresh dir
+    log2 = str(base / "log2")
+    with pytest.raises(ConcurrentCommitError):
+        commit_snapshot(spark, log2, m, expect_latest=5)
