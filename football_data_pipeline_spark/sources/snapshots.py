@@ -534,6 +534,77 @@ def scan_appends(
     return reader.parquet(*added)
 
 
+# --- write-audit-publish (WAP) ----------------------------------------
+
+
+def stage_snapshot(
+    spark: SparkSession,
+    staging_log: str,
+    manifest: DataFrame,
+    batch_id: int | None = None,
+) -> int:
+    """Stage a manifest on a SEPARATE snapshot log (Iceberg's WAP
+    branch): durable, time-travelable, auditable by any process —
+    and invisible to every reader of the main log until published.
+    Data files are shared (manifests are pointers); only the
+    manifest's visibility moves."""
+    return commit_snapshot(spark, staging_log, manifest, batch_id=batch_id)
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    staging_log: str,
+    staged_version: int,
+    main_log: str,
+    expect_latest: int | None = None,
+) -> int:
+    """Promote a staged version to the main log: read the staged
+    manifest, commit it (optionally CAS-guarded). The staged
+    snapshot stays in the staging log for audit lineage until its
+    retention expires it."""
+    m = read_manifest(spark, staging_log, staged_version)
+    return commit_snapshot(spark, main_log, m, expect_latest=expect_latest)
+
+
+def audit_and_publish(
+    spark: SparkSession,
+    staging_log: str,
+    staged_version: int,
+    main_log: str,
+    audits: dict,
+    base_path: str | None = None,
+    expect_latest: int | None = None,
+) -> dict:
+    """The WAP gate: run every audit against the STAGED snapshot's
+    rows (name -> callable(DataFrame) -> truthy; an exception counts
+    as a failure with its message recorded) and publish ONLY if all
+    pass. Returns {published, version, audits: {name: 'pass' |
+    failure reason}}. The pattern every quality-gated ingest wants:
+    bad data is durably staged for forensics, never visible to
+    consumers, and the publish itself is marker-last atomic (+ CAS
+    when ``expect_latest`` is given)."""
+    staged = read_snapshot(
+        spark, staging_log, staged_version, base_path=base_path
+    )
+    verdicts: dict[str, str] = {}
+    ok = True
+    for name, fn in audits.items():
+        try:
+            passed = bool(fn(staged))
+        except Exception as exc:  # an audit that blows up is a fail
+            verdicts[name] = f"error: {exc}"
+            ok = False
+            continue
+        verdicts[name] = "pass" if passed else "failed"
+        ok = ok and passed
+    if not ok:
+        return {"published": False, "version": None, "audits": verdicts}
+    version = publish_snapshot(
+        spark, staging_log, staged_version, main_log, expect_latest
+    )
+    return {"published": True, "version": version, "audits": verdicts}
+
+
 # --- retention: orphans, expire, vacuum -------------------------------
 
 

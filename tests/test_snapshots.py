@@ -554,3 +554,81 @@ def test_expect_latest_cas_commit(spark, tmp_path):
     log2 = str(base / "log2")
     with pytest.raises(ConcurrentCommitError):
         commit_snapshot(spark, log2, m, expect_latest=5)
+
+
+# --- write-audit-publish -------------------------------------------------
+
+
+def test_wap_gate_blocks_and_publishes(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        audit_and_publish,
+        stage_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    staging, main = str(tmp_path / "staging"), str(tmp_path / "main")
+    sv = stage_snapshot(spark, staging, m)
+
+    # staged data is invisible to main readers
+    assert snapshot_versions(spark, main) == []
+
+    audits = {
+        "non_empty": lambda df: df.count() > 0,
+        "no_null_ids": lambda df: df.filter(F.col("id").isNull()).count()
+        == 0,
+        "min_rows": lambda df: df.count() >= 1000,  # fails: only 100
+    }
+    out = audit_and_publish(spark, staging, sv, main, audits)
+    assert not out["published"] and out["version"] is None
+    assert out["audits"]["min_rows"] == "failed"
+    assert out["audits"]["non_empty"] == "pass"
+    assert snapshot_versions(spark, main) == []  # still unpublished
+
+    # drop the failing audit -> publishes; main readers now see it
+    del audits["min_rows"]
+    out2 = audit_and_publish(spark, staging, sv, main, audits)
+    assert out2["published"] and out2["version"] == 0
+    assert read_snapshot(spark, main).count() == 100
+
+
+def test_wap_audit_exception_counts_as_failure(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        audit_and_publish,
+        stage_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    staging, main = str(tmp_path / "staging"), str(tmp_path / "main")
+    sv = stage_snapshot(spark, staging, m)
+
+    def boom(df):
+        raise RuntimeError("audit query exploded")
+
+    out = audit_and_publish(spark, staging, sv, main, {"boom": boom})
+    assert not out["published"]
+    assert out["audits"]["boom"].startswith("error: audit query exploded")
+    assert snapshot_versions(spark, main) == []
+
+
+def test_wap_publish_respects_cas(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        publish_snapshot,
+        stage_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    staging, main = str(tmp_path / "staging"), str(tmp_path / "main")
+    sv = stage_snapshot(spark, staging, m)
+    v0 = commit_snapshot(spark, main, m)  # someone else commits first
+    with pytest.raises(ConcurrentCommitError):
+        publish_snapshot(spark, staging, sv, main, expect_latest=v0 - 1)
+    assert publish_snapshot(spark, staging, sv, main, expect_latest=v0) == v0 + 1
