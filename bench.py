@@ -161,6 +161,8 @@ HEADLINE = [
     "q_partition_prune",
     # and the lexical-retrieval twin of the ANN rows
     "q_bm25_topk",
+    # the one-scan ANALYZE stats pass (exact-NDV audit mode)
+    "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup
     # classification) measures 46-60 s/trial at sf0.1 — it gates AND
     # fingerprints 15,000 synthesized assets across two halves, so

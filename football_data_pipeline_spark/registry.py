@@ -178,6 +178,10 @@ CHECK_PRIORITY = [
     # the lexical twin of the ANN family; stable-rounded idf/term
     # scores, DECIMAL-exact sums, deterministic ties:
     "q_bm25_topk",
+    # sources/analyze.py NEW (r10, late): ANALYZE column statistics
+    # — one-scan wide aggregate unpivoted, exact-NDV mode for the
+    # oracle, HLL mode for scale:
+    "q_analyze_stats",
     # --- freshness: 40 of the 47 queries whose latest green driver
     # row is round 6 (three rounds stale even though every module is
     # byte-untouched since — VERDICT r9 item 7), in the r9 tail's
@@ -211,7 +215,6 @@ CHECK_PRIORITY = [
     "q_ivf_centroids",
     "q_ivf_reassign",
     "q_semantic_decontam",
-    "q_team_form",
     "q_star_join",
 ]
 
@@ -314,6 +317,9 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     # yielded its r10 freshness slot to q_bm25_topk (privacy.py
     # byte-untouched since its green r6 row):
     "q_k_anonymity",
+    # yielded its r10 freshness slot to q_analyze_stats (form.py
+    # byte-untouched since its green r6 row):
+    "q_team_form",
 ]
 ROTATE_TAIL = [
     # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
@@ -429,6 +435,7 @@ ROTATE_TAIL = [
     "q_length_quantiles",
     "q_profile_documents",
     "q_k_anonymity",
+    "q_team_form",
 ]
 
 

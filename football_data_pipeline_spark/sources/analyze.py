@@ -1,0 +1,124 @@
+"""ANALYZE TABLE — column statistics for cost-based decisions: per
+column, non-null count, NDV, min/max and average length, computed in
+ONE scan. Reference parity: none — scale extension (the statistics
+every CBO consults for join ordering and broadcast thresholds, and
+every data contract checks before a release; Spark's own `ANALYZE
+TABLE ... COMPUTE STATISTICS FOR COLUMNS` kept engine-native so the
+stats land in a TABLE the snapshot log can version like everything
+else).
+
+Shape: all columns' aggregates ride one wide aggregate over one scan
+(min/max on the NATIVE type, cast to string only afterwards — a
+lexicographic min of stringified integers would be wrong), then the
+wide row unpivots to one row per column with ``stack``. NDV is
+``approx_count_distinct`` (HLL, constant state) by default — the
+only sane choice at 100 TB — with ``exact=True`` flipping to
+``count_distinct`` for dimension-sized tables and for the driver
+oracle, which can only recompute exact values. A multi-column exact
+mode expands the aggregate (Spark's Expand operator, one stream per
+distinct-column): fine at audit scale, priced honestly in the
+docstring rather than hidden.
+
+Driver-checked: ``q_analyze_stats`` runs the exact mode over every
+``documents`` column; the oracle recomputes each statistic per
+column and the unpivoted layout. The approx mode is pytest-locked
+within HLL error of exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import oracle_rnd, rnd
+from ..registry import query
+
+#: default HLL relative standard deviation for approx NDV
+NDV_RSD = 0.05
+
+
+def column_stats(
+    rows: DataFrame, cols: list[str], exact: bool = False
+) -> DataFrame:
+    """(col, n_rows, n_nonnull, ndv, min_val, max_val, avg_len):
+    one row per requested column, one scan total. ``min_val`` /
+    ``max_val`` are the native-type extremes rendered as strings;
+    ``avg_len`` is the mean string length of non-null values
+    (stable-rounded, 2 dp). ``exact`` swaps HLL NDV for
+    count_distinct."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        sc = F.col(c).cast("string")
+        ndv = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), NDV_RSD)
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            ndv.cast("long").alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.sum(F.length(sc)).alias(f"__len_{c}"),
+        ]
+    wide = rows.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (col, n_nonnull, ndv, min_val, max_val, sum_len)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', __nn_{c}, __ndv_{c}, __min_{c}, __max_{c}, __len_{c}"
+                    for c in cols
+                ),
+            )
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    return stacked.select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        "ndv",
+        "min_val",
+        "max_val",
+        rnd(F.col("sum_len") / F.col("n_nonnull"), 2).alias("avg_len"),
+    )
+
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _oracle() -> str:
+    parts = []
+    for c in _DOC_COLS:
+        avg = oracle_rnd(
+            f"CAST(sum(length(CAST({c} AS VARCHAR))) AS DOUBLE)"
+            f" / count({c})",
+            2,
+        )
+        parts.append(
+            f"""
+      SELECT '{c}' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count({c}) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+             CAST(min({c}) AS VARCHAR) AS min_val,
+             CAST(max({c}) AS VARCHAR) AS max_val,
+             {avg} AS avg_len
+      FROM documents"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_analyze_stats", oracle=_oracle())
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE over every documents column, exact mode: per column,
+    row/non-null counts, exact NDV, native-type min/max rendered as
+    strings, stable-rounded mean string length — one scan, one wide
+    aggregate, unpivoted. The oracle recomputes every statistic; a
+    lexicographic-vs-numeric min/max slip or an off-by-null in
+    avg_len's denominator breaks the hash."""
+    from ..catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    return column_stats(docs, _DOC_COLS, exact=True)
