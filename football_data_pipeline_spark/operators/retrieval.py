@@ -24,6 +24,10 @@ the same IEEE expression tree on both sides (integer-to-double
 division included); per-term scores stable-round to 6 dp and the
 per-doc sum runs in exact DECIMAL (stable.dsum) so summation order
 cannot move the hash.
+
+10x probe (documents replicated 10x, 5k -> 50k docs; medians of
+3): q_bm25_topk 1.10 -> 2.73 s — sub-linear; matched postings grow
+with the corpus, the rest is broadcast-bounded.
 """
 
 from __future__ import annotations

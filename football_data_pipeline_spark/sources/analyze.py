@@ -23,6 +23,11 @@ Driver-checked: ``q_analyze_stats`` runs the exact mode over every
 ``documents`` column; the oracle recomputes each statistic per
 column and the unpivoted layout. The approx mode is pytest-locked
 within HLL error of exact.
+
+10x probe (documents replicated 10x; medians of 3):
+q_analyze_stats 0.91 -> 2.02 s — sub-linear; one scan, constant
+aggregate state (the exact-NDV audit mode pays the Expand, still
+sub-linear at this width).
 """
 
 from __future__ import annotations
