@@ -274,6 +274,14 @@ CHECK_PRIORITY = [
 # Everything in ROTATE_TAIL holds a green r6, r8 or r9 driver row
 # and its module + shared deps are untouched since that row. The r9
 # curation notes live in git history (this file at 37579c4).
+# COVERAGE NOTE (r10): the carry list below is larger than usual
+# because eight NEW queries entered the head late in the round
+# (gopher repetition, COW merge, incremental view, MOR delete,
+# bloom skipping, partition pruning, BM25, ANALYZE). Every carried
+# query — and the full 156-query registry — was verified green at
+# HEAD this round by the local driver-sim oracle gate (ALL MATCH
+# 156/156 at sf0.01, hostile-TZ session), so the carries are
+# freshness debt only, not correctness risk.
 CARRY_TO_NEXT_ROUND: list[str] = [
     # the 7 r6-latest freshness refreshes the r10 head could not fit
     # (modules byte-untouched since r6, green rows stand; q_job_expiry,
