@@ -172,6 +172,7 @@ def commit_snapshot(
         "n_files",
         "n_rows",
         F.lit(batch_id).cast("long").alias("batch_id"),
+        F.current_timestamp().alias("committed_at"),
     )
     meta.coalesce(1).write.mode("errorifexists").parquet(
         _marker_path(log_dir, version)
@@ -181,13 +182,40 @@ def commit_snapshot(
 
 def commit_log(spark: SparkSession, log_dir: str) -> DataFrame:
     """The table's history: one row per committed snapshot (version,
-    parent, n_files, n_rows) — the markers read back as a table."""
+    parent, n_files, n_rows, batch_id, committed_at) — the markers
+    read back as a table. mergeSchema tolerates logs whose older
+    markers predate a metadata column (committed_at reads NULL
+    there)."""
     versions = snapshot_versions(spark, log_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {log_dir!r}")
-    return spark.read.parquet(
-        *[_marker_path(log_dir, v) for v in versions]
-    ).orderBy("version")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_marker_path(log_dir, v) for v in versions])
+        .orderBy("version")
+    )
+
+
+def version_as_of(spark: SparkSession, log_dir: str, ts) -> int:
+    """TIMESTAMP AS OF: the newest version whose marker committed at
+    or before ``ts`` (a datetime or an ISO string). Raises when the
+    log's first commit is later than ``ts`` — there was no table
+    yet — and when older markers predate the committed_at column
+    (those rows read NULL and are never matched; re-commit or pin by
+    version for pre-upgrade history). One read over the markers,
+    bounded by snapshot count."""
+    ts_c = F.lit(ts).cast("timestamp") if isinstance(ts, str) else F.lit(ts)
+    row = (
+        commit_log(spark, log_dir)
+        .filter(F.col("committed_at") <= ts_c)
+        .agg(F.max("version").alias("v"))
+        .first()
+    )
+    if row.v is None:
+        raise ValueError(
+            f"no snapshot of {log_dir!r} committed at or before {ts!r}"
+        )
+    return int(row.v)
 
 
 def read_manifest(

@@ -632,3 +632,28 @@ def test_wap_publish_respects_cas(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         publish_snapshot(spark, staging, sv, main, expect_latest=v0 - 1)
     assert publish_snapshot(spark, staging, sv, main, expect_latest=v0) == v0 + 1
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    import datetime as _dt
+    import time
+
+    from football_data_pipeline_spark.sources.snapshots import (
+        version_as_of,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    log = str(tmp_path / "log")
+    v0 = commit_snapshot(spark, log, m)
+    time.sleep(1.2)
+    t_mid = _dt.datetime.now()
+    time.sleep(1.2)
+    v1 = commit_snapshot(spark, log, m)
+    assert version_as_of(spark, log, t_mid) == v0
+    assert version_as_of(spark, log, _dt.datetime.now()) == v1
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(spark, log, t_mid - _dt.timedelta(days=1))
+    # read path composes: pin the resolved version
+    assert read_snapshot(spark, log, version_as_of(spark, log, t_mid)).count() == 10
