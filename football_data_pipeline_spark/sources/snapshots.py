@@ -241,6 +241,7 @@ def read_snapshot(
     version: int | None = None,
     base_path: str | None = None,
     merge_schema: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Time travel: the table's rows exactly as of ``version`` —
     reads that snapshot's explicit file list, so later compactions
@@ -252,7 +253,12 @@ def read_snapshot(
     a column widening reads the union schema, pre-evolution rows
     NULL in the new columns (parquet mergeSchema — additive changes
     only; renames/retypes need a rewrite, same as every table
-    format)."""
+    format). ``ref`` reads by name instead ('prod', 'v1.2' — see
+    set_ref); mutually exclusive with ``version``."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = resolve_ref(spark, log_dir, ref)
     manifest = read_manifest(spark, log_dir, version)
     files = [r.file for r in manifest.select("file").collect()]
     if not files:
@@ -560,6 +566,92 @@ def scan_appends(
             raise ValueError("both snapshots have empty manifests")
         return reader.parquet(any_file[0]).filter(F.lit(False))
     return reader.parquet(*added)
+
+
+# --- named refs: tags and branches --------------------------------------
+
+_REF_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+
+def _ref_path(log_dir: str, name: str) -> str:
+    if not _REF_RE.match(name):
+        raise ValueError(
+            f"ref name {name!r} must match {_REF_RE.pattern}"
+        )
+    return os.path.join(log_dir, f"ref-{name}")
+
+
+def set_ref(
+    spark: SparkSession,
+    log_dir: str,
+    name: str,
+    version: int,
+    kind: str = "tag",
+) -> None:
+    """Name a committed version: ``kind='tag'`` is immutable
+    (re-setting raises — a release pin must never silently move),
+    ``kind='branch'`` is movable (overwrite — the 'prod' pointer a
+    publisher advances). A ref is a 1-row parquet beside the
+    snapshots; resolving it costs one tiny read. Refs pin versions,
+    and ``expire_snapshots`` only counts positions from the newest —
+    retention for a tagged log should keep at least back to the
+    oldest tag (documented contract, same as every table format's
+    'expiring a tagged snapshot breaks the tag')."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be 'tag' or 'branch', got {kind!r}")
+    if version not in snapshot_versions(spark, log_dir):
+        raise ValueError(
+            f"version {version} is not a committed snapshot of {log_dir!r}"
+        )
+    row = spark.createDataFrame(
+        [(name, version, kind)], "name string, version int, kind string"
+    ).coalesce(1)
+    mode = "overwrite" if kind == "branch" else "errorifexists"
+    if kind == "branch":
+        # a tag must not be silently demoted to a movable pointer
+        existing = _read_ref(spark, log_dir, name)
+        if existing is not None and existing[1] == "tag":
+            raise ValueError(f"ref {name!r} is an immutable tag")
+    row.write.mode(mode).parquet(_ref_path(log_dir, name))
+
+
+def _read_ref(
+    spark: SparkSession, log_dir: str, name: str
+) -> tuple[int, str] | None:
+    p = _ref_path(log_dir, name)
+    if not os.path.isdir(p):
+        return None
+    r = spark.read.parquet(p).first()
+    return (int(r.version), r.kind)
+
+
+def resolve_ref(spark: SparkSession, log_dir: str, name: str) -> int:
+    """The version a ref points at; raises on an unknown ref or one
+    whose snapshot has been expired out from under it."""
+    got = _read_ref(spark, log_dir, name)
+    if got is None:
+        raise ValueError(f"unknown ref {name!r} in {log_dir!r}")
+    version, _ = got
+    if version not in snapshot_versions(spark, log_dir):
+        raise ValueError(
+            f"ref {name!r} points at expired version {version} — "
+            "retention outran the ref"
+        )
+    return version
+
+
+def list_refs(spark: SparkSession, log_dir: str) -> dict[str, tuple[int, str]]:
+    """name -> (version, kind) for every ref of the log."""
+    out: dict[str, tuple[int, str]] = {}
+    if not os.path.isdir(log_dir):
+        return out
+    for e in os.scandir(log_dir):
+        if e.is_dir() and e.name.startswith("ref-"):
+            name = e.name[len("ref-"):]
+            got = _read_ref(spark, log_dir, name)
+            if got is not None:
+                out[name] = got
+    return out
 
 
 # --- write-audit-publish (WAP) ----------------------------------------

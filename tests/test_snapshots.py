@@ -657,3 +657,49 @@ def test_timestamp_as_of(spark, tmp_path):
         version_as_of(spark, log, t_mid - _dt.timedelta(days=1))
     # read path composes: pin the resolved version
     assert read_snapshot(spark, log, version_as_of(spark, log, t_mid)).count() == 10
+
+
+def test_refs_tags_and_branches(spark, tmp_path):
+    from football_data_pipeline_spark.sources.snapshots import (
+        expire_snapshots,
+        list_refs,
+        resolve_ref,
+        set_ref,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    log = str(tmp_path / "log")
+    v0 = commit_snapshot(spark, log, m)
+    v1 = commit_snapshot(spark, log, m)
+
+    set_ref(spark, log, "v1.0", v0, kind="tag")
+    set_ref(spark, log, "prod", v0, kind="branch")
+    assert resolve_ref(spark, log, "v1.0") == v0
+    # branches move; tags never do
+    set_ref(spark, log, "prod", v1, kind="branch")
+    assert resolve_ref(spark, log, "prod") == v1
+    with pytest.raises(Exception):
+        set_ref(spark, log, "v1.0", v1, kind="tag")  # immutable
+    with pytest.raises(ValueError, match="immutable tag"):
+        set_ref(spark, log, "v1.0", v1, kind="branch")  # no demotion
+    assert list_refs(spark, log) == {
+        "v1.0": (v0, "tag"),
+        "prod": (v1, "branch"),
+    }
+    # read by ref composes with the read path
+    assert read_snapshot(spark, log, ref="prod").count() == 10
+    with pytest.raises(ValueError, match="unknown ref"):
+        resolve_ref(spark, log, "nope")
+    with pytest.raises(ValueError, match="version or ref"):
+        read_snapshot(spark, log, version=v0, ref="prod")
+    # an un-committed version cannot be named
+    with pytest.raises(ValueError, match="not a committed"):
+        set_ref(spark, log, "bad", 99)
+    # retention outrunning a ref is a loud error, not a silent miss
+    v2 = commit_snapshot(spark, log, m)
+    v3 = commit_snapshot(spark, log, m)
+    expire_snapshots(spark, log, keep_latest=2)
+    with pytest.raises(ValueError, match="expired version"):
+        resolve_ref(spark, log, "v1.0")
