@@ -133,21 +133,27 @@ def bm25_topk(
     k: int = TOP_K,
     **kwargs,
 ) -> DataFrame:
-    """Top-k by (score desc, id asc) — deterministic ties. One
-    global window over the MATCHED docs only (query-selectivity-
-    sized, not corpus-sized); swap in TakeOrdered for a standing
-    multi-query service."""
+    """Top-k by (score desc, id asc) — deterministic ties. The cut
+    is orderBy+limit FIRST (TakeOrderedAndProject: per-partition
+    heaps of size k, so one common query term matching a corpus-
+    sized doc set never funnels through a single-task global sort),
+    THEN the rank window over the ≤k survivors only (the
+    profiling.py top-k discipline; VERDICT r10 item 1)."""
     id_col = kwargs.get("id_col", "doc_id")
     scored = bm25_scores(docs, terms, **kwargs)
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", id_col, "n_matched", "score")
     )
 
 
-def _oracle() -> str:
+def bm25_scored_ctes() -> str:
+    """The sized→stats→postings→dfs→idfd→ts→scored CTE chain for
+    the fixed driver query — the body both the q_bm25_topk oracle
+    and the hybrid-fusion oracle (operators/hybrid.py) share, so the
+    two recompute the identical BM25 algebra."""
     terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     idf = oracle_rnd(
         "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 6
@@ -158,8 +164,7 @@ def _oracle() -> str:
         f"((dl * n_docs) / total_len)))",
         6,
     )
-    return f"""
-    WITH sized AS (
+    return f"""sized AS (
       SELECT doc_id,
              len(list_filter(string_split(text, ' '), w -> w <> ''))
                AS dl,
@@ -193,7 +198,12 @@ def _oracle() -> str:
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
              {oracle_dsum("term_score", 4)} AS score
       FROM ts GROUP BY doc_id
-    )
+    )"""
+
+
+def _oracle() -> str:
+    return f"""
+    WITH {bm25_scored_ctes()}
     SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
              AS BIGINT) AS rank,
            doc_id, n_matched, score

@@ -214,17 +214,33 @@ def plan_row(name: str, plan: str) -> str:
     # a GLOBAL window line has ONE `], [` separator AND an ordering
     # (ASC/DESC) in its final bracket group; a partition-only window
     # (partitionBy with no orderBy) also has one separator but its
-    # final group is bare columns — scalable, not flagged
-    global_windows = [
-        l
-        for l in plan.split("\n")
-        if "Window [" in l
-        and l.rstrip().endswith("]")
-        and l.count("], [") == 1
-        and re.search(r"(ASC|DESC)[^\[]*\]$", l.rstrip())
-    ]
+    # final group is bare columns — scalable, not flagged. A global
+    # window whose DIRECT CHILD is TakeOrderedAndProject (the
+    # orderBy+limit→rank top-k idiom, profiling.py/retrieval.py) is
+    # k-bounded by construction — noted separately, never a scale
+    # flag (VERDICT r10 item 1).
+    lines = plan.split("\n")
+    global_windows, bounded_windows = [], []
+    for i, l in enumerate(lines):
+        if not (
+            "Window [" in l
+            and l.rstrip().endswith("]")
+            and l.count("], [") == 1
+            and re.search(r"(ASC|DESC)[^\[]*\]$", l.rstrip())
+        ):
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "TakeOrderedAndProject" in child:
+            bounded_windows.append(l)
+        else:
+            global_windows.append(l)
     if global_windows:
         notes.append(f"{len(global_windows)} global window(s)")
+    if bounded_windows:
+        notes.append(
+            f"{len(bounded_windows)} k-bounded rank window(s) over "
+            "TakeOrdered survivors"
+        )
     if name in KNOWN_NOTES:
         notes.append(KNOWN_NOTES[name])
     return (
