@@ -53,9 +53,12 @@ in the caller's hands. The snapshot log makes that contract durable:
 100 TB shape: every planning decision here is bounded by FILE count
 (manifest rows), never row count — commit metadata is one bounded
 aggregate, orphan computation one file-keyed anti-join, the COW
-delete reads only the intersecting tail. Directory listing uses the
-local filesystem (`os.scandir`); on an object store the same layout
-maps to a LIST of the log prefix — still bounded by snapshot count.
+delete reads only the intersecting tail. Every directory listing /
+existence check / atomic claim goes through the injectable
+``LocalSnapshotStore`` seam (``set_snapshot_store``) — an object
+store implements the same six calls (LIST of the log prefix,
+conditional-create for the CAS claim), still bounded by snapshot
+count; data/manifest/marker IO is already Hadoop-FS-pathed.
 
 Driver-checked: ``q_cow_delete`` runs plan_cow_delete's
 classification over a deterministic fixed-width synthetic layout of
@@ -82,8 +85,78 @@ from .manifest import build_manifest
 _SNAP_RE = re.compile(r"^snap-(\d{6})$")
 
 
+class LocalSnapshotStore:
+    """The log's filesystem seam (VERDICT r10 item 8): every
+    directory listing / existence check / atomic claim / removal
+    the snapshot log performs goes through this object, so the
+    lakehouse layer is not hard-wired to the local FS. The default
+    is the local implementation below; an object-store port
+    implements the same six methods — ``list_dirs`` maps to a
+    delimiter LIST of the prefix, ``is_dir``/``is_file`` to HEAD or
+    a 1-key LIST, ``mkdir_atomic`` to the store's conditional
+    create (S3 If-None-Match PUT, GCS x-goog-if-generation-match 0,
+    or an external lock table) — the ONE primitive the CAS commit's
+    atomicity rests on. Data/manifest/marker reads and writes
+    already go through Spark's Hadoop FS layer and need no seam.
+    Inject with ``set_snapshot_store``."""
+
+    def list_dirs(self, path: str) -> list[str]:
+        """Names of the directory-like children of ``path`` (the
+        log's snap-*/ref-* entries); [] for a missing path."""
+        if not os.path.isdir(path):
+            return []
+        return [e.name for e in os.scandir(path) if e.is_dir()]
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def ensure_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def mkdir_atomic(self, path: str) -> None:
+        """Create ``path``; raise FileExistsError when it already
+        exists. MUST be atomic w.r.t. concurrent callers — the CAS
+        commit's one-racer-wins guarantee is exactly this call."""
+        os.mkdir(path)
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path)
+
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def remove_file(self, path: str) -> None:
+        os.remove(path)
+
+
+_STORE = LocalSnapshotStore()
+
+
+def set_snapshot_store(store: LocalSnapshotStore) -> LocalSnapshotStore:
+    """Swap the log's filesystem implementation (returns the
+    previous one — restore it in a finally)."""
+    global _STORE
+    prev = _STORE
+    _STORE = store
+    return prev
+
+
+def get_snapshot_store() -> LocalSnapshotStore:
+    return _STORE
+
+
 class ConcurrentCommitError(RuntimeError):
     """A compare-and-swap commit lost the race (``expect_latest``)."""
+
+
+class UncommittedSnapshotDirError(ConcurrentCommitError):
+    """The CAS-pinned snap directory exists but carries no commit
+    marker: either a crashed commit's debris or a commit in flight
+    right now. The caller must decide which (no writer alive → safe
+    to delete the directory and retry); the log cannot tell the two
+    apart by looking at the filesystem alone."""
 
 
 def _snap_dir(log_dir: str, version: int) -> str:
@@ -106,14 +179,12 @@ def snapshot_versions(spark: SparkSession, log_dir: str) -> list[int]:
     """Committed versions, ascending. A snap-N directory without its
     commit marker (crash between manifest write and marker write) is
     invisible — the marker IS the commit."""
-    if not os.path.isdir(log_dir):
-        return []
     out = []
-    for e in os.scandir(log_dir):
-        m = _SNAP_RE.match(e.name)
-        if m and e.is_dir():
+    for name in _STORE.list_dirs(log_dir):
+        m = _SNAP_RE.match(name)
+        if m:
             v = int(m.group(1))
-            if os.path.isdir(_marker_path(log_dir, v)):
+            if _STORE.is_dir(_marker_path(log_dir, v)):
                 out.append(v)
     return sorted(out)
 
@@ -138,28 +209,71 @@ def commit_snapshot(
     derived its manifest from (compare-and-swap at the log level —
     the caller re-reads, re-derives and retries, Iceberg-style).
     Without it, last-writer-wins: safe for a single maintainer,
-    lost-update-prone for concurrent rewriters."""
+    lost-update-prone for concurrent rewriters.
+
+    CAS atomicity (ADVICE r10): the read-check alone is check-then-
+    act — two writers can both see latest == expect_latest while
+    neither's marker has landed (the manifest write is a seconds-
+    long Spark job) and the "number past every snap dir" rule would
+    hand the second a FRESH number, silently dropping the first's
+    changes. So a guarded commit pins version = expect_latest + 1
+    (``-1`` means "expect an empty log" → version 0) and atomically
+    claims that snap directory with os.mkdir BEFORE the manifest
+    job: exactly one racer wins the mkdir; the loser raises
+    ConcurrentCommitError (marker present → a commit landed) or
+    UncommittedSnapshotDirError (no marker → debris or in-flight;
+    cleanup-and-retry is the caller's call). Unguarded commits claim
+    their directory the same way, retrying past racers — appends
+    serialize onto distinct versions instead of colliding."""
     versions = snapshot_versions(spark, log_dir)
+    _STORE.ensure_dir(log_dir)
     if expect_latest is not None:
         latest = versions[-1] if versions else None
-        if latest != expect_latest:
+        expected = None if expect_latest == -1 else expect_latest
+        if latest != expected:
             raise ConcurrentCommitError(
-                f"expected latest committed version {expect_latest}, "
+                f"expected latest committed version {expected}, "
                 f"found {latest}: a concurrent commit landed first — "
                 "re-derive from the new latest and retry"
             )
-    # number past EVERY snap dir, committed or not — a crashed commit
-    # leaves an unmarked directory behind, and a retry must take a
-    # fresh number rather than collide with the debris
-    taken = [
-        int(m.group(1))
-        for e in (os.scandir(log_dir) if os.path.isdir(log_dir) else [])
-        if (m := _SNAP_RE.match(e.name))
-    ]
-    version = (max(taken) + 1) if taken else 0
+        version = 0 if expected is None else expected + 1
+        snap = _snap_dir(log_dir, version)
+        try:
+            _STORE.mkdir_atomic(snap)  # the atomic claim — one racer wins
+        except FileExistsError:
+            if _STORE.is_dir(_marker_path(log_dir, version)):
+                raise ConcurrentCommitError(
+                    f"version {version} was committed by a concurrent "
+                    "writer after the guard check passed — re-derive "
+                    "from the new latest and retry"
+                ) from None
+            raise UncommittedSnapshotDirError(
+                f"snap directory for version {version} exists without "
+                "a commit marker: crashed-commit debris or a commit in "
+                "flight — verify no writer is alive, delete the "
+                "directory, and retry"
+            ) from None
+    else:
+        # number past EVERY snap dir, committed or not — a crashed
+        # commit leaves an unmarked directory behind, and a retry
+        # must take a fresh number rather than collide with the
+        # debris. The mkdir claim serializes unguarded racers onto
+        # distinct versions (each loser renumbers past the winner).
+        while True:
+            taken = [
+                int(m.group(1))
+                for name in _STORE.list_dirs(log_dir)
+                if (m := _SNAP_RE.match(name))
+            ]
+            version = (max(taken) + 1) if taken else 0
+            snap = _snap_dir(log_dir, version)
+            try:
+                _STORE.mkdir_atomic(snap)
+                break
+            except FileExistsError:
+                continue
     if parent is None and versions:
         parent = versions[-1]
-    snap = _snap_dir(log_dir, version)
     manifest.write.mode("errorifexists").parquet(
         os.path.join(snap, "manifest")
     )
@@ -334,6 +448,73 @@ def delete_where_cow(
     )
     (
         survivors.repartitionByRange(len(rewrite), col)
+        .sortWithinPartitions(col)
+        .write.mode("errorifexists")
+        .parquet(out_dir)
+    )
+    fresh = build_manifest(spark, out_dir, tracked)
+    return carried.unionByName(fresh.select(*carried.columns))
+
+
+def update_where_cow(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    assignments: dict[str, Column],
+    out_dir: str,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Copy-on-write ``UPDATE table SET <assignments> WHERE col
+    BETWEEN lo AND hi`` — the DML verb between DELETE (drop matched
+    rows) and MERGE (keyed replace): matched rows keep their
+    identity but change column values in place. The planning IS
+    ``plan_cow_delete``'s range classification (a file can hold a
+    matched row iff its [min, max] intersects the predicate range);
+    rewritten files' rows pass through with the assignments applied
+    under the predicate, carried files are untouched pointers, and
+    old snapshots still time-travel to the pre-update values.
+    Assignments may touch the clustering column itself — the fresh
+    manifest re-measures min/max, and the rewrite re-sorts, so
+    skipping stays correct (though updating the clustering key
+    degrades clustering, same as every table format)."""
+    tracked = sorted(
+        {
+            c[: -len("_min")]
+            for c in manifest.columns
+            if c.endswith("_min")
+            and f"{c[:-len('_min')]}_max" in manifest.columns
+        }
+    )
+    plan = plan_cow_delete(manifest, col, lo, hi)
+    actions = plan.select("file", "action").collect()
+    rewrite = [r.file for r in actions if r.action == "rewrite"]
+    carried = manifest.filter(
+        F.col("file").isin([r.file for r in actions if r.action == "carry"])
+    )
+    if not rewrite:
+        return manifest
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    rows = reader.parquet(*rewrite)
+    unknown = [c for c in assignments if c not in rows.columns]
+    if unknown:
+        raise ValueError(
+            f"UPDATE assigns to column(s) not in the table: {unknown}"
+        )
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    updated = rows.select(
+        *[
+            F.when(pred, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in rows.columns
+        ]
+    )
+    (
+        updated.repartitionByRange(len(rewrite), col)
         .sortWithinPartitions(col)
         .write.mode("errorifexists")
         .parquet(out_dir)
@@ -619,7 +800,7 @@ def _read_ref(
     spark: SparkSession, log_dir: str, name: str
 ) -> tuple[int, str] | None:
     p = _ref_path(log_dir, name)
-    if not os.path.isdir(p):
+    if not _STORE.is_dir(p):
         return None
     r = spark.read.parquet(p).first()
     return (int(r.version), r.kind)
@@ -643,11 +824,9 @@ def resolve_ref(spark: SparkSession, log_dir: str, name: str) -> int:
 def list_refs(spark: SparkSession, log_dir: str) -> dict[str, tuple[int, str]]:
     """name -> (version, kind) for every ref of the log."""
     out: dict[str, tuple[int, str]] = {}
-    if not os.path.isdir(log_dir):
-        return out
-    for e in os.scandir(log_dir):
-        if e.is_dir() and e.name.startswith("ref-"):
-            name = e.name[len("ref-"):]
+    for entry in _STORE.list_dirs(log_dir):
+        if entry.startswith("ref-"):
+            name = entry[len("ref-"):]
             got = _read_ref(spark, log_dir, name)
             if got is not None:
                 out[name] = got
@@ -762,10 +941,8 @@ def expire_snapshots(
         *[os.path.join(_snap_dir(log_dir, v), "manifest") for v in retained]
     )
     orphans = sorted(r.file for r in orphan_files(exp_m, ret_m).collect())
-    import shutil
-
     for v in expired:
-        shutil.rmtree(_snap_dir(log_dir, v))
+        _STORE.remove_tree(_snap_dir(log_dir, v))
     return expired, orphans
 
 
@@ -776,8 +953,8 @@ def vacuum(orphans: list[str]) -> int:
     removed = 0
     for f in orphans:
         p = _local_path(f)
-        if os.path.isfile(p):
-            os.remove(p)
+        if _STORE.is_file(p):
+            _STORE.remove_file(p)
             removed += 1
     return removed
 
@@ -821,8 +998,8 @@ def maintain(
     if bins:
         taken = [
             int(m.group(1))
-            for e in os.scandir(log_dir)
-            if (m := _SNAP_RE.match(e.name))
+            for name in _STORE.list_dirs(log_dir)
+            if (m := _SNAP_RE.match(name))
         ]
         gen = (max(taken) + 1) if taken else 0
         compacted = compact_small_files(
@@ -1066,6 +1243,101 @@ def q_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
     return cow_merge_audit(load(spark, sf_dir, "documents"))
+
+
+def cow_update_audit(docs: DataFrame) -> DataFrame:
+    """(file_id, n_rows, action, n_updated, chars_after): the
+    copy-on-write UPDATE plan + value semantics over the same
+    fixed-width layout as cow_delete_audit — UPDATE SET
+    ``n_chars = n_chars * 2 + 7`` WHERE doc_id in the in-plan
+    middle [3/8, 5/8] range. The REAL plan_cow_delete does the
+    rewrite/carry classification (update planning IS delete
+    planning — a file can hold a matched row iff its range
+    intersects the predicate); chars_after folds the assignment
+    under the predicate per file, all-integer so both engines agree
+    exactly. A carried file must show n_updated = 0 AND
+    chars_after = its original char sum — the invariant that makes
+    carrying safe."""
+    bounds = docs.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    ).select(
+        F.expr("__lo + (3 * (__hi - __lo)) DIV 8").alias("__dlo"),
+        F.expr("__lo + (5 * (__hi - __lo)) DIV 8").alias("__dhi"),
+    )
+    per_file = (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn("file_id", F.expr(f"doc_id DIV {_COW_FILE_ROWS}"))
+        .groupBy("file_id", "__dlo", "__dhi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+            F.sum(
+                F.when(
+                    F.col("doc_id").between(F.col("__dlo"), F.col("__dhi")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_updated"),
+            F.sum(
+                F.when(
+                    F.col("doc_id").between(F.col("__dlo"), F.col("__dhi")),
+                    F.col("n_chars") * 2 + 7,
+                ).otherwise(F.col("n_chars"))
+            ).cast("long").alias("chars_after"),
+        )
+    )
+    planned = plan_cow_delete(
+        per_file, "doc_id", F.col("__dlo"), F.col("__dhi")
+    )
+    return planned.select(
+        "file_id", "n_rows", "action", "n_updated", "chars_after"
+    )
+
+
+_COW_UPDATE_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(min(doc_id) + (3 * (max(doc_id) - min(doc_id))) // 8 AS BIGINT) AS dlo,
+         CAST(min(doc_id) + (5 * (max(doc_id) - min(doc_id))) // 8 AS BIGINT) AS dhi
+  FROM documents
+),
+per_file AS (
+  SELECT doc_id // {_COW_FILE_ROWS} AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(doc_id) AS id_min,
+         max(doc_id) AS id_max,
+         CAST(sum(CASE WHEN doc_id BETWEEN (SELECT dlo FROM b)
+                                       AND (SELECT dhi FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         CAST(sum(CASE WHEN doc_id BETWEEN (SELECT dlo FROM b)
+                                       AND (SELECT dhi FROM b)
+                       THEN n_chars * 2 + 7 ELSE n_chars END) AS BIGINT)
+           AS chars_after
+  FROM documents
+  GROUP BY file_id
+)
+SELECT file_id, n_rows,
+       CASE WHEN id_max >= (SELECT dlo FROM b)
+             AND id_min <= (SELECT dhi FROM b)
+            THEN 'rewrite' ELSE 'carry' END AS action,
+       n_updated, chars_after
+FROM per_file
+"""
+
+
+@query("q_cow_update", oracle=_COW_UPDATE_ORACLE)
+def q_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE planning + value semantics: per
+    synthetic file, the REAL plan_cow_delete range classification
+    (update planning is delete planning) and the per-file fold of
+    ``SET n_chars = n_chars * 2 + 7`` under the middle-[3/8, 5/8]
+    predicate — all-integer, so a drift in the classification, the
+    range derivation or the assignment arithmetic breaks the value
+    hash. The on-disk rewrite (only-matched-files, carried files
+    byte-identical, time travel to pre-update values) is
+    pytest-locked in tests/test_snapshots.py."""
+    from ..catalog import load
+
+    return cow_update_audit(load(spark, sf_dir, "documents"))
 
 
 @query("q_cow_delete", oracle=_COW_ORACLE)

@@ -119,6 +119,64 @@ def test_cow_delete_rewrites_only_intersecting_files(spark, table):
     )
 
 
+def test_update_where_cow_values_files_and_time_travel(spark, tmp_path):
+    """COW UPDATE: only range-intersecting files rewrite (carried
+    pointers byte-identical), matched rows change value in place,
+    unmatched rows pass through untouched, and the pre-update
+    snapshot still time-travels to the old values."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        update_where_cow,
+    )
+
+    base = tmp_path
+    path = str(base / "tbl")
+    df = spark.range(800).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    df.repartitionByRange(8, "id").write.parquet(path)
+    log = str(base / "log")
+    m0 = build_manifest(spark, path, ["id"])
+    v0 = commit_snapshot(spark, log, m0)
+    lo, hi = 250, 449  # spans parts of files 2-4
+    m1 = update_where_cow(
+        spark, m0, "id", lo, hi,
+        {"v": F.col("v") + 100},
+        out_dir=str(base / "upd"),
+    )
+    v1 = commit_snapshot(spark, log, m1)
+    # carried files are the SAME paths (pointers, not copies)
+    old_files = set(_files(m0))
+    carried = set(_files(m1)) & old_files
+    plan_carry = {
+        r.file
+        for r in plan_cow_delete(m0, "id", lo, hi).collect()
+        if r.action == "carry"
+    }
+    assert carried == plan_carry and len(carried) > 0
+    # value semantics: matched rows updated, everything else intact
+    got = {r.id: r.v for r in read_snapshot(spark, log, v1).collect()}
+    assert len(got) == 800
+    for i in (0, 249, 450, 799):
+        assert got[i] == i % 7
+    for i in (250, 300, 449):
+        assert got[i] == i % 7 + 100
+    # time travel: v0 still reads the pre-update values
+    old = {r.id: r.v for r in read_snapshot(spark, log, v0).collect()}
+    assert old[300] == 300 % 7
+    # no-intersection predicate is a manifest no-op
+    m_same = update_where_cow(
+        spark, m1, "id", 5000, 6000, {"v": F.lit(0)},
+        out_dir=str(base / "never"),
+    )
+    assert _files(m_same) == _files(m1)
+    # unknown assignment column fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the table"):
+        update_where_cow(
+            spark, m1, "id", 0, 10, {"nope": F.lit(1)},
+            out_dir=str(base / "bad"),
+        )
+
+
 def test_cow_delete_no_intersection_is_noop(spark, table):
     _, v1, _ = table["versions"]
     m1 = read_manifest(spark, table["log"], v1)
@@ -199,6 +257,81 @@ def test_expire_and_vacuum(spark, table):
     )
     # expiring down to the only version is a no-op
     assert expire_snapshots(spark, table["log"], keep_latest=1) == ([], [])
+
+
+def test_store_seam_carries_full_lifecycle(spark, tmp_path):
+    """VERDICT r10 item 8: every FS touch the log makes must go
+    through the injectable store. Run commit → CAS → refs → expire →
+    vacuum with a counting wrapper injected and assert (a) results
+    identical to the local default, (b) every operation class was
+    actually routed through the seam."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        LocalSnapshotStore,
+        set_ref,
+        set_snapshot_store,
+        resolve_ref,
+        vacuum,
+    )
+
+    class CountingStore(LocalSnapshotStore):
+        def __init__(self):
+            self.calls = {}
+
+        def _tick(self, op):
+            self.calls[op] = self.calls.get(op, 0) + 1
+
+        def list_dirs(self, path):
+            self._tick("list_dirs")
+            return super().list_dirs(path)
+
+        def is_dir(self, path):
+            self._tick("is_dir")
+            return super().is_dir(path)
+
+        def ensure_dir(self, path):
+            self._tick("ensure_dir")
+            return super().ensure_dir(path)
+
+        def mkdir_atomic(self, path):
+            self._tick("mkdir_atomic")
+            return super().mkdir_atomic(path)
+
+        def remove_tree(self, path):
+            self._tick("remove_tree")
+            return super().remove_tree(path)
+
+        def is_file(self, path):
+            self._tick("is_file")
+            return super().is_file(path)
+
+        def remove_file(self, path):
+            self._tick("remove_file")
+            return super().remove_file(path)
+
+    store = CountingStore()
+    prev = set_snapshot_store(store)
+    try:
+        base = tmp_path
+        path = str(base / "tbl")
+        spark.range(100).coalesce(2).write.parquet(path)
+        log = str(base / "log")
+        m = build_manifest(spark, path, ["id"])
+        v0 = commit_snapshot(spark, log, m)
+        v1 = commit_snapshot(spark, log, m, expect_latest=v0)
+        with pytest.raises(ConcurrentCommitError):
+            commit_snapshot(spark, log, m, expect_latest=v0)
+        set_ref(spark, log, "rel", v1, kind="tag")
+        assert resolve_ref(spark, log, "rel") == v1
+        assert snapshot_versions(spark, log) == [v0, v1]
+        expired, orphans = expire_snapshots(spark, log, keep_latest=1)
+        assert expired == [v0] and orphans == []
+        assert vacuum(orphans) == 0
+    finally:
+        set_snapshot_store(prev)
+    # every operation class the lifecycle needs went through the seam
+    assert {"list_dirs", "is_dir", "ensure_dir", "mkdir_atomic",
+            "remove_tree"} <= set(store.calls)
 
 
 def test_read_manifest_validation(spark, tmp_path):
@@ -554,6 +687,56 @@ def test_expect_latest_cas_commit(spark, tmp_path):
     log2 = str(base / "log2")
     with pytest.raises(ConcurrentCommitError):
         commit_snapshot(spark, log2, m, expect_latest=5)
+    # expect_latest=-1 == "expect empty": lands version 0, and a
+    # second -1 commit loses the CAS (version 0 now committed)
+    assert commit_snapshot(spark, log2, m, expect_latest=-1) == 0
+    with pytest.raises(ConcurrentCommitError):
+        commit_snapshot(spark, log2, m, expect_latest=-1)
+
+
+def test_expect_latest_cas_is_atomic_under_inflight_writer(spark, tmp_path):
+    """ADVICE r10 (high): two writers passing the read-check
+    concurrently must NOT both land. Simulate writer A mid-commit —
+    its snap dir claimed (mkdir) but marker not yet written, a
+    seconds-long Spark job in flight — and assert writer B's guarded
+    commit raises instead of numbering past A and dropping A's
+    changes."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        UncommittedSnapshotDirError,
+        _snap_dir,
+    )
+
+    base = tmp_path
+    path = str(base / "tbl")
+    spark.range(10).coalesce(1).write.parquet(path)
+    m = build_manifest(spark, path, ["id"])
+    log = str(base / "log")
+    v0 = commit_snapshot(spark, log, m)
+    # writer A passes the guard and claims snap-(v0+1); its manifest
+    # job has not finished → no marker yet
+    os.mkdir(_snap_dir(log, v0 + 1))
+    # writer B passes the same read-check (latest is still v0) but
+    # must lose the directory claim — loudly, with the cleanup hint
+    with pytest.raises(UncommittedSnapshotDirError, match="without"):
+        commit_snapshot(spark, log, m, expect_latest=v0)
+    # UNGUARDED commits, by contrast, renumber past the in-flight
+    # claim (append semantics: nothing to lose, take a fresh number)
+    v_next = commit_snapshot(spark, log, m)
+    assert v_next == v0 + 2
+    # once A's version is fully committed, B's retry fails the read-
+    # check itself (latest moved past expect_latest) — the mkdir
+    # branch only fires in the sub-second window between check and
+    # claim, which is exactly the window it exists to close
+    meta = spark.createDataFrame(
+        [(v0 + 1, v0, 1, 10, None)],
+        "version int, parent int, n_files long, n_rows long, batch_id long",
+    ).withColumn("committed_at", F.current_timestamp())
+    meta.coalesce(1).write.parquet(
+        os.path.join(_snap_dir(log, v0 + 1), "commit")
+    )
+    with pytest.raises(ConcurrentCommitError, match="landed first"):
+        commit_snapshot(spark, log, m, expect_latest=v0)
 
 
 # --- write-audit-publish -------------------------------------------------
