@@ -56,6 +56,7 @@ as designed.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,7 @@ from .manifest import build_manifest
 from .snapshots import (
     commit_log,
     commit_snapshot,
+    get_snapshot_store,
     read_snapshot,
     scan_appends,
     snapshot_versions,
@@ -178,8 +180,21 @@ def refresh_view(
             prior, delta_aggregate(delta, keys, measures), keys, measures
         )
         mode = "incremental"
-    versions = snapshot_versions(spark, view_log)
-    ref = (versions[-1] + 1) if versions else 0
+    # number the ref dir past EVERY existing ref-* directory, not
+    # past the committed view versions (ADVICE r10): a crash between
+    # the state write and commit_snapshot leaves an orphan ref-N
+    # with no committed version pointing at it, and deriving N from
+    # committed versions would make every retry recompute the same N
+    # and die on the errorifexists write — wedged until manual
+    # cleanup. Numbering past the debris (commit_snapshot's own
+    # rule) makes a crashed refresh retry cleanly; the orphan is
+    # unreferenced garbage a vacuum can collect.
+    taken = [
+        int(m.group(1))
+        for name in get_snapshot_store().list_dirs(view_data)
+        if (m := re.match(r"^ref-(\d+)$", name))
+    ]
+    ref = (max(taken) + 1) if taken else 0
     out = os.path.join(view_data, f"ref-{ref}")
     state.write.mode("errorifexists").parquet(out)
     manifest = build_manifest(spark, out, [])

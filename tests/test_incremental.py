@@ -58,6 +58,32 @@ def test_refresh_full_then_incremental_equals_recompute(spark, tmp_path):
     assert _state(spark, vlog, vdata) == _expected(spark, 0, 130)
 
 
+def test_crashed_refresh_retries_cleanly(spark, tmp_path):
+    """ADVICE r10 (medium): a crash between the ref-N state write
+    and commit_snapshot leaves an orphan ref-N dir. The retry must
+    number PAST the debris (not recompute the same N and die on
+    errorifexists) — the view must never wedge."""
+    import os
+
+    tlog, tdata = str(tmp_path / "tlog"), str(tmp_path / "tdata")
+    vlog, vdata = str(tmp_path / "vlog"), str(tmp_path / "vdata")
+    write = snapshot_append_writer(tlog, tdata, ["v"])
+    write(_batch(spark, 0, 40).coalesce(1), 0)
+    refresh_view(spark, tlog, vlog, vdata, ["k"], MEASURES)
+    write(_batch(spark, 40, 100).coalesce(1), 1)
+    # simulate the crashed refresh: its state landed at the number a
+    # committed-versions-derived scheme would reuse, but no view
+    # version was ever committed for it
+    orphan = os.path.join(vdata, "ref-1")
+    _batch(spark, 0, 3).coalesce(1).write.parquet(orphan)
+    r = refresh_view(spark, tlog, vlog, vdata, ["k"], MEASURES)
+    assert r["mode"] == "incremental"
+    assert _state(spark, vlog, vdata) == _expected(spark, 0, 100)
+    # the debris is untouched, unreferenced garbage — not the view
+    assert os.path.isdir(orphan)
+    assert os.path.isdir(os.path.join(vdata, "ref-2"))
+
+
 def test_refresh_noop_when_fresh(spark, tmp_path):
     tlog, tdata = str(tmp_path / "tlog"), str(tmp_path / "tdata")
     vlog, vdata = str(tmp_path / "vlog"), str(tmp_path / "vdata")
