@@ -73,6 +73,28 @@ WORD_BITS = 32
 DEFAULT_BITS = 1 << 12
 
 
+#: dtypes the long cast in bloom_positions is lossless for
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _require_integral_key(df: DataFrame, key_col: str) -> None:
+    """The hash family starts with ``key.cast('long')`` — lossless
+    only for integral keys. A string/decimal/float key would cast to
+    NULL (or truncate), making every build-side word and probe-side
+    mask NULL, so probes silently return EMPTY for keys that exist —
+    a false negative, the one failure mode a bloom filter must never
+    have (ADVICE r10). Fail loudly instead; hash non-integral keys
+    to a long explicitly (and identically in any oracle) first."""
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"bloom key column {key_col!r} has non-integral type "
+            f"{dtype!r}: the portable hash family would cast it to "
+            "NULL and turn misses into silent false negatives — "
+            "hash it to a long explicitly before building/probing"
+        )
+
+
 def bloom_positions(key: Column, num_bits: int, k: int = BLOOM_K) -> list[Column]:
     """The key's k bit positions in [0, num_bits) — portable integer
     arithmetic only (see module docstring)."""
@@ -115,6 +137,7 @@ def file_blooms(
     """(file, word, bits): per-file bloom words, non-zero words only.
     One explode (k structs per row) + one hash aggregate with
     map-side combine; output bounded by files x words."""
+    _require_integral_key(rows, key_col)
     exploded = rows.select(
         F.col(file_col).alias("file"),
         F.explode(_word_masks(F.col(key_col), num_bits, k)).alias("wm"),
@@ -135,6 +158,7 @@ def bloom_probe(
     key's word-masks must ALL be fully set in the file's words
     (bool_and over a left join on word; an absent word is a miss).
     The probe set is broadcast — point lookups are metadata-sized."""
+    _require_integral_key(keys, key_col)
     key_words = (
         keys.select(F.col(key_col).alias("__k"))
         .distinct()

@@ -86,3 +86,25 @@ def test_tiny_bloom_admits_false_positives_but_stays_sound(spark):
     files = {r.file for r in probe.collect()}
     assert 7 % 8 in files  # the true file always survives
     assert len(files) > 1  # 32 bits over 25 keys: saturated, FPs certain
+
+
+def test_non_integral_key_raises_instead_of_false_negatives(spark):
+    """ADVICE r10: a string key used to cast to NULL silently, NULL
+    words/masks on both sides, every probe filtered out → EMPTY for
+    keys that exist. Build AND probe must fail loudly instead."""
+    import pytest
+
+    rows = spark.range(20).select(
+        (F.col("id") % 4).alias("file"),
+        F.col("id").cast("string").alias("k"),
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        file_blooms(rows, "file", "k")
+    good = spark.range(20).select(
+        (F.col("id") % 4).alias("file"), F.col("id").alias("k")
+    )
+    blooms = file_blooms(good, "file", "k", num_bits=64)
+    with pytest.raises(TypeError, match="non-integral"):
+        bloom_probe(
+            blooms, spark.createDataFrame([("7",)], "k string"), "k", num_bits=64
+        )
