@@ -379,6 +379,10 @@ def _oracle() -> str:
             f"coalesce(max(CASE WHEN n = {n} THEN {field} END), 0) AS {col}"
         )
     piv = ",\n         ".join(piv_lines)
+    piv_cols = [c for c in _STAT_COLS if c not in ("n_words", "total_wchars")]
+    joined_stats = ",\n             ".join(
+        f"coalesce(piv.{c}, 0) AS {c}" for c in piv_cols
+    )
     flag_exprs = {
         "dup_line": f"(dup_line_cnt * 100 <= {DUP_LINE_PCT} * n_lines)",
         "dup_line_chars": f"(dup_line_chars * 100 <= {DUP_LINE_CHAR_PCT} * total_lchars)",
@@ -453,9 +457,14 @@ def _oracle() -> str:
       FROM pern GROUP BY doc_id
     ),
     joined AS (
+      -- a zero-word doc yields NO units rows, hence no piv row:
+      -- coalesce every piv stat to 0 after the LEFT JOIN (the
+      -- coalesces inside piv never fire for a missing row) so the
+      -- flag arithmetic below sees 0s — exactly what the operator
+      -- emits — instead of NULLs that would NULL out passes
       SELECT s.doc_id, CAST(s.nw AS BIGINT) AS n_words,
              CAST(s.total_wchars AS BIGINT) AS total_wchars,
-             piv.* EXCLUDE (doc_id)
+             {joined_stats}
       FROM sized s LEFT JOIN piv USING (doc_id)
     )
     SELECT doc_id,

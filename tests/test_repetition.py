@@ -122,6 +122,48 @@ def test_empty_and_tiny_docs_degrade_to_zero(spark):
             assert gated["passes"]  # 0 <= 0 on every rule
 
 
+def test_oracle_parity_with_zero_word_document(spark, tmp_path):
+    """ADVICE r10: a zero-word doc yields no units rows, hence no
+    piv row in the oracle — the LEFT JOIN must coalesce the stats to
+    0 (as the operator emits), not leak NULLs into n_fail/passes.
+    Full Spark-vs-DuckDB parity over a fixture that PLANTS the empty
+    and whitespace-only docs the shipped testdata happens to lack."""
+    import duckdb
+
+    from football_data_pipeline_spark.operators.repetition import (
+        q_gopher_repetition,
+    )
+    from football_data_pipeline_spark.registry import QUERIES
+
+    from .conftest import assert_matches_oracle
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kap"),
+            (2, ""),
+            (3, "   "),
+            (4, "dup dup dup dup dup dup dup dup dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        assert_matches_oracle(
+            q_gopher_repetition(spark, str(tmp_path)),
+            con,
+            QUERIES["q_gopher_repetition"].oracle,
+            name="q_gopher_repetition(zero-word fixture)",
+            expect_nonempty=True,
+        )
+    finally:
+        con.close()
+
+
 def test_threshold_boundary_is_integer_exact(spark):
     # exactly 30% duplicate lines: 3 of 10 -> passes; 4 of 10 fails
     def doc(n_dup: int) -> str:
