@@ -269,6 +269,170 @@ def q_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALL_BATCHES = 1 << 62
 
 
+# --- snapshot-log-backed variant (VERDICT r10 "What's missing" 3) ------
+#
+# The writer above uses raw batch_id partition overwrites + the
+# __hist_base__ compaction fold — one of the repo's two exactly-once
+# mechanisms. The variant below backs the SAME funnel's accepted and
+# tombstone tables with sources/snapshots.snapshot_append_writer
+# instead: every micro-batch is an atomic marker-last commit, so the
+# histories gain time travel, WAP-style auditability and the CAS
+# story for free, and `maintain()` replaces the bespoke fold. The
+# probe's `batch_id < N` pruning maps onto the log exactly: read the
+# newest version whose marker's batch_id predates this batch
+# (markers are batchId-stamped), which a replay cannot see past —
+# the same replay-window guarantee the partition scheme's pruning
+# gave. Crash windows: accepted and tombstones are separate logs, so
+# a crash between the two commits leaves accepted-committed /
+# tombstones-not; the replay is convergent because each
+# snapshot_append_writer is individually replay-guarded and the
+# decisions recompute deterministically from the persisted
+# classification read-back + the AS-OF-pruned history
+# (pytest-locked: marker delete + replay restores the corpus).
+
+
+def _snapshot_table_before(
+    spark: SparkSession, log_dir: str, batch_id: int
+) -> DataFrame | None:
+    """The table as of the newest commit whose batch_id < batch_id —
+    the snapshot-log spelling of the funnels' `batch_id < N` history
+    prune. None when no such commit exists (fresh log, or every
+    commit is this batch's own replay debris)."""
+    from ..sources.snapshots import (
+        commit_log,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    if not snapshot_versions(spark, log_dir):
+        return None
+    row = (
+        commit_log(spark, log_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .agg(F.max("version").alias("v"))
+        .first()
+    )
+    if row.v is None:
+        return None
+    return read_snapshot(spark, log_dir, int(row.v))
+
+
+def _snapshot_live_history(
+    spark: SparkSession, root: str, batch_id: int
+) -> DataFrame | None:
+    acc = _snapshot_table_before(spark, f"{root}/accepted_log", batch_id)
+    if acc is None:
+        return None
+    tomb = _snapshot_table_before(spark, f"{root}/tombstones_log", batch_id)
+    if tomb is None:
+        return acc
+    return acc.join(tomb.select("doc_id"), "doc_id", "left_anti")
+
+
+def keep_best_snapshot_writer(
+    corpus_root: str,
+) -> Callable[[DataFrame, int], None]:
+    """keep_best_batch_writer with snapshot-log-backed accepted /
+    tombstone tables (layout: ``{root}/accepted_log`` +
+    ``{root}/accepted_data``, same pair for tombstones;
+    classification/rejected stay plain batchId-keyed audit
+    partitions). Decision rule, liveness and within-batch collapse
+    are IDENTICAL to the partition-backed writer — pytest-locked by
+    a twin run over the same batch sequence."""
+    from ..sources.snapshots import snapshot_append_writer
+
+    acc_write = snapshot_append_writer(
+        f"{corpus_root}/accepted_log", f"{corpus_root}/accepted_data", []
+    )
+    tomb_write = snapshot_append_writer(
+        f"{corpus_root}/tombstones_log", f"{corpus_root}/tombstones_data", []
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import (
+            batch_near_dup_drops,
+            dedup_against_corpus,
+            fingerprint,
+        )
+
+        spark = batch.sparkSession
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        collapsed = (
+            batch.withColumn("__fp", fingerprint(F.col("text")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+            .cache()
+        )
+        batch_rows = collapsed.join(
+            batch_near_dup_drops(collapsed), "doc_id", "left_anti"
+        ).cache()
+        try:
+            history = _snapshot_live_history(spark, corpus_root, batch_id)
+            if history is None:
+                history = spark.createDataFrame([], batch_rows.schema)
+            history = history.cache()
+            classified = dedup_against_corpus(batch_rows, history)
+            classified.write.mode("overwrite").parquet(
+                f"{corpus_root}/classification/batch_id={batch_id}"
+            )
+            cls = spark.read.parquet(
+                f"{corpus_root}/classification/batch_id={batch_id}"
+            )
+
+            judged = supersede_decisions(
+                batch_rows, history, classified=cls
+            ).localCheckpoint()
+
+            tombstones = judged.filter(F.col("wins")).select(
+                F.col("dup_of").alias("doc_id"),
+                F.col("doc_id").alias("superseded_by"),
+                "score",
+                "new_score",
+            )
+            judged.filter(~F.col("wins")).select(
+                "doc_id",
+                "dup_of",
+                F.lit("duplicate_not_better").alias("reason"),
+            ).write.mode("overwrite").parquet(
+                f"{corpus_root}/rejected/batch_id={batch_id}"
+            )
+            keep_ids = cls.filter(F.col("dup_kind") == "unique").select(
+                "doc_id"
+            ).unionByName(judged.filter(F.col("wins")).select("doc_id"))
+            accepted = batch_rows.join(keep_ids, "doc_id")
+            # marker-last atomic commits, each individually
+            # replay-guarded (snapshot_append_writer's batch_id
+            # watermark) — accepted first so a crash between the two
+            # never hides an accepted doc's tombstone from a FUTURE
+            # batch without also replaying this one
+            acc_write(accepted, batch_id)
+            tomb_write(tombstones, batch_id)
+        finally:
+            batch_rows.unpersist()
+            collapsed.unpersist()
+            history.unpersist()
+
+    return write_batch
+
+
+def read_live_corpus_snapshot(
+    spark: SparkSession, corpus_root: str
+) -> DataFrame:
+    """read_live_corpus for the snapshot-backed layout: latest
+    committed accepted snapshot minus latest committed tombstones —
+    and because both are snapshot tables, any HISTORICAL corpus
+    state is one `_snapshot_table_before(batch_id)` pair away."""
+    return _require_live(spark, corpus_root, _ALL_BATCHES)
+
+
+def _require_live(spark, corpus_root: str, watermark: int) -> DataFrame:
+    live = _snapshot_live_history(spark, corpus_root, watermark)
+    if live is None:
+        raise ValueError(f"no accepted snapshots under {corpus_root!r}")
+    return live
+
+
 def read_live_corpus(spark: SparkSession, corpus_root: str) -> DataFrame:
     """The corpus a consumer trains on: every accepted doc that has
     not been superseded — accepted − tombstones, across ALL batches

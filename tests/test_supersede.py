@@ -131,6 +131,127 @@ def test_tombstone_compaction_folds_and_liveness_survives(spark, tmp_path):
     assert {r.doc_id for r in read_live_corpus(spark, root).collect()} == {21}
 
 
+# --- snapshot-log-backed variant (VERDICT r10 item 6) ------------------
+
+
+def _run_sequence(spark, root, writer_factory):
+    """The shared 4-batch decision-table workout: supersession, a
+    live-owner probe, a reject, and a unique."""
+    w = writer_factory(root)
+    w(_df(spark, [(1, BASE), (2, "totally different words about football odds")]), 0)
+    w(_df(spark, [(11, BASE + " sludge")]), 1)  # supersedes 1
+    w(_df(spark, [(21, BASE)]), 2)  # vs LIVE owner 11 → reject
+    w(_df(spark, [(31, "another fully unrelated corpus entry here")]), 3)
+    return w
+
+
+def test_snapshot_writer_twin_run_classification_parity(spark, tmp_path):
+    """The snapshot-backed writer must make the IDENTICAL decisions
+    the partition-backed writer makes over the same batch sequence —
+    same classifications, same tombstones, same live corpus."""
+    from football_data_pipeline_spark.streaming.supersede import (
+        keep_best_snapshot_writer,
+        read_live_corpus_snapshot,
+    )
+
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    _run_sequence(spark, r_a, keep_best_batch_writer)
+    _run_sequence(spark, r_b, keep_best_snapshot_writer)
+    for sub in ("classification", "rejected"):
+        a = sorted(map(tuple, _read(spark, r_a, sub).drop("batch_id").collect()))
+        b = sorted(map(tuple, _read(spark, r_b, sub).drop("batch_id").collect()))
+        assert a == b, sub
+    live_a = {r.doc_id for r in read_live_corpus(spark, r_a).collect()}
+    live_b = {r.doc_id for r in read_live_corpus_snapshot(spark, r_b).collect()}
+    assert live_a == live_b == {2, 11, 31}
+    # tombstone decision rows agree (snapshot side has no batch_id col)
+    from football_data_pipeline_spark.sources.snapshots import read_snapshot
+
+    ta = {(r.doc_id, r.superseded_by) for r in _read(spark, r_a, "tombstones").collect()}
+    tb = {
+        (r.doc_id, r.superseded_by)
+        for r in read_snapshot(spark, f"{r_b}/tombstones_log").collect()
+    }
+    assert ta == tb == {(1, 11)}
+
+
+def test_snapshot_writer_replay_idempotent(spark, tmp_path):
+    """A replayed batch must not see its own commits as history —
+    snapshot_append_writer's batch_id watermark + the AS-OF prune."""
+    from football_data_pipeline_spark.streaming.supersede import (
+        keep_best_snapshot_writer,
+        read_live_corpus_snapshot,
+    )
+
+    root = str(tmp_path / "c")
+    w = keep_best_snapshot_writer(root)
+    w(_df(spark, [(1, BASE)]), 0)
+    batch1 = _df(spark, [(11, BASE + " sludge"), (12, "totally unrelated words entirely")])
+    w(batch1, 1)
+    before = {r.doc_id for r in read_live_corpus_snapshot(spark, root).collect()}
+    assert before == {11, 12}
+    w(batch1, 1)  # replay: both logs' guards skip, audits rewrite same
+    assert {r.doc_id for r in read_live_corpus_snapshot(spark, root).collect()} == before
+
+
+def test_snapshot_writer_crash_between_commits_converges(spark, tmp_path):
+    """Crash window: accepted committed, tombstones marker never
+    landed. The tombstone is invisible (owner looks live), and the
+    REPLAY of that batch must restore it — convergent, not wedged."""
+    import shutil
+
+    from football_data_pipeline_spark.sources.snapshots import (
+        _marker_path,
+        commit_log,
+        read_snapshot,
+    )
+    from football_data_pipeline_spark.streaming.supersede import (
+        keep_best_snapshot_writer,
+        read_live_corpus_snapshot,
+    )
+
+    root = str(tmp_path / "c")
+    w = keep_best_snapshot_writer(root)
+    w(_df(spark, [(1, BASE)]), 0)
+    batch1 = _df(spark, [(11, BASE + " sludge")])
+    w(batch1, 1)
+    assert {r.doc_id for r in read_live_corpus_snapshot(spark, root).collect()} == {11}
+    # simulate the crash: delete the tombstone commit's marker
+    tlog = f"{root}/tombstones_log"
+    v = int(commit_log(spark, tlog).agg({"version": "max"}).first()[0])
+    shutil.rmtree(_marker_path(tlog, v))
+    # the tombstone vanished → doc 1 looks live again (crash state)
+    assert {r.doc_id for r in read_live_corpus_snapshot(spark, root).collect()} == {1, 11}
+    # replay batch 1: accepted's guard skips, tombstones recommit
+    w(batch1, 1)
+    assert {r.doc_id for r in read_live_corpus_snapshot(spark, root).collect()} == {11}
+    assert {(r.doc_id, r.superseded_by) for r in read_snapshot(spark, tlog).collect()} == {
+        (1, 11)
+    }
+
+
+def test_snapshot_histories_time_travel(spark, tmp_path):
+    """What the unification buys: the corpus state as of ANY batch is
+    one AS-OF read away — no bespoke fold bookkeeping."""
+    from football_data_pipeline_spark.streaming.supersede import (
+        _snapshot_live_history,
+        keep_best_snapshot_writer,
+    )
+
+    root = str(tmp_path / "c")
+    w = keep_best_snapshot_writer(root)
+    w(_df(spark, [(1, BASE)]), 0)
+    w(_df(spark, [(11, BASE + " sludge")]), 1)
+    w(_df(spark, [(41, "some wholly new content arrives later")]), 2)
+    asof = lambda b: {  # noqa: E731
+        r.doc_id for r in _snapshot_live_history(spark, root, b).collect()
+    }
+    assert asof(1) == {1}
+    assert asof(2) == {11}
+    assert asof(3) == {11, 41}
+
+
 def test_unique_docs_flow_through_untouched(spark, tmp_path):
     root = str(tmp_path / "c")
     w = keep_best_batch_writer(root)
