@@ -4,7 +4,7 @@
 fully-populated registry.
 """
 
-from .sources import analyze, bloomskip, incremental, mor, partitions, snapshots, zorder  # noqa: F401
+from .sources import analyze, bloomskip, changelog, incremental, mor, partitions, snapshots, zorder  # noqa: F401
 from .streaming import media, mediadedup, supersede, windowed  # noqa: F401
 from .operators import (  # noqa: F401
     audio,
@@ -24,6 +24,7 @@ from .operators import (  # noqa: F401
     extraction,
     form,
     graphrank,
+    hybrid,
     ivfpq,
     lm,
     mining,
@@ -57,4 +58,4 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-MODULES = [analyze, bloomskip, incremental, mor, partitions, zorder, windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, drift, embedsearch, er_queries, etl, events, extraction, form, graphrank, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, repetition, retrieval, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
+MODULES = [analyze, bloomskip, changelog, incremental, mor, partitions, zorder, windowed, media, mediadedup, supersede, audio, audiodedup, bpe, cdc, chunking, curation, datacard, dedup, dims, drift, embedsearch, er_queries, etl, events, extraction, form, graphrank, hybrid, ivfpq, lm, mining, mixing, multimodal, ordering, paired, prep, privacy, profiling, quality, redact, relational, release, repetition, retrieval, rules, sampling, selection, semdedup, sessions, sketches, skew, stats, substring, textstats, timeseries, versioning, video, weighted, windows]
