@@ -216,6 +216,10 @@ NOISY_QUERIES = {
     "q_ngram_jaccard",
     "q_learned_mapping",
     "q_video_frame_dedup",
+    # joined in r11: BENCH_AB_r11 confirmed its r10 2.44x print was
+    # host contention (same-session median 2.0 s, at the r9 level,
+    # spread 1.5 s >= the delta) — buy it the extra trials
+    "q_audio_near_dup",
 }
 NOISY_TRIALS = 6
 
