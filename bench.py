@@ -168,6 +168,9 @@ HEADLINE = [
     # manifest-bounded changelog's exceptAll algebra
     "q_cow_update",
     "q_snapshot_diff",
+    # r11: the multi-query BM25 batch (shared corpus stats,
+    # per-query rank windows)
+    "q_bm25_batch",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

@@ -127,6 +127,104 @@ def bm25_scores(
     )
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Multi-query BM25 — the standing-workload shape: ``queries``
+    is a (query_id, terms array<string>) table; returns per query
+    the (rank, doc_id, n_matched, score) top-k.
+
+    Scale shape, beyond the single-query path: the postings filter
+    becomes a broadcast semi-join against the UNION of all query
+    terms (still map-side — only postings matching SOME query
+    shuffle); the corpus stats (df/N/avgdl) are computed ONCE and
+    shared across every query; the per-(query, doc) fan-out is a
+    broadcast join of matched postings against the exploded query
+    pairs on term — so total work is one corpus scan + work linear
+    in (matched postings × queries containing the term), never
+    corpus × queries. The top-k window partitions by query_id:
+    per-query state, parallel across queries (the one place the
+    single-query TakeOrdered trick doesn't apply — and doesn't need
+    to, because the partition key restores scalability)."""
+    pairs = (
+        queries.select(
+            F.col(query_col), F.explode(F.col(terms_col)).alias("term")
+        )
+        .distinct()
+    )
+    words = F.array_remove(F.split(F.col(text_col), "[ \n]+"), "")
+    sized = docs.select(F.col(id_col), words.alias("__ws")).select(
+        id_col, F.size("__ws").alias("__dl"), F.col("__ws")
+    )
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_len"),
+    )
+    postings = (
+        sized.select(id_col, "__dl", F.explode("__ws").alias("term"))
+        .join(F.broadcast(pairs.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            rnd(
+                F.log(
+                    (F.col("__n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__ts",
+            rnd(
+                (F.col("__idf") * (F.col("tf") * (k1 + 1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * (
+                            (F.col("__dl") * F.col("__n_docs"))
+                            / F.col("__total_len")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+        .join(F.broadcast(pairs), "term")
+        .groupBy(query_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            dsum(F.col("__ts"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "n_matched", "score")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -187,12 +285,12 @@ def bm25_scored_ctes() -> str:
       FROM postings GROUP BY term
     ),
     idfd AS (
-      SELECT p.doc_id, p.dl, p.tf, d.df, s.n_docs, s.total_len,
+      SELECT p.doc_id, p.term, p.dl, p.tf, d.df, s.n_docs, s.total_len,
              {idf} AS idf
       FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
     ),
     ts AS (
-      SELECT doc_id, {ts} AS term_score FROM idfd
+      SELECT doc_id, term, {ts} AS term_score FROM idfd
     ),
     scored AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
@@ -211,6 +309,65 @@ def _oracle() -> str:
     ORDER BY rank
     LIMIT {TOP_K}
     """
+
+
+#: the driver batch query set: two disjoint two-term queries + the
+#: full four-term union (so per-query n_matched and ranks must
+#: diverge while the corpus stats are shared)
+BATCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "window")),
+    (1, ("merge", "fast")),
+    (2, QUERY_TERMS),
+)
+
+
+def _batch_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, [{', '.join(repr(t) for t in terms)}])"
+        for qid, terms in BATCH_QUERIES
+    )
+    return f"""
+    WITH {bm25_scored_ctes()},
+    q AS (
+      SELECT * FROM (VALUES {values}) AS t(query_id, terms)
+    ),
+    pairs AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, unnest(terms) AS term
+      FROM q
+    ),
+    qscored AS (
+      SELECT p.query_id, ts.doc_id,
+             CAST(count(*) AS BIGINT) AS n_matched,
+             {oracle_dsum("term_score", 4)} AS score
+      FROM ts JOIN pairs p USING (term)
+      GROUP BY p.query_id, ts.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM qscored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_matched, score
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_bm25_batch", oracle=_batch_oracle())
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-{k} over a three-query batch (two
+    disjoint two-term queries + their four-term union): corpus
+    stats computed once and shared, postings filtered to the term
+    UNION map-side, per-(query, doc) sums via a broadcast pair
+    join, per-query rank window. The oracle reuses the single-query
+    CTE chain (same idf/term-score algebra, term carried through)
+    and recomputes the fan-out — union-query rows must equal the
+    single-query oracle's where they overlap."""
+    docs = load(spark, sf_dir, "documents")
+    queries = docs.sparkSession.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BATCH_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    return bm25_topk_batch(docs, queries, TOP_K)
 
 
 @query("q_bm25_topk", oracle=_oracle())

@@ -159,6 +159,10 @@ CHECK_PRIORITY = [
     # pins the exceptAll insert/delete algebra over a three-way
     # change mix:
     "q_snapshot_diff",
+    # operators/retrieval.py also gained the multi-query batch form
+    # (r11, late): shared corpus stats, broadcast pair fan-out,
+    # per-query rank windows:
+    "q_bm25_batch",
     # --- freshness: 21 of the 41 queries whose latest green driver
     # row is round 8 (VERDICT r10 next-round item 4 names the oldest
     # cohort), modules byte-untouched since; the remaining 20 carry
@@ -181,7 +185,6 @@ CHECK_PRIORITY = [
     "q_team_stats_extract",
     "q_h2h_flatten",
     "q_team_events",
-    "q_validate_counts",
 ]
 
 # --- r11 SHARED-DEP LEDGER -------------------------------------------
@@ -215,14 +218,15 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The
 # r10 curation notes live in git history (this file at 23d62c3).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 22 r8-latest freshness refreshes the r11 head could not
+    # the 23 r8-latest freshness refreshes the r11 head could not
     # fit (modules byte-untouched since r8, green rows stand; the
     # head spent 19 slots repaying the r10 carry IOU, 10 on touched
-    # modules and 2 on the late COW-UPDATE/changelog additions —
-    # q_scd2_history and q_first_last_change yielded their slots to
-    # those two) — head these in r12:
+    # modules and 3 on the late COW-UPDATE/changelog/BM25-batch
+    # additions — q_scd2_history, q_first_last_change and
+    # q_validate_counts yielded their slots) — head these in r12:
     "q_scd2_history",
     "q_first_last_change",
+    "q_validate_counts",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",
@@ -341,6 +345,7 @@ ROTATE_TAIL = [
     # above):
     "q_scd2_history",
     "q_first_last_change",
+    "q_validate_counts",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",

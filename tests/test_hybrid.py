@@ -90,3 +90,39 @@ def test_single_query_plan_is_take_ordered(spark):
 
 def test_c_constant_is_the_published_default(spark):
     assert RRF_C == 60
+
+
+def test_fuses_real_ivf_dense_lists_per_query(spark):
+    """The scale path end-to-end: the IVF cluster-pruned ANN top-k
+    (q_knn_ivf's pass) as the dense side of a keyed multi-query
+    fusion — rrf_fuse only reads (id, rank), so ANY ANN variant
+    (brute, IVF, IVF-PQ) slots in."""
+    from football_data_pipeline_spark.operators.embedsearch import (
+        N_QUERIES,
+        q_knn_ivf,
+    )
+
+    dense = q_knn_ivf(spark, "/root/testdata/sf0.001").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+    # a sparse list sharing SOME docs with each query's dense list
+    # (the dense rank-1 doc) plus one doc of its own
+    top1 = dense.filter(F.col("rank") == 1).select(
+        "query_id", "doc_id", F.lit(2).cast("long").alias("rank")
+    )
+    own = top1.select(
+        "query_id", (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit(1).cast("long").alias("rank"),
+    )
+    sparse = top1.unionByName(own)
+    fused = rrf_fuse(sparse, dense, "doc_id", 5, by=["query_id"]).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        # the dual-presence doc (dense #1 + sparse #2) wins the fusion
+        winner = min(rows, key=lambda r: r.rank)
+        assert winner.sparse_rank == 2 and winner.dense_rank == 1
