@@ -169,8 +169,10 @@ HEADLINE = [
     "q_cow_update",
     "q_snapshot_diff",
     # r11: the multi-query BM25 batch (shared corpus stats,
-    # per-query rank windows)
+    # per-query rank windows) and the materialized-index serving
+    # path (build 80% + fold 20% + serve, hash-equal to the scan)
     "q_bm25_batch",
+    "q_bm25_indexed",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

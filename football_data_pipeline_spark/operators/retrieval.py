@@ -225,6 +225,161 @@ def bm25_topk_batch(
     )
 
 
+# --- materialized inverted index + O(delta) maintenance ---------------
+#
+# The scan paths above recompute postings per query — right for
+# ad-hoc use. A standing retrieval service materializes the index
+# ONCE and folds document arrivals incrementally; these pieces are
+# that path, and q_bm25_indexed pins the invariant that makes it
+# safe: the folded index must score IDENTICALLY to the batch scan.
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl, term, tf): the FULL-vocabulary inverted-index
+    postings of a document set — the table a standing service
+    writes once (term-bucketed or term-sorted so a query's terms
+    partition-prune) instead of re-exploding the corpus per query.
+    One explode + one hash aggregate; output is corpus-token-
+    bounded, computed exactly once per document ever."""
+    words = F.array_remove(F.split(F.col(text_col), "[ \n]+"), "")
+    sized = docs.select(F.col(id_col), words.alias("__ws")).select(
+        id_col, F.size("__ws").alias("__dl"), F.col("__ws")
+    )
+    return (
+        sized.select(id_col, "__dl", F.explode("__ws").alias("term"))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def index_stats(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df) + the (n_docs, total_len) scalars, derived from a
+    postings table: df per term, doc count and length mass from the
+    per-doc (dl) rows. Returns (dfs, stats) as two DataFrames."""
+    dfs = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    lens = postings.groupBy(id_col).agg(F.first("__dl").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_len"),
+    )
+    return dfs, stats
+
+
+def merge_index(
+    dfs: DataFrame,
+    stats: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a batch of NEW documents into a standing index in
+    O(delta): returns (delta_postings, merged_dfs, merged_stats).
+    The postings table is append-only (new doc ids are new rows —
+    the caller appends delta_postings, e.g. via
+    snapshots.snapshot_append_writer); df is ADDITIVE per term when
+    the delta's doc ids are disjoint from the index's (the same
+    disjointness every incremental funnel here guarantees), so the
+    df fold is one term-keyed full-outer coalesce-sum
+    (incremental.merge_view's 'sum' rule, inlined) and the scalars
+    add. Nothing rescans the existing index."""
+    delta_post = build_postings(delta_docs, text_col, id_col)
+    d_dfs, d_stats = index_stats(delta_post, id_col)
+    merged_dfs = (
+        dfs.withColumnRenamed("df", "__a")
+        .join(d_dfs.withColumnRenamed("df", "__b"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("__a"), F.lit(0))
+                + F.coalesce(F.col("__b"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    merged_stats = (
+        stats.crossJoin(
+            d_stats.select(
+                F.col("__n_docs").alias("__dn"),
+                F.col("__total_len").alias("__dl_sum"),
+            )
+        )
+        .select(
+            (F.col("__n_docs") + F.col("__dn")).alias("__n_docs"),
+            (F.col("__total_len") + F.col("__dl_sum")).alias("__total_len"),
+        )
+    )
+    return delta_post, merged_dfs, merged_stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = TOP_K,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The serving path: score a query against a MATERIALIZED index
+    (postings + df table + stats) — no document scan anywhere. The
+    term filter hits the postings store (partition-pruned under a
+    term-bucketed layout); everything else is the identical algebra
+    to bm25_scores, so the folded index provably scores like the
+    batch path (q_bm25_indexed)."""
+    matched = postings.filter(F.col("term").isin(list(terms)))
+    scored = (
+        matched.join(
+            F.broadcast(dfs.filter(F.col("term").isin(list(terms)))), "term"
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            rnd(
+                F.log(
+                    (F.col("__n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__ts",
+            rnd(
+                (F.col("__idf") * (F.col("tf") * (k1 + 1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * (
+                            (F.col("__dl") * F.col("__n_docs"))
+                            / F.col("__total_len")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            dsum(F.col("__ts"), 4).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", id_col, "n_matched", "score")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -380,3 +535,85 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tokenization."""
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, list(QUERY_TERMS), TOP_K)
+
+
+def index_append_writer(index_root: str):
+    """foreachBatch sink maintaining a STANDING BM25 index as
+    snapshot tables — the Lucene-segment discipline on the engine's
+    own log: per micro-batch N, three atomic marker-last commits
+    (sources/snapshots.snapshot_append_writer, each individually
+    replay-guarded by its batch_id watermark):
+
+    - ``{root}/postings_log``: the batch's postings rows (append-only
+      — new doc ids are new rows, nothing rescans old segments);
+    - ``{root}/dfs_log``: the batch's PARTIAL per-term df (a
+      segment-local table — df is additive across segments because
+      each doc lives in exactly one batch);
+    - ``{root}/stats_log``: the batch's 1-row (n_docs, total_len).
+
+    Maintenance is strictly O(delta); the fold to global df/stats
+    happens at QUERY time in ``read_index`` (term-keyed sum over
+    segment dfs — and only the query's terms are read — plus a
+    scalar sum over the 1-row-per-batch stats), exactly how
+    segment-based engines serve while indexing."""
+    from ..sources.snapshots import snapshot_append_writer
+
+    post_w = snapshot_append_writer(
+        f"{index_root}/postings_log", f"{index_root}/postings_data", []
+    )
+    dfs_w = snapshot_append_writer(
+        f"{index_root}/dfs_log", f"{index_root}/dfs_data", []
+    )
+    stats_w = snapshot_append_writer(
+        f"{index_root}/stats_log", f"{index_root}/stats_data", []
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        post = build_postings(batch)
+        seg_dfs, seg_stats = index_stats(post)
+        post_w(post, batch_id)
+        dfs_w(seg_dfs, batch_id)
+        stats_w(seg_stats, batch_id)
+
+    return write_batch
+
+
+def read_index(
+    spark: SparkSession, index_root: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, dfs, stats) for ``bm25_topk_indexed``: latest
+    committed postings snapshot, segment dfs folded by term-keyed
+    sum, segment stats folded by scalar sum."""
+    from ..sources.snapshots import read_snapshot
+
+    postings = read_snapshot(spark, f"{index_root}/postings_log")
+    dfs = (
+        read_snapshot(spark, f"{index_root}/dfs_log")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = read_snapshot(spark, f"{index_root}/stats_log").agg(
+        F.sum("__n_docs").alias("__n_docs"),
+        F.sum("__total_len").alias("__total_len"),
+    )
+    return postings, dfs, stats
+
+
+@query("q_bm25_indexed", oracle=_oracle())
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-index invariant, driver-pinned: build the
+    index from 80% of documents (doc_id % 5 != 0), fold the other
+    20% in with merge_index (append postings, coalesce-sum df,
+    additive scalars), score the fixed driver query via the
+    serving path — and the result must be byte-identical to the
+    batch scan, so it shares q_bm25_topk's oracle verbatim. A drift
+    anywhere (a df double-count, a missed term, a stats scalar off
+    by one doc) lands a different ranking and breaks the hash."""
+    docs = load(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    post_h = build_postings(history)
+    dfs_h, stats_h = index_stats(post_h)
+    delta_post, dfs_m, stats_m = merge_index(dfs_h, stats_h, delta)
+    postings = post_h.unionByName(delta_post)
+    return bm25_topk_indexed(postings, dfs_m, stats_m, list(QUERY_TERMS), TOP_K)

@@ -163,6 +163,10 @@ CHECK_PRIORITY = [
     # (r11, late): shared corpus stats, broadcast pair fan-out,
     # per-query rank windows:
     "q_bm25_batch",
+    # ...and the materialized-index serving path (r11, late): build
+    # from 80%, fold 20% in O(delta), serve — must hash-match the
+    # batch scan (shares q_bm25_topk's oracle verbatim):
+    "q_bm25_indexed",
     # --- freshness: 21 of the 41 queries whose latest green driver
     # row is round 8 (VERDICT r10 next-round item 4 names the oldest
     # cohort), modules byte-untouched since; the remaining 20 carry
@@ -184,7 +188,6 @@ CHECK_PRIORITY = [
     "q_lineups_flatten",
     "q_team_stats_extract",
     "q_h2h_flatten",
-    "q_team_events",
 ]
 
 # --- r11 SHARED-DEP LEDGER -------------------------------------------
@@ -218,15 +221,17 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The
 # r10 curation notes live in git history (this file at 23d62c3).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 23 r8-latest freshness refreshes the r11 head could not
+    # the 24 r8-latest freshness refreshes the r11 head could not
     # fit (modules byte-untouched since r8, green rows stand; the
     # head spent 19 slots repaying the r10 carry IOU, 10 on touched
-    # modules and 3 on the late COW-UPDATE/changelog/BM25-batch
-    # additions — q_scd2_history, q_first_last_change and
-    # q_validate_counts yielded their slots) — head these in r12:
+    # modules and 4 on the late COW-UPDATE / changelog / BM25-batch
+    # / BM25-index additions — q_scd2_history, q_first_last_change,
+    # q_validate_counts and q_team_events yielded their slots) —
+    # head these in r12:
     "q_scd2_history",
     "q_first_last_change",
     "q_validate_counts",
+    "q_team_events",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",
@@ -346,6 +351,7 @@ ROTATE_TAIL = [
     "q_scd2_history",
     "q_first_last_change",
     "q_validate_counts",
+    "q_team_events",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",

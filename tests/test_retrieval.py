@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from football_data_pipeline_spark.operators.retrieval import (
     BM25_B,
     BM25_K1,
@@ -103,3 +105,102 @@ def test_tf_and_length_behavior(spark):
     )
     got = {r.doc_id: r.score for r in bm25_scores(df, ["spark"]).collect()}
     assert got[2] > got[1] > got[3]
+
+
+def test_merge_index_df_fold_three_ways(spark):
+    """df fold covers all term fates: both sides, history-only,
+    delta-only — and the scalars add."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        build_postings,
+        index_stats,
+        merge_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "spark merge"), (2, "spark window")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "spark fast fast")], "doc_id long, text string"
+    )
+    post_h = build_postings(hist)
+    dfs_h, stats_h = index_stats(post_h)
+    delta_post, dfs_m, stats_m = merge_index(dfs_h, stats_h, delta)
+    dfv = {r.term: r.df for r in dfs_m.collect()}
+    assert dfv == {"spark": 3, "merge": 1, "window": 1, "fast": 1}
+    st = stats_m.collect()[0].asDict()
+    assert st["__n_docs"] == 3 and st["__total_len"] == 2 + 2 + 3
+    # the delta postings carry tf and dl correctly (fast twice, dl 3)
+    dp = {
+        (d["doc_id"], d["term"]): (d["tf"], d["__dl"])
+        for d in (r.asDict() for r in delta_post.collect())
+    }
+    assert dp[(3, "fast")] == (2, 3) and dp[(3, "spark")] == (1, 3)
+
+
+def test_indexed_serving_equals_batch_scan(spark):
+    """bm25_topk_indexed over (history postings + folded delta) must
+    equal bm25_topk over the whole corpus — the q_bm25_indexed
+    invariant, checked here on a hand-sized fixture."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings,
+        index_stats,
+        merge_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge"),
+            (2, "spark spark fast"),
+            (3, "window y z"),
+            (4, "fast merge merge q"),
+            (5, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    hist = docs.filter(F.col("doc_id") <= 3)
+    delta = docs.filter(F.col("doc_id") > 3)
+    post_h = build_postings(hist)
+    dfs_h, stats_h = index_stats(post_h)
+    delta_post, dfs_m, stats_m = merge_index(dfs_h, stats_h, delta)
+    got = bm25_topk_indexed(
+        post_h.unionByName(delta_post), dfs_m, stats_m,
+        ["spark", "window", "merge", "fast"], 10,
+    ).collect()
+    want = bm25_topk(docs, ["spark", "window", "merge", "fast"], 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_index_writer_serves_like_batch(spark, tmp_path):
+    """Two batches through index_append_writer, then the serving
+    path over read_index must equal bm25_topk over the union corpus
+    — and a replayed batch changes nothing (snapshot_append_writer's
+    watermark guards all three logs)."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        index_append_writer,
+        read_index,
+    )
+
+    root = str(tmp_path / "idx")
+    docs0 = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "spark spark fast"), (3, "window y z")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(4, "fast merge merge q"), (5, "unrelated words only")],
+        "doc_id long, text string",
+    )
+    w = index_append_writer(root)
+    w(docs0, 0)
+    w(docs1, 1)
+    terms = ["spark", "window", "merge", "fast"]
+    post, dfs, stats = read_index(spark, root)
+    got = bm25_topk_indexed(post, dfs, stats, terms, 10).collect()
+    want = bm25_topk(docs0.unionByName(docs1), terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # replay batch 1: all three logs' guards skip — identical serve
+    w(docs1, 1)
+    post, dfs, stats = read_index(spark, root)
+    again = bm25_topk_indexed(post, dfs, stats, terms, 10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
