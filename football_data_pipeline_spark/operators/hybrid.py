@@ -26,6 +26,11 @@ Float discipline: 1/(C+rank) is one IEEE double division on either
 engine; the two terms add in a FIXED textual order (sparse + dense,
 coalesce-0 for absences) and the sum stable-rounds to 6 dp — no
 data-dependent summation order anywhere.
+
+10x probe (documents+embeddings replicated 10x; medians of 3):
+q_hybrid_topk 1.75 -> 3.33 s — the cost is the two underlying
+retrieval passes (both sub-linear); the fusion itself is k-bounded
+constant work at any corpus size.
 """
 
 from __future__ import annotations

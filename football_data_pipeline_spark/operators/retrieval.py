@@ -27,7 +27,11 @@ cannot move the hash.
 
 10x probe (documents replicated 10x, 5k -> 50k docs; medians of
 3): q_bm25_topk 1.10 -> 2.73 s — sub-linear; matched postings grow
-with the corpus, the rest is broadcast-bounded.
+with the corpus, the rest is broadcast-bounded. r11 additions, same
+probe: q_bm25_batch 2.13 -> 3.93 s (three queries share one corpus
+pass), q_bm25_indexed 1.71 -> 3.87 s (the FULL build+fold+serve
+composition — the standing-service steady state pays only the fold
+and serve slices).
 """
 
 from __future__ import annotations

@@ -33,6 +33,12 @@ rows (Spark plans EXCEPT ALL as a count-compare aggregate, not a
 sort). A full compaction rewrites everything and costs a full diff
 — matching every table format's CDF caveat.
 
+10x probe (documents replicated 10x, change set grows with the
+corpus; medians of 3): q_snapshot_diff 0.78 -> 1.15 s for 2,251 ->
+22,499 change rows — linear in the CHANGE, as designed;
+q_cow_update (the planning-audit twin) 0.55 -> 0.55 s, flat,
+because planning is file-count-bounded.
+
 Driver-checked: ``q_snapshot_diff`` runs the identical
 insert/delete algebra over a deterministic three-way change mix
 (delete range + update range + fresh appends) derived from

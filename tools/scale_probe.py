@@ -86,6 +86,19 @@ VEC_PROBED = [
 #: --queries all (or by name) like every list here.
 MIX_PROBED = ["q_mixture_epochs", "q_temperature_sample"]
 
+#: retrieval + lakehouse-audit probes (round 11). Pass criteria:
+#: q_bm25_batch is postings-linear (map-side term filter, shared
+#: corpus stats); q_bm25_indexed adds the full-vocabulary index
+#: build (token-linear) + the O(delta) fold — the probe times the
+#: whole build+fold+serve composition, so ~linear is the pass;
+#: q_cow_update is one file-keyed aggregate; q_snapshot_diff is two
+#: except-alls over the changed-row mix (change set grows with the
+#: corpus here, so linear). q_hybrid_topk (HYB) needs the embeddings
+#: build: its dense half scans vectors once per broadcast query —
+#: linear — and the fusion is k-bounded constant work.
+RETR_PROBED = ["q_bm25_batch", "q_bm25_indexed", "q_cow_update", "q_snapshot_diff"]
+HYB_PROBED = ["q_hybrid_topk"]
+
 #: orders-side probes (late round 10): q_incremental_view's refresh
 #: cost must track delta + state, so under a 10× orders build with
 #: 10× customers (constant orders per customer) both the delta agg
@@ -239,7 +252,10 @@ def main() -> None:
     ap.add_argument("--corpus", default=None, help="build-once/reuse dir")
     args = ap.parse_args()
     if args.queries.strip() == "all":
-        probed = PROBED + VEC_PROBED + EVT_PROBED + MIX_PROBED + ORD_PROBED
+        probed = (
+            PROBED + VEC_PROBED + EVT_PROBED + MIX_PROBED + ORD_PROBED
+            + RETR_PROBED + HYB_PROBED
+        )
     else:
         probed = [q.strip() for q in args.queries.split(",") if q.strip()]
 
@@ -252,7 +268,7 @@ def main() -> None:
         if not os.path.isdir(f"{probe_dir}/documents.parquet"):
             os.makedirs(probe_dir, exist_ok=True)
             build_probe_corpus(spark, probe_dir)
-        if any(q in VEC_PROBED for q in probed) and not os.path.isdir(
+        if any(q in VEC_PROBED + HYB_PROBED for q in probed) and not os.path.isdir(
             f"{probe_dir}/embeddings.parquet"
         ):
             build_probe_embeddings(spark, probe_dir)
