@@ -128,6 +128,11 @@ CHECK_PRIORITY = [
     # variant added (VERDICT r10 next-round item 6); the module
     # byte-changed so its decision-table query re-checks:
     "q_supersede",
+    # streaming/pipeline.py gained dedup_snapshot_writer (r11, late,
+    # additive) — pipeline.py is a shared dep of the media funnel
+    # (history read/compaction), so its queries re-check:
+    "q_media_dedup",
+    "q_media_curation",
     # sources/snapshots.py: CAS commit made atomic (version pinned to
     # expect_latest+1 + mkdir claim, ADVICE r10 high) and every FS
     # touch lifted behind the LocalSnapshotStore seam (VERDICT r10
@@ -185,8 +190,6 @@ CHECK_PRIORITY = [
     "q_teams_extract",
     "q_league_teams",
     "q_json_extract",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
     "q_h2h_flatten",
 ]
 
@@ -221,17 +224,21 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The
 # r10 curation notes live in git history (this file at 23d62c3).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 24 r8-latest freshness refreshes the r11 head could not
+    # the 26 r8-latest freshness refreshes the r11 head could not
     # fit (modules byte-untouched since r8, green rows stand; the
     # head spent 19 slots repaying the r10 carry IOU, 10 on touched
-    # modules and 4 on the late COW-UPDATE / changelog / BM25-batch
-    # / BM25-index additions — q_scd2_history, q_first_last_change,
-    # q_validate_counts and q_team_events yielded their slots) —
-    # head these in r12:
+    # modules and the late additions (COW UPDATE, changelog, BM25
+    # batch + index, and the base-funnel snapshot unification whose
+    # pipeline.py edit pulled both media queries back in) —
+    # q_scd2_history, q_first_last_change, q_validate_counts,
+    # q_team_events, q_lineups_flatten and q_team_stats_extract
+    # yielded their slots) — head these in r12:
     "q_scd2_history",
     "q_first_last_change",
     "q_validate_counts",
     "q_team_events",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",
@@ -257,8 +264,6 @@ ROTATE_TAIL = [
     # green r10 driver rows (CORRECTNESS_r10.json), modules untouched
     # in r11:
     "q_media_gate",
-    "q_media_dedup",
-    "q_media_curation",
     "q_dedup_best_of_group",
     "q_dedup_best_of_component",
     "q_release_drops",
@@ -352,6 +357,8 @@ ROTATE_TAIL = [
     "q_first_last_change",
     "q_validate_counts",
     "q_team_events",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
     "q_minhash_error",
     "q_quality_classifier",
     "q_dataset_card",

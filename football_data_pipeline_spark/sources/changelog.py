@@ -71,8 +71,8 @@ def plan_snapshot_diff(
 def snapshot_changes(
     spark: SparkSession,
     log_dir: str,
-    v_from: int,
-    v_to: int,
+    v_from: int | str,
+    v_to: int | str,
     base_path: str | None = None,
 ) -> DataFrame:
     """Row-level changes from ``v_from`` to ``v_to``: the table's
@@ -80,7 +80,15 @@ def snapshot_changes(
     appears as its old value deleted and its new value inserted
     (CDF's update_preimage/postimage, collapsed to the two
     primitives). Reads only the files the two manifests disagree
-    on."""
+    on. Either endpoint may be a ref NAME ('prod', 'v1.2' — see
+    snapshots.set_ref) instead of a version number — "what changed
+    between the release tag and the prod branch" is one call."""
+    from .snapshots import resolve_ref
+
+    if isinstance(v_from, str):
+        v_from = resolve_ref(spark, log_dir, v_from)
+    if isinstance(v_to, str):
+        v_to = resolve_ref(spark, log_dir, v_to)
     m_from = read_manifest(spark, log_dir, v_from)
     m_to = read_manifest(spark, log_dir, v_to)
     added, removed = plan_snapshot_diff(m_from, m_to)

@@ -640,6 +640,28 @@ def merge_cow(
 # --- streaming: exactly-once snapshot commits --------------------------
 
 
+def read_table_before_batch(
+    spark: SparkSession, log_dir: str, batch_id: int
+) -> DataFrame | None:
+    """The table as of the newest commit whose marker's batch_id is
+    strictly below ``batch_id`` — the snapshot-log spelling of the
+    streaming funnels' ``batch_id < N`` history prune: a replay of
+    batch N can never see its own (or any later) commit as history.
+    None when no such commit exists (fresh log, or only this batch's
+    replay debris). One marker read, bounded by snapshot count."""
+    if not snapshot_versions(spark, log_dir):
+        return None
+    row = (
+        commit_log(spark, log_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .agg(F.max("version").alias("v"))
+        .first()
+    )
+    if row.v is None:
+        return None
+    return read_snapshot(spark, log_dir, int(row.v))
+
+
 def latest_committed_batch(spark: SparkSession, log_dir: str) -> int | None:
     """The highest ``batch_id`` any committed marker carries, or None
     when the log is empty / holds only non-streaming commits. One

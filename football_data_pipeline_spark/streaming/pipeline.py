@@ -525,6 +525,87 @@ def _dedup_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         collapsed.unpersist()
 
 
+def dedup_snapshot_writer(
+    corpus_root: str,
+) -> Callable[[DataFrame, int], None]:
+    """dedup_batch_writer with the accepted corpus as a SNAPSHOT
+    TABLE (``{root}/accepted_log`` + ``{root}/accepted_data``,
+    sources/snapshots.snapshot_append_writer) instead of raw
+    batch_id partition overwrites + the __hist_base__ fold — the
+    base-funnel twin of supersede.keep_best_snapshot_writer,
+    completing the unification the keep-best funnel started: one
+    exactly-once mechanism (marker-last atomic commits), and the
+    corpus history gains time travel / WAP / maintain() compaction
+    for free. The probe's ``batch_id < N`` prune is
+    snapshots.read_table_before_batch (a replay can never see its
+    own commit as history); the classification stays a plain
+    batchId-keyed audit partition. Decisions are IDENTICAL to
+    dedup_batch_writer — pytest-locked by a twin run."""
+    from ..sources.snapshots import (
+        read_table_before_batch,
+        snapshot_append_writer,
+    )
+
+    acc_write = snapshot_append_writer(
+        f"{corpus_root}/accepted_log", f"{corpus_root}/accepted_data", []
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import (
+            batch_near_dup_drops,
+            dedup_against_corpus,
+            fingerprint,
+        )
+
+        spark = batch.sparkSession
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        collapsed = (
+            batch.withColumn("__fp", fingerprint(F.col("text")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+            .cache()
+        )
+        rows = collapsed.join(
+            batch_near_dup_drops(collapsed), "doc_id", "left_anti"
+        ).cache()
+        try:
+            history = read_table_before_batch(
+                spark, f"{corpus_root}/accepted_log", batch_id
+            )
+            if history is None:
+                history = spark.createDataFrame([], rows.schema)
+            classified = dedup_against_corpus(rows, history)
+            classified.write.mode("overwrite").parquet(
+                f"{corpus_root}/classification/batch_id={batch_id}"
+            )
+            accepted = rows.join(
+                spark.read.parquet(
+                    f"{corpus_root}/classification/batch_id={batch_id}"
+                )
+                .filter(F.col("dup_kind") == "unique")
+                .select("doc_id"),
+                "doc_id",
+            )
+            acc_write(accepted, batch_id)
+        finally:
+            rows.unpersist()
+            collapsed.unpersist()
+
+    return write_batch
+
+
+def read_corpus_snapshot(spark: SparkSession, corpus_root: str) -> DataFrame:
+    """The accepted corpus of a dedup_snapshot_writer funnel: the
+    latest committed snapshot (every version before it remains one
+    read_snapshot(version) away)."""
+    from ..sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, f"{corpus_root}/accepted_log")
+
+
 def curation_batch_writer(
     corpus_root: str, compact_every: int | None = HIST_COMPACT_EVERY
 ) -> Callable[[DataFrame, int], None]:

@@ -294,27 +294,12 @@ _ALL_BATCHES = 1 << 62
 def _snapshot_table_before(
     spark: SparkSession, log_dir: str, batch_id: int
 ) -> DataFrame | None:
-    """The table as of the newest commit whose batch_id < batch_id —
-    the snapshot-log spelling of the funnels' `batch_id < N` history
-    prune. None when no such commit exists (fresh log, or every
-    commit is this batch's own replay debris)."""
-    from ..sources.snapshots import (
-        commit_log,
-        read_snapshot,
-        snapshot_versions,
-    )
+    """The funnels' `batch_id < N` history prune on the snapshot
+    log — now the shared snapshots.read_table_before_batch (the
+    base dedup funnel's snapshot variant uses it too)."""
+    from ..sources.snapshots import read_table_before_batch
 
-    if not snapshot_versions(spark, log_dir):
-        return None
-    row = (
-        commit_log(spark, log_dir)
-        .filter(F.col("batch_id") < batch_id)
-        .agg(F.max("version").alias("v"))
-        .first()
-    )
-    if row.v is None:
-        return None
-    return read_snapshot(spark, log_dir, int(row.v))
+    return read_table_before_batch(spark, log_dir, batch_id)
 
 
 def _snapshot_live_history(

@@ -138,3 +138,27 @@ def test_no_churn_returns_empty_with_schema(spark, tmp_path):
     ch = snapshot_changes(spark, log, v0, v1)
     assert ch.count() == 0
     assert set(ch.columns) == {"id", "v", "_change_type"}
+
+
+def test_changes_between_refs(spark, tmp_path):
+    """Either endpoint may be a ref name — 'what changed between the
+    release tag and the prod branch' is one call."""
+    from football_data_pipeline_spark.sources.snapshots import set_ref
+
+    base = tmp_path
+    path = str(base / "tbl")
+    log = str(base / "log")
+    spark.range(200).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(2, "id").write.parquet(path)
+    m0 = build_manifest(spark, path, ["id"])
+    v0 = commit_snapshot(spark, log, m0)
+    m1 = delete_where_cow(spark, m0, "id", 0, 49, str(base / "d"))
+    v1 = commit_snapshot(spark, log, m1)
+    set_ref(spark, log, "release", v0, kind="tag")
+    set_ref(spark, log, "prod", v1, kind="branch")
+    ch = snapshot_changes(spark, log, "release", "prod").collect()
+    assert {r._change_type for r in ch} == {"delete"}
+    assert {r.id for r in ch} == set(range(50))
+    # mixed int/ref endpoints work too
+    assert snapshot_changes(spark, log, v0, "prod").count() == 50

