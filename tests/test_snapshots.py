@@ -553,6 +553,42 @@ def test_maintain_does_not_lose_concurrent_appends(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(120))
 
 
+def test_maintain_carries_batch_watermark_forward(spark, tmp_path):
+    """The compaction commit inherits the log's max batch_id (ADVICE
+    r11): maintain(keep_latest=1) expires every batch-stamped append
+    marker, and without the carry latest_committed_batch would go
+    None — the snapshot-backed dedup funnels would see an EMPTY
+    history and re-accept every duplicate. With it, the replay guard
+    and the read_table_before_batch prune both survive compaction."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        latest_committed_batch,
+        maintain,
+        read_table_before_batch,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    for i in range(3):
+        write(spark.range(i * 30, (i + 1) * 30).select("id").coalesce(1), i)
+    assert latest_committed_batch(spark, log) == 2
+    maintain(
+        spark, log, target_rows=200, out_dir=str(tmp_path / "opt"),
+        sort_col="id", keep_latest=1,
+    )
+    # only the compaction commit survives — and it carries batch 2
+    assert len(snapshot_versions(spark, log)) == 1
+    assert latest_committed_batch(spark, log) == 2
+    # replaying batch 2 is still a guarded no-op
+    write(spark.range(60, 90).select("id").coalesce(1), 2)
+    assert len(snapshot_versions(spark, log)) == 1
+    # a FUTURE batch's history prune sees the full compacted table
+    hist = read_table_before_batch(spark, log, 3)
+    assert hist is not None
+    assert sorted(r.id for r in hist.collect()) == list(range(90))
+
+
 # --- copy-on-write MERGE (keyed upsert) --------------------------------
 
 
