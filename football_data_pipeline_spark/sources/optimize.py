@@ -33,8 +33,10 @@ directories are just storage):
 ONLY the undersized tail (bin count × target_rows rows) and is ONE
 Spark job for every bin — the driver-held file→bin map broadcast
 onto input_file_name(), a bin-keyed repartition (each bin's rows in
-exactly one task), and a partitionBy("bin") write (exactly one file
-per bin) — so a 100k-small-file backlog compacts at cluster
+exactly one task), and a bin-partitioned write (exactly one file
+per bin; working columns are dunder-reserved so user tables named
+'file'/'bin' survive untouched) — so a 100k-small-file backlog
+compacts at cluster
 parallelism instead of thousands of sequential per-bin jobs
 (VERDICT r10 item 7). Never a full-table pass.
 
@@ -109,29 +111,32 @@ def compact_small_files(
     # loop ran a backlog's thousands of bins strictly sequentially,
     # each paying full job-launch latency): broadcast the file→bin
     # map (driver already holds it, bounded by file count) onto
-    # input_file_name(), hash-repartition on bin so each bin's rows
-    # land in exactly one task, and partitionBy("bin") so that task
-    # writes exactly one file per bin. Truly parallel across bins.
+    # input_file_name(), hash-repartition on the bin so each bin's
+    # rows land in exactly one task, and partitionBy the bin so that
+    # task writes exactly one file per bin. Truly parallel across
+    # bins. The working columns use dunder-reserved names (ADVICE
+    # r11): a user table legitimately carrying 'file' or 'bin' must
+    # not have them clobbered by the compactor's bookkeeping.
     assign = spark.createDataFrame(
         [(f, i) for i, bin_files in enumerate(bins) for f in bin_files],
-        "file string, bin int",
+        "__compact_file string, __compact_bin int",
     )
     small_files = [f for bin_files in bins for f in bin_files]
     packed = (
         spark.read.parquet(*small_files)
-        .withColumn("file", F.input_file_name())
-        .join(F.broadcast(assign), "file")
-        .drop("file")
-        .repartition(len(bins), "bin")
+        .withColumn("__compact_file", F.input_file_name())
+        .join(F.broadcast(assign), "__compact_file")
+        .drop("__compact_file")
+        .repartition(len(bins), "__compact_bin")
     )
     if sort_col is not None:
         # sorting by (bin, sort_col) keeps each bin's single output
         # file internally clustered — compaction must not undo
         # zorder/linear layout
-        packed = packed.sortWithinPartitions("bin", sort_col)
-    packed.write.partitionBy("bin").mode("overwrite").parquet(out_dir)
-    # the bin=* glob hands Spark the leaf dirs directly, so no bin
-    # partition column is inferred — compacted files read back with
-    # the table's own schema, exactly like the old part-N layout
-    fresh = build_manifest(spark, f"{out_dir}/bin=*", tracked)
+        packed = packed.sortWithinPartitions("__compact_bin", sort_col)
+    packed.write.partitionBy("__compact_bin").mode("overwrite").parquet(out_dir)
+    # the leaf-dir glob hands Spark the bin directories directly, so
+    # no bin partition column is inferred — compacted files read back
+    # with the table's own schema, exactly like the old part-N layout
+    fresh = build_manifest(spark, f"{out_dir}/__compact_bin=*", tracked)
     return carried.unionByName(fresh.select(*carried.columns))

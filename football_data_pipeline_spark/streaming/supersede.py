@@ -352,6 +352,10 @@ def keep_best_snapshot_writer(
         batch_rows = collapsed.join(
             batch_near_dup_drops(collapsed), "doc_id", "left_anti"
         ).cache()
+        # bound before the try: if the history read itself raises, the
+        # finally must not mask the real error with an
+        # UnboundLocalError from the unpersist (ADVICE r11)
+        history = None
         try:
             history = _snapshot_live_history(spark, corpus_root, batch_id)
             if history is None:
@@ -396,7 +400,8 @@ def keep_best_snapshot_writer(
         finally:
             batch_rows.unpersist()
             collapsed.unpersist()
-            history.unpersist()
+            if history is not None:
+                history.unpersist()
 
     return write_batch
 
