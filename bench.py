@@ -173,6 +173,9 @@ HEADLINE = [
     # path (build 80% + fold 20% + serve, hash-equal to the scan)
     "q_bm25_batch",
     "q_bm25_indexed",
+    # r12: the serving-path hybrid — batch BM25 × IVF lists fused
+    # keyed on query_id (VERDICT r11 item 6)
+    "q_hybrid_batch",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

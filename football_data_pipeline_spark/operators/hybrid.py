@@ -42,7 +42,14 @@ from ..catalog import load
 from ..functions.stable import oracle_rnd, rnd
 from ..registry import query
 from .embedsearch import _oracle_dot, _oracle_norm, dot, norm
-from .retrieval import QUERY_TERMS, bm25_scored_ctes, bm25_topk
+from .retrieval import (
+    BATCH_QUERIES,
+    QUERY_TERMS,
+    bm25_batch_ctes,
+    bm25_scored_ctes,
+    bm25_topk,
+    bm25_topk_batch,
+)
 
 #: RRF smoothing constant (the SIGIR'09 paper's value; large enough
 #: that rank-1-vs-2 doesn't dominate, small enough that tail ranks
@@ -179,6 +186,93 @@ def _oracle() -> str:
     ORDER BY rank
     LIMIT {TOP_K}
     """
+
+
+def _batch_hybrid_oracle() -> str:
+    from .embedsearch import TOP_K as EMB_TOP_K
+    from .embedsearch import _knn_ivf_oracle
+
+    rrf = oracle_rnd(
+        f"coalesce(1.0 / ({RRF_C} + s.rnk), 0.0) + "
+        f"coalesce(1.0 / ({RRF_C} + d.rnk), 0.0)",
+        6,
+    )
+    return f"""
+    WITH {bm25_scored_ctes()},
+    {bm25_batch_ctes()},
+    sranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM qscored
+    ),
+    sparse AS (
+      SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rnk
+      FROM sranked WHERE rn <= {K_EACH}
+    ),
+    dense AS (
+      -- the REAL IVF routing, recomputed: q_knn_ivf's oracle body
+      -- (cluster-pruned candidates, per-query rank, cut {EMB_TOP_K})
+      -- restricted to the batch's query ids
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             neighbor_id AS doc_id,
+             CAST(rank AS BIGINT) AS rnk
+      FROM ({_knn_ivf_oracle()})
+      WHERE query_id < {len(BATCH_QUERIES)}
+    ),
+    fused AS (
+      SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             s.rnk AS sparse_rank,
+             d.rnk AS dense_rank,
+             {rrf} AS rrf_score
+      FROM sparse s FULL OUTER JOIN dense d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    ),
+    franked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rn
+      FROM fused
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+           sparse_rank, dense_rank, rrf_score
+    FROM franked WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_hybrid_batch", oracle=_batch_hybrid_oracle())
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-PATH hybrid a RAG service actually runs (VERDICT
+    r11 item 6): multi-query batch BM25 (one shared corpus pass, cut
+    {K_EACH} per query) fused per-query with the IVF cluster-pruned
+    ANN lists (embedsearch.q_knn_ivf's pass — vec 0/1/2 stand in for
+    the three batch queries' encodings) via
+    ``rrf_fuse(by=["query_id"])``. The oracle recomputes BOTH sides
+    — the shared BM25 batch CTE chain AND the IVF routing — plus the
+    keyed fusion arithmetic. List depths differ (sparse {K_EACH},
+    dense = the IVF serve cut) exactly as they would in production;
+    rrf_fuse only reads (id, rank), so depth asymmetry is the normal
+    case, not a special one."""
+    from .embedsearch import q_knn_ivf
+
+    docs = load(spark, sf_dir, "documents")
+    emb_queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BATCH_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    sparse = bm25_topk_batch(docs, emb_queries, K_EACH).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = (
+        q_knn_ivf(spark, sf_dir)
+        .filter(F.col("query_id") < len(BATCH_QUERIES))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return rrf_fuse(sparse, dense, "doc_id", TOP_K, RRF_C, by=["query_id"])
 
 
 @query("q_hybrid_topk", oracle=_oracle())

@@ -91,148 +91,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # =========== ROUND 11 CURATION ===========
-    # --- the r10 carry IOU heads the round (codified rule — these
-    # 19 hold green r6 rows, modules byte-untouched since, covered
-    # every round by the local all-queries gate; they owe a FRESH
-    # driver row first):
-    "q_hll_audit",
-    "q_quantile_audit",
-    "q_corr_profile",
-    "q_weighted_sample",
-    "q_job_expiry",
-    "q_bloom_semi",
-    "q_heavy_hitters",
-    "q_temperature_sample",
-    "q_salted_distinct",
-    "q_mixture_epochs",
-    "q_ewma",
-    "q_gopher_rules",
-    "q_cube_report",
-    "q_skew_report",
-    "q_length_filter",
-    "q_length_quantiles",
-    "q_profile_documents",
-    "q_k_anonymity",
-    "q_team_form",
-    # --- modules NEW or edited in r11 (the codified rule):
-    # operators/hybrid.py NEW: RRF fusion of the BM25 and dense
-    # top-k lists (VERDICT r10 next-round item 5):
-    "q_hybrid_topk",
-    # operators/retrieval.py: the global-window top-k replaced with
-    # the orderBy+limit->rank TakeOrdered pattern (VERDICT r10 item
-    # 1 — the round's one weak mark) + the oracle CTE refactor the
-    # hybrid oracle shares:
-    "q_bm25_topk",
-    # streaming/supersede.py: snapshot-log-backed accepted/tombstone
-    # variant added (VERDICT r10 next-round item 6); the module
-    # byte-changed so its decision-table query re-checks:
-    "q_supersede",
-    # streaming/pipeline.py gained dedup_snapshot_writer (r11, late,
-    # additive) — pipeline.py is a shared dep of the media funnel
-    # (history read/compaction), so its queries re-check:
-    "q_media_dedup",
-    "q_media_curation",
-    # sources/snapshots.py: CAS commit made atomic (version pinned to
-    # expect_latest+1 + mkdir claim, ADVICE r10 high) and every FS
-    # touch lifted behind the LocalSnapshotStore seam (VERDICT r10
-    # item 8) — both its queries re-check:
-    "q_cow_delete",
-    "q_merge_cow",
-    # sources/incremental.py: crashed-refresh ref numbering now
-    # numbers past debris (ADVICE r10 medium) + lists through the
-    # store seam; also snapshots.py is a direct dep:
-    "q_incremental_view",
-    # sources/mor.py: byte-untouched but snapshots.py (lazily
-    # imported for read plans/retractions) changed in-round:
-    "q_mor_delete",
-    # sources/bloomskip.py: non-integral key columns now raise
-    # instead of silently false-negativing (ADVICE r10 low):
-    "q_bloom_skipping",
-    # sources/partitions.py: byte-untouched but imports bloomskip's
-    # hash constants (changed in-round):
-    "q_partition_prune",
-    # operators/repetition.py: the oracle now coalesces the stats of
-    # a zero-word doc after its LEFT JOIN (ADVICE r10 low):
-    "q_gopher_repetition",
-    # sources/snapshots.py also gained COW UPDATE (r11, late) — the
-    # DML verb between DELETE and MERGE; the audit folds the SET
-    # arithmetic under the REAL range classification:
-    "q_cow_update",
-    # sources/changelog.py NEW (r11, late): snapshot changelog (CDF)
-    # — manifest-bounded row diff between versions; the driver row
-    # pins the exceptAll insert/delete algebra over a three-way
-    # change mix:
-    "q_snapshot_diff",
-    # operators/retrieval.py also gained the multi-query batch form
-    # (r11, late): shared corpus stats, broadcast pair fan-out,
-    # per-query rank windows:
-    "q_bm25_batch",
-    # ...and the materialized-index serving path (r11, late): build
-    # from 80%, fold 20% in O(delta), serve — must hash-match the
-    # batch scan (shares q_bm25_topk's oracle verbatim):
-    "q_bm25_indexed",
-    # --- freshness: 21 of the 41 queries whose latest green driver
-    # row is round 8 (VERDICT r10 next-round item 4 names the oldest
-    # cohort), modules byte-untouched since; the remaining 20 carry
-    # to the r12 head (CARRY_TO_NEXT_ROUND below):
-    "q_odds_flatten",
-    "q_latest_per_key",
-    "q_lag_movement",
-    "q_upcoming_games",
-    "q_upsert_latest",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_lm_bigram",
-    "q_sessionize",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_teams_extract",
-    "q_league_teams",
-    "q_json_extract",
-    "q_h2h_flatten",
-]
-
-# --- r11 SHARED-DEP LEDGER -------------------------------------------
-# Modules edited in r11 and their registered-query lineage:
-# - operators/retrieval.py (TakeOrdered top-k + shared oracle CTEs):
-#   q_bm25_topk IN HEAD.
-# - operators/hybrid.py NEW (rrf_fuse + dense_topk; imports
-#   retrieval.bm25_scored_ctes/bm25_topk and embedsearch dot/norm —
-#   embedsearch byte-untouched): q_hybrid_topk IN HEAD.
-# - sources/snapshots.py (atomic CAS, UncommittedSnapshotDirError,
-#   LocalSnapshotStore seam): q_cow_delete + q_merge_cow IN HEAD;
-#   dependents sources/incremental.py (q_incremental_view IN HEAD),
-#   sources/mor.py (q_mor_delete IN HEAD), streaming/supersede.py
-#   (q_supersede IN HEAD). pipeline.py funnels are pytest-only.
-# - sources/incremental.py (debris-proof ref numbering):
-#   q_incremental_view IN HEAD.
-# - sources/bloomskip.py (integral-key validation): q_bloom_skipping
-#   IN HEAD; dependent sources/partitions.py (hash constants):
-#   q_partition_prune IN HEAD.
-# - operators/repetition.py (oracle zero-word coalesce):
-#   q_gopher_repetition IN HEAD.
-# - streaming/supersede.py (keep_best_snapshot_writer variant):
-#   q_supersede IN HEAD.
-# - sources/optimize.py (one-job parallel compaction): NO registered
-#   query (pytest surface: tests/test_optimize.py + the snapshots
-#   maintain() loop); its only query-bearing caller is snapshots.py,
-#   whose queries are IN HEAD.
-# - all_queries.py, registry.py curation lists, bench.py, tools/*,
-#   tests/*: no runtime query lineage.
-# Everything in ROTATE_TAIL holds a green r8, r9 or r10 driver row
-# and its module + shared deps are untouched since that row. The
-# r10 curation notes live in git history (this file at 23d62c3).
-CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 26 r8-latest freshness refreshes the r11 head could not
-    # fit (modules byte-untouched since r8, green rows stand; the
-    # head spent 19 slots repaying the r10 carry IOU, 10 on touched
-    # modules and the late additions (COW UPDATE, changelog, BM25
-    # batch + index, and the base-funnel snapshot unification whose
-    # pipeline.py edit pulled both media queries back in) —
-    # q_scd2_history, q_first_last_change, q_validate_counts,
-    # q_team_events, q_lineups_flatten and q_team_stats_extract
-    # yielded their slots) — head these in r12:
+    # =========== ROUND 12 CURATION ===========
+    # --- the r11 carry IOU heads the round (codified rule; VERDICT
+    # r11 next-round item 2 — these 26 hold green r8 rows, modules
+    # byte-untouched since, covered every round by the local
+    # all-queries gate; they owe a FRESH driver row first):
     "q_scd2_history",
     "q_first_last_change",
     "q_validate_counts",
@@ -259,10 +122,162 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_containment",
     "q_moving_avg",
     "q_anomaly",
+    # --- modules NEW or edited in r12 (the codified rule):
+    # operators/retrieval.py: term-bucketed postings layout + pruned
+    # read_index (VERDICT r11 item 1), zero-token presence rows in
+    # build_postings/index_stats (ADVICE r11), merge_index doc-id
+    # overlap guard (VERDICT r11 item 3), batch-oracle pair DISTINCT
+    # (ADVICE r11) — all three retrieval queries re-check:
+    "q_bm25_topk",
+    "q_bm25_batch",
+    "q_bm25_indexed",
+    # operators/hybrid.py: q_hybrid_batch NEW (VERDICT r11 item 6 —
+    # the serving-path composition: batch BM25 x IVF lists fused
+    # keyed); the module byte-changed so q_hybrid_topk re-checks:
+    "q_hybrid_topk",
+    "q_hybrid_batch",
+    # sources/snapshots.py: maintain() compaction commit inherits the
+    # batch watermark (ADVICE r11) + snapshot_append_writer grew
+    # partition_by (the bucketed-postings write path) — its queries
+    # and every dependent module's re-check:
+    "q_cow_delete",
+    "q_merge_cow",
+    "q_cow_update",
+    "q_incremental_view",
+    "q_mor_delete",
+    "q_snapshot_diff",
+    # streaming/supersede.py: unpersist guard (ADVICE r11) + the
+    # snapshot-backed writer becomes the documented default
+    # (VERDICT r11 item 4):
+    "q_supersede",
+    # streaming/pipeline.py + mediadedup.py (+ vectors.py, pytest
+    # surface): funnel histories ported to the snapshot log
+    # (VERDICT r11 item 4) — both media queries re-check:
+    "q_media_dedup",
+    "q_media_curation",
+    # --- freshness: the 10 oldest r9-latest rows (modules
+    # byte-untouched since r9); the remaining 36 r9-latest names
+    # carry to the r13 head (CARRY_TO_NEXT_ROUND below):
+    "q_video_frame_dedup",
+    "q_video_stats",
+    "q_learned_mapping",
+    "q_fuzzy_join",
+    "q_difflib_ratio",
+    "q_resolve_alternatives",
+    "q_normalize_names",
+    "q_pagerank",
+    "q_multimodal_meta",
+    "q_audio_near_dup",
+]
+
+# --- r12 SHARED-DEP LEDGER -------------------------------------------
+# Modules edited in r12 and their registered-query lineage:
+# - operators/retrieval.py (bucketed layout, presence rows, merge
+#   guard, oracle DISTINCT): q_bm25_topk/q_bm25_batch/q_bm25_indexed
+#   IN HEAD.
+# - operators/hybrid.py (q_hybrid_batch NEW; imports retrieval CTEs
+#   + embedsearch's q_knn_ivf — embedsearch byte-untouched):
+#   q_hybrid_topk + q_hybrid_batch IN HEAD.
+# - sources/snapshots.py (maintain watermark carry, append-writer
+#   partition_by): q_cow_delete/q_merge_cow/q_cow_update IN HEAD;
+#   dependents sources/incremental.py (q_incremental_view), mor.py
+#   (q_mor_delete), changelog.py (q_snapshot_diff), streaming/
+#   supersede.py (q_supersede) IN HEAD.
+# - sources/optimize.py (collision-safe working columns, ADVICE
+#   r11): NO registered query (pytest: tests/test_optimize.py);
+#   its query-bearing caller snapshots.py is IN HEAD.
+# - streaming/pipeline.py, mediadedup.py, vectors.py (snapshot-log
+#   unification): q_media_dedup + q_media_curation IN HEAD; the
+#   substring-trim/vector funnels are pytest surfaces.
+# - tools/gen_plans_md.py (q_skew_report k-bounded note), registry
+#   curation lists, tests/*: no runtime query lineage.
+# Everything in ROTATE_TAIL holds a green r9, r10 or r11 driver row
+# and its module + shared deps are untouched since that row. The
+# r11 curation notes live in git history (this file at 695fba4).
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # the 36 r9-latest freshness refreshes the r12 head could not
+    # fit (modules byte-untouched since r9, green rows stand; the
+    # head spent 26 slots repaying the r11 carry IOU, 14 on touched
+    # modules and the new query, 10 on the oldest r9 rows) — head
+    # these in r13:
+    "q_audio_stats",
+    "q_fixtures_extract",
+    "q_leagues_extract",
+    "q_team_stats_trend",
+    "q_pii_scan",
+    "q_token_packing",
+    "q_corpus_clean",
+    "q_left_join_count",
+    "q_group_multi",
+    "q_topk_group",
+    "q_conditional_agg",
+    "q_scalar_agg",
+    "q_count_distinct",
+    "q_date_trunc_trend",
+    "q_semi_join",
+    "q_anti_join",
+    "q_or_join",
+    "q_union_roles",
+    "q_team_search",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_seq_histogram",
+    "q_tfidf_terms",
+    "q_substring_dedup",
+    "q_substring_strip",
+    "q_exact_decontam",
+    "q_source_substring_overlap",
+    "q_before_after",
+    "q_range_join",
+    "q_weighted_sum",
+    "q_kpi_ratio",
+    "q_asof_join",
+    "q_corpus_diff",
+    "q_salted_join",
 ]
 ROTATE_TAIL = [
-    # green r10 driver rows (CORRECTNESS_r10.json), modules untouched
-    # in r11:
+    # green r11 driver rows (CORRECTNESS_r11.json), modules untouched
+    # in r12:
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_corr_profile",
+    "q_weighted_sample",
+    "q_job_expiry",
+    "q_bloom_semi",
+    "q_heavy_hitters",
+    "q_temperature_sample",
+    "q_salted_distinct",
+    "q_mixture_epochs",
+    "q_ewma",
+    "q_gopher_rules",
+    "q_cube_report",
+    "q_skew_report",
+    "q_length_filter",
+    "q_length_quantiles",
+    "q_profile_documents",
+    "q_k_anonymity",
+    "q_team_form",
+    "q_odds_flatten",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_upcoming_games",
+    "q_upsert_latest",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_teams_extract",
+    "q_league_teams",
+    "q_json_extract",
+    "q_h2h_flatten",
+    "q_gopher_repetition",
+    "q_bloom_skipping",
+    "q_partition_prune",
+    # green r10 driver rows, modules untouched in r11 AND r12:
     "q_media_gate",
     "q_dedup_best_of_group",
     "q_dedup_best_of_component",
@@ -302,18 +317,9 @@ ROTATE_TAIL = [
     "q_ivf_reassign",
     "q_semantic_decontam",
     "q_star_join",
-    # green r9 driver rows (CORRECTNESS_r09.json), modules untouched
-    # in r10 AND r11:
-    "q_video_frame_dedup",
-    "q_video_stats",
-    "q_learned_mapping",
-    "q_fuzzy_join",
-    "q_difflib_ratio",
-    "q_resolve_alternatives",
-    "q_normalize_names",
-    "q_pagerank",
-    "q_multimodal_meta",
-    "q_audio_near_dup",
+    # green r9 driver rows, modules untouched in r10, r11 AND r12
+    # (the freshness remainder recorded in CARRY_TO_NEXT_ROUND
+    # above):
     "q_audio_stats",
     "q_fixtures_extract",
     "q_leagues_extract",
@@ -350,35 +356,6 @@ ROTATE_TAIL = [
     "q_asof_join",
     "q_corpus_diff",
     "q_salted_join",
-    # green r8 driver rows, modules untouched in r9, r10 AND r11
-    # (the freshness remainder recorded in CARRY_TO_NEXT_ROUND
-    # above):
-    "q_scd2_history",
-    "q_first_last_change",
-    "q_validate_counts",
-    "q_team_events",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
-    "q_minhash_error",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
-    "q_hard_negatives",
-    "q_learnability",
-    "q_diverse_sample",
-    "q_target_mixture",
-    "q_epoch_order",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_dsir_weights",
-    "q_rollup_report",
-    "q_repetition",
-    "q_winnow_fingerprints",
-    "q_containment",
-    "q_moving_avg",
-    "q_anomaly",
 ]
 
 
