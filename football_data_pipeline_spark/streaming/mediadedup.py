@@ -368,15 +368,74 @@ def _explode_bands(fps: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def _fp_snapshot_io(root: str):
+    """(read_hist, write_fps) backing the fp index with a snapshot
+    table at ``{root}/fp_log`` + ``{root}/fp_data`` — the seam both
+    snapshot-backed media writers share."""
+    from ..sources.snapshots import (
+        read_table_before_batch,
+        snapshot_append_writer,
+    )
+
+    log = f"{root}/fp_log"
+    fp_w = snapshot_append_writer(log, f"{root}/fp_data", [])
+
+    def read_hist(spark, batch_id: int):
+        return read_table_before_batch(spark, log, batch_id)
+
+    return read_hist, fp_w
+
+
+def media_dedup_snapshot_writer(
+    root: str,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    frame_every_n: int = MEDIA_FRAME_EVERY_N,
+) -> Callable[[DataFrame, int], None]:
+    """media_dedup_batch_writer with the fp index as a SNAPSHOT TABLE
+    (``{root}/fp_log`` + ``{root}/fp_data``) — the DEFAULT going
+    forward (VERDICT r11 item 4; the partition twin stays as the
+    compaction-comparison baseline): marker-last atomic commits with
+    the batch_id replay guard replace the ``__hist_base__`` fold, and
+    the index gains time travel / maintain() compaction for free.
+    rejected/accepted stay plain batchId-keyed audit partitions.
+    Screening decisions are IDENTICAL to the partition-backed writer
+    — pytest-locked by a twin run."""
+    read_hist, fp_w = _fp_snapshot_io(root)
+    return media_dedup_batch_writer(
+        root, max_hamming, frame_every_n, compact_every=None,
+        read_hist=read_hist, write_fps=fp_w,
+    )
+
+
+def media_curation_snapshot_writer(
+    root: str,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    frame_every_n: int = MEDIA_FRAME_EVERY_N,
+) -> Callable[[DataFrame, int], None]:
+    """media_curation_batch_writer on the snapshot-backed fp index —
+    same unification as media_dedup_snapshot_writer (one
+    exactly-once mechanism, AS-OF history, maintain() for free)."""
+    read_hist, fp_w = _fp_snapshot_io(root)
+    return media_curation_batch_writer(
+        root, max_hamming, frame_every_n, compact_every=None,
+        read_hist=read_hist, write_fps=fp_w,
+    )
+
+
 def media_dedup_batch_writer(
     root: str,
     max_hamming: int = DHASH_MAX_HAMMING,
     frame_every_n: int = MEDIA_FRAME_EVERY_N,
     compact_every: int | None = HIST_COMPACT_EVERY,
+    read_hist: Callable | None = None,
+    write_fps: Callable[[DataFrame, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body for a MEDIA stream of (asset_id, kind,
     payload) rows — the module docstring's five-step protocol.
-    Layout, exactly-once and compaction arguments up top."""
+    Layout, exactly-once and compaction arguments up top.
+    ``read_hist``/``write_fps`` are the snapshot-backing seam
+    (media_dedup_snapshot_writer supplies them); left None, the fp
+    index lives in raw batchId partitions with the compaction fold."""
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
 
@@ -403,7 +462,10 @@ def media_dedup_batch_writer(
         # one Arrow fingerprint pass, reused by the pair stage, the
         # history probe and the index write
         fps = media_fingerprints(media_rows, frame_every_n).localCheckpoint()
-        hist = _read_history(spark, root, "fp_index", batch_id)
+        if read_hist is None:
+            hist = _read_history(spark, root, "fp_index", batch_id)
+        else:
+            hist = read_hist(spark, batch_id)
         rejected = media_dup_rejects(fps, hist, max_hamming).unionByName(misrouted)
         rejected.write.mode("overwrite").parquet(
             f"{root}/rejected/batch_id={batch_id}"
@@ -417,10 +479,16 @@ def media_dedup_batch_writer(
         ).write.mode("overwrite").parquet(f"{root}/accepted/batch_id={batch_id}")
         # only ACCEPTED fingerprints are indexed — a rejected
         # near-copy can never evict future arrivals
-        fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/fp_index/batch_id={batch_id}")
-        _maybe_compact_history(spark, root, "fp_index", batch_id, compact_every)
+        accepted_fps = fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS)
+        if write_fps is None:
+            accepted_fps.write.mode("overwrite").parquet(
+                f"{root}/fp_index/batch_id={batch_id}"
+            )
+            _maybe_compact_history(
+                spark, root, "fp_index", batch_id, compact_every
+            )
+        else:
+            write_fps(accepted_fps, batch_id)
 
     return write_batch
 
@@ -430,6 +498,8 @@ def media_curation_batch_writer(
     max_hamming: int = DHASH_MAX_HAMMING,
     frame_every_n: int = MEDIA_FRAME_EVERY_N,
     compact_every: int | None = HIST_COMPACT_EVERY,
+    read_hist: Callable | None = None,
+    write_fps: Callable[[DataFrame, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The FULL multimodal twin of the text curation funnel
     (pipeline.curation_batch_writer): per micro-batch, quality gate
@@ -485,7 +555,10 @@ def media_curation_batch_writer(
             gated.filter(F.col("reason").isNull()).select("asset_id"), "asset_id"
         )
         fps = media_fingerprints(passed, frame_every_n).localCheckpoint()
-        hist = _read_history(spark, root, "fp_index", batch_id)
+        if read_hist is None:
+            hist = _read_history(spark, root, "fp_index", batch_id)
+        else:
+            hist = read_hist(spark, batch_id)
         dup_drops = media_dup_rejects(fps, hist, max_hamming).select(
             "asset_id",
             "kind",
@@ -506,10 +579,16 @@ def media_curation_batch_writer(
         ).write.mode("overwrite").parquet(
             f"{root}/media_assets/batch_id={batch_id}"
         )
-        fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/fp_index/batch_id={batch_id}")
-        _maybe_compact_history(spark, root, "fp_index", batch_id, compact_every)
+        accepted_fps = fps.join(rej, "asset_id", "left_anti").select(*_FP_COLS)
+        if write_fps is None:
+            accepted_fps.write.mode("overwrite").parquet(
+                f"{root}/fp_index/batch_id={batch_id}"
+            )
+            _maybe_compact_history(
+                spark, root, "fp_index", batch_id, compact_every
+            )
+        else:
+            write_fps(accepted_fps, batch_id)
 
     return write_batch
 
@@ -520,16 +599,26 @@ def start_media_dedup_pipeline(
     root: str,
     checkpoint: str,
     trigger: str | None = None,
+    backend: str = "snapshot",
 ):
     """Wire the funnel: a parquet file source of (asset_id, kind,
     payload) rows → per-micro-batch screen + audit writes.
-    ``trigger=None`` → availableNow."""
+    ``trigger=None`` → availableNow. ``backend``: 'snapshot'
+    (DEFAULT — the fp index as a snapshot table,
+    media_dedup_snapshot_writer) or 'partitions' (the raw batch_id
+    twin, the compaction-comparison baseline)."""
+    if backend == "snapshot":
+        batch_writer = media_dedup_snapshot_writer(root)
+    elif backend == "partitions":
+        batch_writer = media_dedup_batch_writer(root)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     schema = "asset_id long, kind string, payload binary"
     writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_path)
-        .writeStream.foreachBatch(media_dedup_batch_writer(root))
+        .writeStream.foreachBatch(batch_writer)
         .option("checkpointLocation", checkpoint)
     )
     if trigger is None:

@@ -683,18 +683,29 @@ def start_dedup_pipeline(
     corpus_root: str,
     checkpoint: str,
     trigger: str | None = None,
+    backend: str = "snapshot",
 ):
     """Wire the streaming incremental-dedup ingest: a parquet file
     source of documents → per-micro-batch classification against the
-    accumulated accepted corpus. ``trigger=None`` → availableNow."""
+    accumulated accepted corpus. ``trigger=None`` → availableNow.
+    ``backend``: 'snapshot' (DEFAULT — the accepted corpus as a
+    snapshot table, dedup_snapshot_writer; read it with
+    read_corpus_snapshot) or 'partitions' (the raw batch_id-partition
+    twin, kept as the compaction-comparison baseline)."""
     from ..catalog import load  # noqa: F401 (schema doc: documents table shape)
 
+    if backend == "snapshot":
+        batch_writer = dedup_snapshot_writer(corpus_root)
+    elif backend == "partitions":
+        batch_writer = dedup_batch_writer(corpus_root)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_path)
-        .writeStream.foreachBatch(dedup_batch_writer(corpus_root))
+        .writeStream.foreachBatch(batch_writer)
         .option("checkpointLocation", checkpoint)
     )
     if trigger is None:
@@ -752,7 +763,19 @@ def substring_trim_batch_writer(
     return write_batch
 
 
-def _trim_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
+def _trim_one_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_root: str,
+    read_hist: Callable | None = None,
+    write_grams: Callable[[DataFrame, int], None] | None = None,
+) -> None:
+    """The trim stage shared by the partition-backed and snapshot-
+    backed writers: ``read_hist(spark, batch_id)`` supplies the gram
+    history (defaults to the raw-partition fold) and
+    ``write_grams(df, batch_id)`` lands the surviving grams (defaults
+    to the batchId-keyed partition overwrite) — decisions depend on
+    neither mechanism, which the twin-run pytest locks."""
     from pyspark.sql import functions as F
 
     from ..operators.substring import (
@@ -778,7 +801,10 @@ def _trim_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
     grams = _doc_grams(batch, k).cache()
     try:
         within = foreign_offsets(grams)
-        hist = _read_history(spark, corpus_root, "gram_index", batch_id)
+        if read_hist is None:
+            hist = _read_history(spark, corpus_root, "gram_index", batch_id)
+        else:
+            hist = read_hist(spark, batch_id)
         if hist is not None:
             against_hist = grams.join(
                 hist.select("g").distinct(), "g", "left_semi"
@@ -799,8 +825,48 @@ def _trim_one_batch(batch: DataFrame, batch_id: int, corpus_root: str) -> None:
         new_grams = _doc_grams(
             spark.read.parquet(f"{corpus_root}/trimmed/batch_id={batch_id}"), k
         ).select("g").distinct()
-        new_grams.write.mode("overwrite").parquet(
-            f"{corpus_root}/gram_index/batch_id={batch_id}"
-        )
+        if write_grams is None:
+            new_grams.write.mode("overwrite").parquet(
+                f"{corpus_root}/gram_index/batch_id={batch_id}"
+            )
+        else:
+            write_grams(new_grams, batch_id)
     finally:
         grams.unpersist()
+
+
+def substring_trim_snapshot_writer(
+    corpus_root: str,
+) -> Callable[[DataFrame, int], None]:
+    """substring_trim_batch_writer with the gram index as a SNAPSHOT
+    TABLE (``{root}/gram_log`` + ``{root}/gram_data``,
+    sources/snapshots.snapshot_append_writer) — the DEFAULT going
+    forward (VERDICT r11 item 4; the partition-backed twin stays as
+    the compaction-comparison baseline): one exactly-once mechanism
+    (marker-last atomic commits with the batch_id replay guard), and
+    the gram history gains time travel / WAP / maintain() compaction
+    for free. The history probe's ``batch_id < N`` prune is
+    snapshots.read_table_before_batch — a replay of batch N can never
+    see its own gram commit as history. Trimmed docs stay plain
+    batchId-keyed audit partitions (deterministically recomputed on
+    replay). Trim decisions are IDENTICAL to the partition-backed
+    writer — pytest-locked by a twin run."""
+    from ..sources.snapshots import (
+        read_table_before_batch,
+        snapshot_append_writer,
+    )
+
+    gram_w = snapshot_append_writer(
+        f"{corpus_root}/gram_log", f"{corpus_root}/gram_data", []
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        def read_hist(spark, bid):
+            return read_table_before_batch(spark, f"{corpus_root}/gram_log", bid)
+
+        _trim_one_batch(
+            batch, batch_id, corpus_root,
+            read_hist=read_hist, write_grams=gram_w,
+        )
+
+    return write_batch

@@ -199,6 +199,45 @@ def _check_geometry(
         ).write.mode("overwrite").parquet(path)
 
 
+def vector_ingest_snapshot_writer(
+    corpus_root: str,
+    tau: float = VECTOR_DUP_TAU,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """vector_ingest_batch_writer with the sig index as a SNAPSHOT
+    TABLE (``{root}/sig_log`` + ``{root}/sig_data``,
+    sources/snapshots.snapshot_append_writer) — the DEFAULT going
+    forward (VERDICT r11 item 4; the partition twin stays as the
+    compaction-comparison baseline): marker-last atomic commits with
+    the batch_id replay guard replace the ``__hist_base__`` fold, and
+    the index history gains time travel / maintain() compaction for
+    free. The history probe's ``batch_id < N`` prune is
+    snapshots.read_table_before_batch. accepted/rejected stay plain
+    batchId-keyed audit partitions (deterministically recomputed on
+    replay). Screening decisions are IDENTICAL to the
+    partition-backed writer — pytest-locked by a twin run."""
+    from ..sources.snapshots import (
+        read_table_before_batch,
+        snapshot_append_writer,
+    )
+
+    sig_w = snapshot_append_writer(
+        f"{corpus_root}/sig_log", f"{corpus_root}/sig_data", []
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        def read_hist(spark, bid):
+            return read_table_before_batch(spark, f"{corpus_root}/sig_log", bid)
+
+        _ingest_one_batch(
+            batch, batch_id, corpus_root, tau, n_bands, bits_per_band,
+            read_hist=read_hist, write_sigs=sig_w,
+        )
+
+    return write_batch
+
+
 def _ingest_one_batch(
     batch: DataFrame,
     batch_id: int,
@@ -206,6 +245,8 @@ def _ingest_one_batch(
     tau: float,
     n_bands: int | None,
     bits_per_band: int | None,
+    read_hist: Callable | None = None,
+    write_sigs: Callable[[DataFrame, int], None] | None = None,
 ) -> None:
     from ..operators.dedup import connected_components
     from ..operators.embedsearch import BITS_PER_BAND, N_BANDS, norm
@@ -253,7 +294,10 @@ def _ingest_one_batch(
         .cache()
     )
     try:
-        hist = _read_history(spark, corpus_root, "sig_index", batch_id)
+        if read_hist is None:
+            hist = _read_history(spark, corpus_root, "sig_index", batch_id)
+        else:
+            hist = read_hist(spark, batch_id)
         if hist is not None:
             h = hist.alias("h")
             against_hist = (
@@ -329,9 +373,13 @@ def _ingest_one_batch(
         # index from the already-cached signatures — recomputing the
         # n_bands*bits_per_band plane dots per accepted vector would
         # double the batch's dominant cost for no reason
-        sigs.join(rej, "vec_id", "left_anti").write.mode("overwrite").parquet(
-            f"{corpus_root}/sig_index/batch_id={batch_id}"
-        )
+        accepted_sigs = sigs.join(rej, "vec_id", "left_anti")
+        if write_sigs is None:
+            accepted_sigs.write.mode("overwrite").parquet(
+                f"{corpus_root}/sig_index/batch_id={batch_id}"
+            )
+        else:
+            write_sigs(accepted_sigs, batch_id)
     finally:
         pairs.unpersist()
         sigs.unpersist()

@@ -214,6 +214,150 @@ def test_stream_end_to_end(spark, tmp_path):
     assert rej[3] in {"history", "batch"}
 
 
+# --- snapshot-log-backed variant (VERDICT r11 item 4) ------------------
+
+
+def _run_media_sequence(spark, root, writer_factory):
+    """Shared 3-batch workout: three kinds accepted, per-kind history
+    rejects + a fresh asset, a within-batch near pair."""
+    w = writer_factory(root)
+    w(
+        spark.createDataFrame(
+            [(1, "image", _ppm(3)), (2, "audio", _tone(0x5A)), (3, "video", _clip(9))],
+            SCHEMA,
+        ),
+        0,
+    )
+    w(
+        spark.createDataFrame(
+            [
+                (11, "image", _ppm(3)),
+                (12, "audio", _tone(0x5A)),
+                (13, "video", _clip(9)),
+                (14, "image", _ppm(40)),
+            ],
+            SCHEMA,
+        ),
+        1,
+    )
+    w(
+        spark.createDataFrame(
+            [(21, "image", _ppm(5)), (22, "image", _ppm(5, flips=1))], SCHEMA
+        ),
+        2,
+    )
+
+
+def test_snapshot_media_writer_twin_run_parity(spark, tmp_path):
+    """The snapshot-backed media dedup must make the IDENTICAL
+    screening decisions the partition-backed writer makes — same
+    accepts, same (dup_of, scope, hamming) rejects — and its fp log
+    must fold to the same accepted-fingerprint set."""
+    from football_data_pipeline_spark.sources.snapshots import read_snapshot
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_dedup_snapshot_writer,
+    )
+
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    _run_media_sequence(spark, r_a, media_dedup_batch_writer)
+    _run_media_sequence(spark, r_b, media_dedup_snapshot_writer)
+    rej_a = {
+        r.asset_id: (r.dup_of, r.scope, r.hamming)
+        for r in _read(spark, r_a, "rejected").collect()
+    }
+    rej_b = {
+        r.asset_id: (r.dup_of, r.scope, r.hamming)
+        for r in _read(spark, r_b, "rejected").collect()
+    }
+    assert rej_a == rej_b
+    acc_a = {r.asset_id for r in _read(spark, r_a, "accepted").collect()}
+    acc_b = {r.asset_id for r in _read(spark, r_b, "accepted").collect()}
+    assert acc_a == acc_b == {1, 2, 3, 14, 21}
+    fp_a = {
+        (r.asset_id, r.fp_seq)
+        for r in _read(spark, r_a, "fp_index").collect()
+    }
+    fp_b = {
+        (r.asset_id, r.fp_seq)
+        for r in read_snapshot(spark, f"{r_b}/fp_log").collect()
+    }
+    assert fp_a == fp_b
+
+
+def test_snapshot_media_writer_replay_idempotent(spark, tmp_path):
+    """A replayed batch never sees its own fp commit as history and
+    the log's replay guard skips the re-commit."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_versions,
+    )
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_dedup_snapshot_writer,
+    )
+
+    root = str(tmp_path / "m")
+    w = media_dedup_snapshot_writer(root)
+    w(spark.createDataFrame([(1, "image", _ppm(3))], SCHEMA), 0)
+    b1 = spark.createDataFrame(
+        [(11, "image", _ppm(3)), (14, "image", _ppm(40))], SCHEMA
+    )
+    w(b1, 1)
+    first_rej = {
+        r.asset_id: (r.dup_of, r.scope)
+        for r in _read(spark, root, "rejected").collect()
+    }
+    first_acc = {r.asset_id for r in _read(spark, root, "accepted").collect()}
+    assert first_rej == {11: (1, "history")} and first_acc == {1, 14}
+    n_versions = len(snapshot_versions(spark, f"{root}/fp_log"))
+    w(b1, 1)  # crash-replay
+    assert {
+        r.asset_id: (r.dup_of, r.scope)
+        for r in _read(spark, root, "rejected").collect()
+    } == first_rej
+    assert {r.asset_id for r in _read(spark, root, "accepted").collect()} == first_acc
+    assert len(snapshot_versions(spark, f"{root}/fp_log")) == n_versions
+
+
+def test_snapshot_curation_writer_twin_run_parity(spark, tmp_path):
+    """The curation composition (gate → dedup) over the snapshot-
+    backed fp index makes identical drop/keep decisions."""
+    from football_data_pipeline_spark.streaming.mediadedup import (
+        media_curation_batch_writer,
+        media_curation_snapshot_writer,
+    )
+
+    flat = encode_ppm(16, 16, bytes([9, 9, 9]) * 256)
+
+    def run(root, factory):
+        w = factory(root)
+        w(
+            spark.createDataFrame(
+                [(1, "image", _ppm(4)), (2, "image", flat), (4, "gif", b"GIF89a")],
+                SCHEMA,
+            ),
+            0,
+        )
+        w(spark.createDataFrame([(11, "image", _ppm(4))], SCHEMA), 1)
+
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    run(r_a, media_curation_batch_writer)
+    run(r_b, media_curation_snapshot_writer)
+    drops_a = {
+        r.asset_id: (r.reason, r.dup_of, r.scope)
+        for r in _read(spark, r_a, "media_drops").collect()
+    }
+    drops_b = {
+        r.asset_id: (r.reason, r.dup_of, r.scope)
+        for r in _read(spark, r_b, "media_drops").collect()
+    }
+    assert drops_a == drops_b
+    assert drops_a[11] == ("near_duplicate", 1, "history")
+    kept_a = {r.asset_id for r in _read(spark, r_a, "media_assets").collect()}
+    kept_b = {r.asset_id for r in _read(spark, r_b, "media_assets").collect()}
+    assert kept_a == kept_b == {1}
+
+
 def test_curation_writer_gate_then_dedup_closure(spark, tmp_path):
     """The combined gate→dedup funnel: quality rejects carry the
     gate verdict, gate-passed dups carry near_duplicate + owner,

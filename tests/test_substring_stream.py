@@ -93,6 +93,82 @@ def test_crash_replay_idempotent(spark, tmp_path):
     assert _trimmed(spark, root, 1) == first == {2: _w("d", 9)}
 
 
+# --- snapshot-log-backed variant (VERDICT r11 item 4) ------------------
+
+
+def _run_trim_sequence(spark, root, writer_factory):
+    """Shared 3-batch workout: history cut, within-batch owner, a
+    clean doc, and a quote of an earlier run."""
+    w = writer_factory(root)
+    w(
+        spark.createDataFrame(
+            [
+                (1, RUN + " " + _w("a", 6), "en", "s0"),
+                (2, _w("x", 10), "en", "s0"),
+                (3, _w("x", 10) + " " + _w("t", 4), "en", "s0"),
+            ],
+            SCHEMA,
+        ),
+        0,
+    )
+    w(
+        spark.createDataFrame(
+            [(11, _w("b", 5) + " " + RUN, "en", "s1"), (12, _w("c", 15), "en", "s1")],
+            SCHEMA,
+        ),
+        1,
+    )
+    w(spark.createDataFrame([(21, _w("c", 15) + " " + _w("z", 3), "en", "s2")], SCHEMA), 2)
+
+
+def test_snapshot_trim_writer_twin_run_parity(spark, tmp_path):
+    """The snapshot-backed trim writer must cut EXACTLY what the
+    partition-backed writer cuts over the same batch sequence, and
+    its gram log must fold to the same surviving-gram set."""
+    from football_data_pipeline_spark.sources.snapshots import read_snapshot
+    from football_data_pipeline_spark.streaming.pipeline import (
+        substring_trim_snapshot_writer,
+    )
+
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    _run_trim_sequence(spark, r_a, substring_trim_batch_writer)
+    _run_trim_sequence(spark, r_b, substring_trim_snapshot_writer)
+    for b in range(3):
+        assert _trimmed(spark, r_a, b) == _trimmed(spark, r_b, b), b
+    grams_a = {
+        r.g
+        for r in spark.read.option("basePath", f"{r_a}/gram_index")
+        .parquet(f"{r_a}/gram_index")
+        .collect()
+    }
+    grams_b = {r.g for r in read_snapshot(spark, f"{r_b}/gram_log").collect()}
+    assert grams_a == grams_b
+
+
+def test_snapshot_trim_writer_replay_idempotent(spark, tmp_path):
+    """A replayed batch must not see its own gram commit as history
+    (read_table_before_batch) — identical trim output, and the gram
+    log's replay guard skips the re-commit."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_versions,
+    )
+    from football_data_pipeline_spark.streaming.pipeline import (
+        substring_trim_snapshot_writer,
+    )
+
+    root = str(tmp_path / "corpus")
+    w = substring_trim_snapshot_writer(root)
+    w(spark.createDataFrame([(1, RUN, "en", "s")], SCHEMA), 0)
+    b1 = spark.createDataFrame([(2, RUN + " " + _w("d", 9), "en", "s")], SCHEMA)
+    w(b1, 1)
+    first = _trimmed(spark, root, 1)
+    n_versions = len(snapshot_versions(spark, f"{root}/gram_log"))
+    w(b1, 1)  # replay
+    assert _trimmed(spark, root, 1) == first == {2: _w("d", 9)}
+    assert len(snapshot_versions(spark, f"{root}/gram_log")) == n_versions
+
+
 def test_duplicate_ids_and_metadata_honesty(spark, tmp_path):
     """Same-id re-collections collapse to one row, and n_chars is
     re-derived from the trimmed text."""

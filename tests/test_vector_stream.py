@@ -115,6 +115,77 @@ def test_replay_idempotent_and_duplicate_ids_collapse(spark, tmp_path):
     } == first_rej
 
 
+# --- snapshot-log-backed variant (VERDICT r11 item 4) ------------------
+
+
+def _run_vector_sequence(spark, root, writer_factory):
+    """Shared 3-batch workout: two fresh accepts, a history reject
+    + a fresh accept, a within-batch pair."""
+    w = writer_factory(root)
+    w(spark.createDataFrame([(1, _block(0)), (2, _block(8))], SCHEMA), 0)
+    w(spark.createDataFrame([(3, _block(0, 2.0)), (4, _block(16))], SCHEMA), 1)
+    w(spark.createDataFrame([(5, _block(24)), (6, _block(24, 0.5))], SCHEMA), 2)
+
+
+def test_snapshot_vector_writer_twin_run_parity(spark, tmp_path):
+    """The snapshot-backed ingest must make the IDENTICAL screening
+    decisions the partition-backed writer makes — same accepts, same
+    (dup_of, scope) rejects — and its sig log must fold to the same
+    accepted-signature set."""
+    from football_data_pipeline_spark.sources.snapshots import read_snapshot
+    from football_data_pipeline_spark.streaming.vectors import (
+        vector_ingest_snapshot_writer,
+    )
+
+    r_a = str(tmp_path / "partition")
+    r_b = str(tmp_path / "snapshot")
+    _run_vector_sequence(spark, r_a, vector_ingest_batch_writer)
+    _run_vector_sequence(spark, r_b, vector_ingest_snapshot_writer)
+    for b in range(3):
+        assert _accepted(spark, r_a, b) == _accepted(spark, r_b, b), b
+        ra = {k: (v.dup_of, v.scope) for k, v in _rejected(spark, r_a, b).items()}
+        rb = {k: (v.dup_of, v.scope) for k, v in _rejected(spark, r_b, b).items()}
+        assert ra == rb, b
+    sigs_a = {
+        (r.vec_id, r.sig)
+        for r in spark.read.option("basePath", f"{r_a}/sig_index")
+        .parquet(f"{r_a}/sig_index")
+        .collect()
+    }
+    sigs_b = {
+        (r.vec_id, r.sig)
+        for r in read_snapshot(spark, f"{r_b}/sig_log").collect()
+    }
+    assert sigs_a == sigs_b
+
+
+def test_snapshot_vector_writer_replay_idempotent(spark, tmp_path):
+    """A replayed batch never sees its own sig commit as history and
+    the log's replay guard skips the re-commit."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_versions,
+    )
+    from football_data_pipeline_spark.streaming.vectors import (
+        vector_ingest_snapshot_writer,
+    )
+
+    root = str(tmp_path / "vecs")
+    w = vector_ingest_snapshot_writer(root)
+    w(spark.createDataFrame([(1, _block(0))], SCHEMA), 0)
+    b1 = spark.createDataFrame([(2, _block(8)), (3, _block(0, 0.5))], SCHEMA)
+    w(b1, 1)
+    first_acc = _accepted(spark, root, 1)
+    first_rej = {k: (v.dup_of, v.scope) for k, v in _rejected(spark, root, 1).items()}
+    assert first_acc == {2} and first_rej == {3: (1, "history")}
+    n_versions = len(snapshot_versions(spark, f"{root}/sig_log"))
+    w(b1, 1)  # crash-replay
+    assert _accepted(spark, root, 1) == first_acc
+    assert {
+        k: (v.dup_of, v.scope) for k, v in _rejected(spark, root, 1).items()
+    } == first_rej
+    assert len(snapshot_versions(spark, f"{root}/sig_log")) == n_versions
+
+
 def test_within_batch_chain_owner_is_canonical(spark, tmp_path):
     """Cosine is not transitive: with A~B and B~C but A!~C, the
     cluster canonical (min id) owns every non-canonical, and no
