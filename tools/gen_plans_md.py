@@ -172,6 +172,12 @@ KNOWN_NOTES = {
         "_phash_pair_plan), and connected-components rounds checkpoint "
         "per iteration by design"
     ),
+    "q_skew_report": (
+        "the 'global window' is the TakeOrdered-then-rank top-k idiom "
+        "(profiling.py:189-197) — k-bounded by construction; an "
+        "intermediate exchange hides the TakeOrderedAndProject child "
+        "from the generic detector"
+    ),
     "q_media_curation": (
         "smj count is a checkpoint artifact: the probe joins read "
         "localCheckpoint scans whose statistics are unknown to the "
