@@ -46,6 +46,19 @@ an LSM level-0 compaction) or in a table format's MERGE
 
 Real seqs must be >= 0 (BASE_SEQ = -1 sits strictly below them);
 enforced by a plan-embedded check in the writer.
+
+SNAPSHOT-BACKED VARIANT (r12 — completes the funnel/log
+unification): ``cdc_snapshot_writer`` + ``read_cdc_snapshot_log``
+back the winner sets with the snapshot log (marker-last atomic
+commits, batch_id replay guard, AS-OF reads) instead of the raw
+partitions + ``{root}/base`` fold above, and
+``compact_cdc_snapshot`` is the LSM fold as a COW rewrite commit
+(tombstones and winning seqs kept; the commit inherits the batch
+watermark). maintain() handles small FILES; the fold handles
+row-level GC — two bounded maintenance axes instead of one
+entangled one. The partition-backed writer stays as the
+compaction-comparison baseline; decisions are twin-run
+pytest-identical.
 """
 
 from __future__ import annotations
@@ -206,6 +219,155 @@ def compact_cdc_log(
     for name in consumed:
         fs.delete(hpath(f"{root}/log/{name}"), True)
     return len(consumed)
+
+
+# --- snapshot-log-backed variant (VERDICT r11 item 4, r12: the CDC
+# view was the last funnel on raw batch_id partitions) ------------------
+
+
+def cdc_snapshot_writer(
+    root: str,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """cdc_log_batch_writer with the per-batch winner sets as a
+    SNAPSHOT TABLE (``{root}/winners_log`` + ``{root}/winners_data``,
+    sources/snapshots.snapshot_append_writer) — the DEFAULT going
+    forward; the partition twin stays as the compaction-comparison
+    baseline. One exactly-once mechanism (marker-last atomic commits
+    with the batch_id replay guard) replaces the partition-overwrite
+    convention, and the view history gains time travel / WAP /
+    maintain() small-file compaction for free. Snapshot semantics are
+    IDENTICAL (the global max-struct collapse runs at read time, so
+    out-of-order delivery across batches still loses by
+    construction) — pytest-locked by a twin run.
+
+    Maintenance splits in two, each bounded: maintain() bin-packs
+    small FILES without touching rows; ``compact_cdc_snapshot`` is
+    the LSM fold (row-level GC of overwritten winners) as a COW
+    rewrite commit."""
+    winners_w = _winners_appender(root)
+
+    def write_batch(changes: DataFrame, batch_id: int) -> None:
+        guarded = changes.withColumn(
+            seq_col,
+            F.when(F.col(seq_col) >= 0, F.col(seq_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("cdc seq must be >= 0, got "),
+                        F.col(seq_col).cast("string"),
+                    )
+                ).cast("long")
+            ),
+        )
+        winners = collapse_log(guarded, key, seq_col, op_col, payload_cols)
+        winners_w(winners, batch_id)
+
+    return write_batch
+
+
+def _winners_appender(root: str):
+    """The winners-log appender (lazy import seam)."""
+    from ..sources.snapshots import snapshot_append_writer
+
+    return snapshot_append_writer(
+        f"{root}/winners_log", f"{root}/winners_data", []
+    )
+
+
+def read_cdc_snapshot_log(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    payload_cols: list[str],
+    base: DataFrame | None = None,
+    keep_seq: bool = False,
+    keep_tombstones: bool = False,
+    version: int | None = None,
+) -> DataFrame:
+    """read_cdc_snapshot for the snapshot-backed layout: the latest
+    committed winners table (or ``version`` — the view state AS OF
+    any commit is one pin away) + an optional external base, one
+    global collapse, 'D' winners dropped unless kept. External-base
+    and keep_* semantics match read_cdc_snapshot exactly."""
+    from ..sources.snapshots import read_snapshot
+
+    winners = read_snapshot(spark, f"{root}/winners_log", version=version)
+    parts = [winners.select(key, "__seq", "__op", *payload_cols)]
+    if base is not None:
+        base_cols = set(base.columns)
+        base_seq = (
+            F.col("__seq") if "__seq" in base_cols else F.lit(BASE_SEQ)
+        ).cast("long")
+        base_op = F.col("__op") if "__op" in base_cols else F.lit("U")
+        parts.append(
+            base.select(
+                key,
+                base_seq.alias("__seq"),
+                base_op.alias("__op"),
+                *payload_cols,
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    snap = collapse_log(union, key, "__seq", "__op", payload_cols)
+    if not keep_tombstones:
+        snap = snap.filter(F.col("__op") != "D")
+    keep = [key, *payload_cols]
+    if keep_seq:
+        keep.append("__seq")
+    if keep_tombstones:
+        keep.append("__op")
+    return snap.select(*keep)
+
+
+def compact_cdc_snapshot(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    payload_cols: list[str],
+) -> int:
+    """The LSM fold for the snapshot-backed view, as a COW rewrite:
+    collapse the winners table to ONE row per key (winning __seq and
+    'D' tombstones KEPT — a tombstone dropped here would let a late
+    lower-seq 'U' resurrect the key with stale state), land the
+    folded rows in their own generation dir, and commit the new
+    manifest. Old versions stay time-travelable until
+    expire_snapshots; the commit INHERITS the log's max batch_id
+    (maintain()'s watermark rule) so the replay guard survives any
+    retention policy. Returns the folded snapshot's version."""
+    import os as _os
+
+    from ..sources.manifest import build_manifest
+    from ..sources.snapshots import (
+        _SNAP_RE,
+        commit_snapshot,
+        get_snapshot_store,
+        latest_committed_batch,
+    )
+
+    log = f"{root}/winners_log"
+    snap = read_cdc_snapshot_log(
+        spark, root, key, payload_cols, keep_seq=True, keep_tombstones=True
+    )
+    # number generations past every snap dir (committed or debris) so
+    # a crashed fold's retry takes a fresh dir instead of colliding
+    store = get_snapshot_store()
+    taken = [
+        int(m.group(1))
+        for name in store.list_dirs(log)
+        if (m := _SNAP_RE.match(name))
+    ]
+    gen = (max(taken) + 1) if taken else 0
+    out = _os.path.join(root, "winners_fold", f"gen-{gen}")
+    snap.write.mode("errorifexists").parquet(out)
+    manifest = build_manifest(spark, out, [])
+    return commit_snapshot(
+        spark, log, manifest, batch_id=latest_committed_batch(spark, log)
+    )
 
 
 def read_cdc_snapshot(

@@ -220,3 +220,103 @@ def test_uncompacted_log_warns_past_threshold(spark, tmp_path, monkeypatch):
     w2(_chg(spark, [(2, 2, "U", "b")]), 1)
     assert (root2 / "base").exists()
     assert _snap(spark, root2) == {1: "a", 2: "b"}
+
+
+# --- snapshot-log-backed variant (VERDICT r11 item 4, r12) --------------
+
+
+def _snap_log(spark, root, base=None, **kw):
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        read_cdc_snapshot_log,
+    )
+
+    out = read_cdc_snapshot_log(spark, str(root), "k", ["v"], base=base, **kw)
+    return {r.k: r.v for r in out.select("k", "v").collect()}
+
+
+def test_cdc_snapshot_writer_twin_run_parity(spark, tmp_path):
+    """The snapshot-backed CDC writer must materialize the IDENTICAL
+    view the partition-backed writer does over the same batch
+    sequence — including the out-of-order loss and the delete."""
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot_writer,
+    )
+
+    b0 = [(1, 10, "U", "a"), (2, 10, "U", "b"), (3, 10, "U", "c")]
+    b1 = [(2, 20, "D", None), (3, 5, "U", "stale"), (4, 20, "U", "d")]
+    r_a = tmp_path / "partition"
+    r_b = tmp_path / "snapshot"
+    wa = cdc_log_batch_writer(str(r_a), "k", "seq", "op", ["v"])
+    wb = cdc_snapshot_writer(str(r_b), "k", "seq", "op", ["v"])
+    for w in (wa, wb):
+        w(_chg(spark, b0), 0)
+        w(_chg(spark, b1), 1)
+    assert _snap(spark, r_a) == _snap_log(spark, r_b) == {1: "a", 3: "c", 4: "d"}
+
+
+def test_cdc_snapshot_writer_replay_and_seq_guard(spark, tmp_path):
+    """Replay of the last batch is a guarded no-op (no new version);
+    the in-plan seq guard still fires through the snapshot path."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        snapshot_versions,
+    )
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot_writer,
+    )
+
+    root = tmp_path / "cdc"
+    w = cdc_snapshot_writer(str(root), "k", "seq", "op", ["v"])
+    w(_chg(spark, [(1, 1, "U", "a")]), 0)
+    b1 = _chg(spark, [(1, 2, "U", "a2"), (2, 2, "U", "b")])
+    w(b1, 1)
+    first = _snap_log(spark, root)
+    n = len(snapshot_versions(spark, f"{root}/winners_log"))
+    w(b1, 1)  # crash-restart re-runs the last batch
+    assert _snap_log(spark, root) == first == {1: "a2", 2: "b"}
+    assert len(snapshot_versions(spark, f"{root}/winners_log")) == n
+    with pytest.raises(Exception, match="cdc seq must be >= 0"):
+        w(_chg(spark, [(9, -1, "U", "x")]), 2)
+
+
+def test_cdc_snapshot_fold_keeps_tombstones_and_monotonicity(spark, tmp_path):
+    """The COW fold (compact_cdc_snapshot) collapses to one row per
+    key, KEEPS 'D' tombstones and winning seqs (a late lower-seq 'U'
+    still loses after the fold — even for a deleted key), carries the
+    batch watermark, and leaves old versions time-travelable."""
+    from football_data_pipeline_spark.sources.snapshots import (
+        latest_committed_batch,
+        read_snapshot,
+        snapshot_versions,
+    )
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot_writer,
+        compact_cdc_snapshot,
+    )
+
+    root = tmp_path / "cdc"
+    log = f"{root}/winners_log"
+    w = cdc_snapshot_writer(str(root), "k", "seq", "op", ["v"])
+    w(_chg(spark, [(1, 10, "U", "a"), (2, 10, "U", "b")]), 0)
+    w(_chg(spark, [(1, 20, "U", "a2"), (2, 30, "D", None)]), 1)
+    pre_fold = _snap_log(spark, root)
+    assert pre_fold == {1: "a2"}
+    v = compact_cdc_snapshot(spark, str(root), "k", ["v"])
+    # folded table: one row per key, tombstone retained with its seq
+    rows = {
+        r["k"]: (r["__seq"], r["__op"])
+        for r in read_snapshot(spark, log).collect()
+    }
+    assert rows == {1: (20, "U"), 2: (30, "D")}
+    assert _snap_log(spark, root) == pre_fold
+    # watermark carried: the replay guard survives the fold
+    assert latest_committed_batch(spark, log) == 1
+    w(_chg(spark, [(1, 20, "U", "a2"), (2, 30, "D", None)]), 1)  # replay
+    assert snapshot_versions(spark, log)[-1] == v
+    # late lower-seq changes still lose — including for the deleted key
+    w(_chg(spark, [(1, 15, "U", "stale"), (2, 25, "U", "resurrect")]), 2)
+    assert _snap_log(spark, root) == {1: "a2"}
+    # pre-fold versions remain one pin away
+    assert {
+        r.k
+        for r in read_snapshot(spark, log, version=0).collect()
+    } == {1, 2}
