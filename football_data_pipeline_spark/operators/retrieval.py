@@ -693,8 +693,14 @@ def index_append_writer(index_root: str, n_term_buckets: int = N_TERM_BUCKETS):
         [bcol],
         partition_by=[bcol],
     )
+    # the segment dfs are term-keyed too — bucket them identically,
+    # so the query-time df fold reads only the query's buckets
+    # (vocabulary-sized at corpus scale, not just postings-sized)
     dfs_w = snapshot_append_writer(
-        f"{index_root}/dfs_log", f"{index_root}/dfs_data", []
+        f"{index_root}/dfs_log",
+        f"{index_root}/dfs_data",
+        [bcol],
+        partition_by=[bcol],
     )
     stats_w = snapshot_append_writer(
         f"{index_root}/stats_log", f"{index_root}/stats_data", []
@@ -706,10 +712,43 @@ def index_append_writer(index_root: str, n_term_buckets: int = N_TERM_BUCKETS):
         )
         seg_dfs, seg_stats = index_stats(post.drop(bcol))
         post_w(post, batch_id)
-        dfs_w(seg_dfs, batch_id)
+        dfs_w(
+            seg_dfs.withColumn(bcol, term_bucket(F.col("term"), n_term_buckets)),
+            batch_id,
+        )
         stats_w(seg_stats, batch_id)
 
     return write_batch
+
+
+def _pruned_bucketed_read(
+    spark: SparkSession, log_dir: str, terms: list[str]
+) -> DataFrame | None:
+    """The snapshot at ``log_dir`` cut to the files whose term-bucket
+    min/max matches any of the query's buckets — or None when the
+    manifest carries no bucket layout (a legacy/unbucketed index;
+    the caller falls back to the full snapshot). The bucket count is
+    recovered from the manifest's own column name, so a stale
+    constant can never mis-prune."""
+    from ..sources.snapshots import read_manifest
+
+    manifest = read_manifest(spark, log_dir)
+    matches = [m for c in manifest.columns if (m := _BUCKET_COL_RE.match(c))]
+    if not matches:
+        return None
+    n = int(matches[0].group(1))
+    bcol = _bucket_col(n)
+    pred = F.lit(False)
+    for b in query_term_buckets(spark, terms, n):
+        pred = pred | (
+            (F.col(f"{bcol}_min") <= b) & (F.col(f"{bcol}_max") >= b)
+        )
+    files = [r.file for r in manifest.filter(pred).select("file").collect()]
+    if files:
+        return spark.read.parquet(*files)
+    # no bucket holds any query term: provably empty
+    any_file = manifest.select("file").first()
+    return spark.read.parquet(any_file.file).filter(F.lit(False))
 
 
 def read_index(
@@ -720,40 +759,27 @@ def read_index(
     sum, segment stats folded by scalar sum.
 
     Pass the query's ``terms`` to serve from the PRUNED store: the
-    terms hash to their buckets (the writer's own expression), the
-    postings manifest's per-file bucket min/max cuts the file list
-    to matching buckets BEFORE the scan plans a split (the bucket
-    count is recovered from the manifest's column name, so a stale
-    constant can never mis-prune), and the dfs read filters to the
-    query's terms map-side. Soundness never depends on the prune —
-    bm25_topk_indexed re-applies the exact term filter on survivors
-    (manifest.pruned_read's contract). terms=None (or an unbucketed
-    legacy index) reads the full snapshot."""
-    from ..sources.snapshots import read_manifest, read_snapshot
+    terms hash to their buckets (the writer's own expression — see
+    _pruned_bucketed_read) and the manifests' per-file bucket
+    min/max cut BOTH the postings and the segment-dfs file lists to
+    matching buckets before either scan plans a split; the dfs fold
+    then filters to the exact query terms map-side. Soundness never
+    depends on either prune — bm25_topk_indexed re-applies the exact
+    term filter on survivors (manifest.pruned_read's contract).
+    terms=None (or an unbucketed legacy index) reads the full
+    snapshots."""
+    from ..sources.snapshots import read_snapshot
 
     post_log = f"{index_root}/postings_log"
-    manifest = read_manifest(spark, post_log)
-    bucket_cols = [
-        m for c in manifest.columns if (m := _BUCKET_COL_RE.match(c))
-    ]
-    if terms is not None and bucket_cols:
-        n = int(bucket_cols[0].group(1))
-        bcol = _bucket_col(n)
-        buckets = query_term_buckets(spark, terms, n)
-        pred = F.lit(False)
-        for b in buckets:
-            pred = pred | (
-                (F.col(f"{bcol}_min") <= b) & (F.col(f"{bcol}_max") >= b)
-            )
-        files = [r.file for r in manifest.filter(pred).select("file").collect()]
-        if files:
-            postings = spark.read.parquet(*files)
-        else:  # no bucket holds any query term: provably empty
-            any_file = manifest.select("file").first()
-            postings = spark.read.parquet(any_file.file).filter(F.lit(False))
-    else:
+    dfs_log = f"{index_root}/dfs_log"
+    postings = dfs = None
+    if terms is not None:
+        postings = _pruned_bucketed_read(spark, post_log, terms)
+        dfs = _pruned_bucketed_read(spark, dfs_log, terms)
+    if postings is None:
         postings = read_snapshot(spark, post_log)
-    dfs = read_snapshot(spark, f"{index_root}/dfs_log")
+    if dfs is None:
+        dfs = read_snapshot(spark, dfs_log)
     if terms is not None:
         dfs = dfs.filter(F.col("term").isin(list(terms)))
     dfs = dfs.groupBy("term").agg(F.sum("df").alias("df"))

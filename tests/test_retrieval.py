@@ -245,6 +245,9 @@ def test_term_bucketed_layout_file_prunes(spark, tmp_path):
     all_files = set(post_all.inputFiles())
     pruned_files = set(post_pruned.inputFiles())
     assert pruned_files < all_files  # strict subset: real file prune
+    # the segment-dfs store prunes the same way (it is term-keyed
+    # and bucketed identically)
+    assert set(dfs_pruned.inputFiles()) < set(dfs_all.inputFiles())
     got = bm25_topk_indexed(post_pruned, dfs_pruned, stats_pruned, terms, 10)
     want = bm25_topk_indexed(post_all, dfs_all, stats_all, terms, 10)
     assert [tuple(r) for r in got.collect()] == [
