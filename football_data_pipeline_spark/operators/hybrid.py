@@ -30,7 +30,11 @@ data-dependent summation order anywhere.
 10x probe (documents+embeddings replicated 10x; medians of 3):
 q_hybrid_topk 1.75 -> 3.33 s — the cost is the two underlying
 retrieval passes (both sub-linear); the fusion itself is k-bounded
-constant work at any corpus size.
+constant work at any corpus size. r12, same probe: q_hybrid_batch
+2.95 -> 3.96 s — the batch BM25 pass and the IVF cell probes both
+grow sub-linearly (replicated labels make each coarse cell 10x
+heavier, the honest degradation axis) and the keyed fusion stays
+rank-list-bounded.
 """
 
 from __future__ import annotations

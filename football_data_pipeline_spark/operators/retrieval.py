@@ -37,7 +37,10 @@ with the corpus, the rest is broadcast-bounded. r11 additions, same
 probe: q_bm25_batch 2.13 -> 3.93 s (three queries share one corpus
 pass), q_bm25_indexed 1.71 -> 3.87 s (the FULL build+fold+serve
 composition — the standing-service steady state pays only the fold
-and serve slices).
+and serve slices). r12 re-probe (post term-bucketing + overlap
+guard + presence rows): q_bm25_topk 0.82 -> 1.43 s, q_bm25_batch
+1.99 -> 2.71 s, q_bm25_indexed 1.51 -> 2.22 s — all sub-linear;
+the indexed row got FASTER despite the added guard aggregate.
 """
 
 from __future__ import annotations
