@@ -174,8 +174,10 @@ HEADLINE = [
     "q_bm25_batch",
     "q_bm25_indexed",
     # r12: the serving-path hybrid — batch BM25 × IVF lists fused
-    # keyed on query_id (VERDICT r11 item 6)
+    # keyed on query_id (VERDICT r11 item 6) — and the index-DELETE
+    # fold (build → fold-out → serve, scan-hash-identical)
     "q_hybrid_batch",
+    "q_bm25_index_delete",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

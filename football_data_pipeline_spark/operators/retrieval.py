@@ -373,6 +373,76 @@ def merge_index(
     return delta_post, merged_dfs, merged_stats
 
 
+def unmerge_index(
+    dfs: DataFrame,
+    stats: DataFrame,
+    deleted_postings: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold document REMOVALS out of a standing index in
+    O(delta_del) — the retention/dedup counterpart of merge_index,
+    completing the index lifecycle (build → fold → serve → DELETE):
+    returns (merged_dfs, merged_stats). ``deleted_postings`` is the
+    INDEX'S OWN postings rows for the deleted doc ids (extract with a
+    doc-keyed semi-join, or a COW DELETE against the bucketed store —
+    deriving from the stored rows rather than re-tokenizing text
+    guarantees the subtraction is exact even if the tokenizer ever
+    changes); the caller drops those rows from the postings table
+    (anti-join / COW delete). df subtracts per term and rows reaching
+    0 drop (a term no remaining doc carries must vanish, as the scan
+    path would have it); the scalars subtract — presence rows make
+    zero-token docs subtract from n_docs symmetrically to how they
+    added. Both folds carry an IN-PLAN negative guard (the cdc seq
+    discipline): a deletion not actually present in the index would
+    drive df or the scalars negative and raises loudly instead of
+    silently skewing every future idf."""
+    d_dfs, d_stats = index_stats(deleted_postings, id_col)
+
+    def _non_negative(col, what: str):
+        return F.when(col >= 0, col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"unmerge_index: {what} went negative — the "
+                        "deleted docs are not (all) in the index; got "
+                    ),
+                    col.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    merged_dfs = (
+        dfs.withColumnRenamed("df", "__a")
+        .join(d_dfs.withColumnRenamed("df", "__b"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("__a"), F.lit(0))
+                - F.coalesce(F.col("__b"), F.lit(0))
+            ).alias("df"),
+        )
+        .withColumn("df", _non_negative(F.col("df"), "a term's df"))
+        .filter(F.col("df") > 0)
+    )
+    merged_stats = (
+        stats.crossJoin(
+            d_stats.select(
+                F.col("__n_docs").alias("__dn"),
+                F.col("__total_len").alias("__dl_sum"),
+            )
+        )
+        .select(
+            _non_negative(
+                F.col("__n_docs") - F.col("__dn"), "n_docs"
+            ).alias("__n_docs"),
+            _non_negative(
+                F.col("__total_len") - F.col("__dl_sum"), "total_len"
+            ).alias("__total_len"),
+        )
+    )
+    return merged_dfs, merged_stats
+
+
 def bm25_topk_indexed(
     postings: DataFrame,
     dfs: DataFrame,
@@ -461,11 +531,14 @@ def bm25_topk(
     )
 
 
-def bm25_scored_ctes() -> str:
+def bm25_scored_ctes(doc_where: str = "") -> str:
     """The sized→stats→postings→dfs→idfd→ts→scored CTE chain for
-    the fixed driver query — the body both the q_bm25_topk oracle
-    and the hybrid-fusion oracle (operators/hybrid.py) share, so the
-    two recompute the identical BM25 algebra."""
+    the fixed driver query — the body the q_bm25_topk, hybrid-fusion
+    (operators/hybrid.py) and index-delete oracles share, so all
+    recompute the identical BM25 algebra. ``doc_where`` restricts
+    the corpus (the index-delete oracle scores the REMAINING docs
+    from scratch — a folded deletion must be indistinguishable from
+    never having ingested the doc)."""
     terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     idf = oracle_rnd(
         "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 6
@@ -481,7 +554,7 @@ def bm25_scored_ctes() -> str:
              len(list_filter(string_split(text, ' '), w -> w <> ''))
                AS dl,
              list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
+      FROM documents {doc_where}
     ),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -513,9 +586,9 @@ def bm25_scored_ctes() -> str:
     )"""
 
 
-def _oracle() -> str:
+def _oracle(doc_where: str = "") -> str:
     return f"""
-    WITH {bm25_scored_ctes()}
+    WITH {bm25_scored_ctes(doc_where)}
     SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
              AS BIGINT) AS rank,
            doc_id, n_matched, score
@@ -813,3 +886,27 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = post_h.unionByName(delta_post)
     return bm25_topk_indexed(postings, dfs_m, stats_m, list(QUERY_TERMS), TOP_K)
+
+
+@query("q_bm25_index_delete", oracle=_oracle("WHERE doc_id % 7 <> 0"))
+def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-DELETE invariant, driver-pinned (the retention /
+    dedup counterpart of q_bm25_indexed's fold-in): build the index
+    over ALL documents, fold OUT the doc_id % 7 == 0 cohort with
+    unmerge_index (df subtraction from the index's own postings rows,
+    zero-df terms dropped, scalars subtracted, negative guards
+    in-plan), drop their postings, serve the fixed driver query — and
+    the result must be byte-identical to scoring the remaining corpus
+    from scratch, so the oracle is the shared CTE chain over
+    ``documents WHERE doc_id % 7 <> 0``. A drift anywhere (a df not
+    decremented, a zero-df term retained and matched, a stats scalar
+    off by one doc — including zero-token docs via their presence
+    rows) lands a different ranking and breaks the hash."""
+    docs = load(spark, sf_dir, "documents")
+    post = build_postings(docs)
+    dfs, stats = index_stats(post)
+    del_ids = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    del_post = post.join(del_ids, "doc_id", "left_semi")
+    kept_post = post.join(del_ids, "doc_id", "left_anti")
+    dfs_d, stats_d = unmerge_index(dfs, stats, del_post)
+    return bm25_topk_indexed(kept_post, dfs_d, stats_d, list(QUERY_TERMS), TOP_K)

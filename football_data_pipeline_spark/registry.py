@@ -131,6 +131,9 @@ CHECK_PRIORITY = [
     "q_bm25_topk",
     "q_bm25_batch",
     "q_bm25_indexed",
+    # ...and (r12, late) the index-DELETE fold, the retention/dedup
+    # counterpart of the fold-in — NEW, so it must be checked:
+    "q_bm25_index_delete",
     # operators/hybrid.py: q_hybrid_batch NEW (VERDICT r11 item 6 —
     # the serving-path composition: batch BM25 x IVF lists fused
     # keyed); the module byte-changed so q_hybrid_topk re-checks:
@@ -155,9 +158,10 @@ CHECK_PRIORITY = [
     # (VERDICT r11 item 4) — both media queries re-check:
     "q_media_dedup",
     "q_media_curation",
-    # --- freshness: the 10 oldest r9-latest rows (modules
-    # byte-untouched since r9); the remaining 36 r9-latest names
-    # carry to the r13 head (CARRY_TO_NEXT_ROUND below):
+    # --- freshness: the 9 oldest r9-latest rows (modules
+    # byte-untouched since r9; q_audio_near_dup yielded its slot to
+    # the late q_bm25_index_delete above); the remaining 37 r9-latest
+    # names carry to the r13 head (CARRY_TO_NEXT_ROUND below):
     "q_video_frame_dedup",
     "q_video_stats",
     "q_learned_mapping",
@@ -167,7 +171,6 @@ CHECK_PRIORITY = [
     "q_normalize_names",
     "q_pagerank",
     "q_multimodal_meta",
-    "q_audio_near_dup",
 ]
 
 # --- r12 SHARED-DEP LEDGER -------------------------------------------
@@ -197,9 +200,10 @@ CHECK_PRIORITY = [
 CARRY_TO_NEXT_ROUND: list[str] = [
     # the 36 r9-latest freshness refreshes the r12 head could not
     # fit (modules byte-untouched since r9, green rows stand; the
-    # head spent 26 slots repaying the r11 carry IOU, 14 on touched
-    # modules and the new query, 10 on the oldest r9 rows) — head
-    # these in r13:
+    # head spent 26 slots repaying the r11 carry IOU, 15 on touched
+    # modules and the two new queries, 9 on the oldest r9 rows) —
+    # head these in r13:
+    "q_audio_near_dup",
     "q_audio_stats",
     "q_fixtures_extract",
     "q_leagues_extract",
@@ -320,6 +324,7 @@ ROTATE_TAIL = [
     # green r9 driver rows, modules untouched in r10, r11 AND r12
     # (the freshness remainder recorded in CARRY_TO_NEXT_ROUND
     # above):
+    "q_audio_near_dup",
     "q_audio_stats",
     "q_fixtures_extract",
     "q_leagues_extract",

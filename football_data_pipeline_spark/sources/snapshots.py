@@ -943,6 +943,35 @@ def audit_and_publish(
 # --- retention: orphans, expire, vacuum -------------------------------
 
 
+def rollback(
+    spark: SparkSession,
+    log_dir: str,
+    to_version: int,
+    expect_latest: int | None = None,
+) -> int:
+    """History-preserving ROLLBACK (Iceberg's rollback-to-snapshot):
+    commit a NEW version whose manifest equals ``to_version``'s — a
+    bad write is undone by moving the table POINTER, never by
+    deleting history, so the rolled-back versions stay
+    time-travelable (and auditable) until expire_snapshots retires
+    them, and readers pinned mid-rollback see a consistent snapshot
+    either way. Planning is one manifest read, bounded by file
+    count; no data file is touched. The new commit inherits the
+    log's batch watermark (maintain()'s carry rule): a rollback
+    undoes a batch's EFFECTS deliberately, which must not reopen the
+    replay guard and let the stream re-apply it. ``expect_latest``
+    passes through to the CAS guard for concurrent-writer safety.
+    Returns the new version."""
+    manifest = read_manifest(spark, log_dir, to_version)
+    return commit_snapshot(
+        spark,
+        log_dir,
+        manifest,
+        batch_id=latest_committed_batch(spark, log_dir),
+        expect_latest=expect_latest,
+    )
+
+
 def orphan_files(expired: DataFrame, retained: DataFrame) -> DataFrame:
     """Distinct data files referenced by ``expired`` manifests and by
     NO ``retained`` one — the set a GC may delete. One file-keyed

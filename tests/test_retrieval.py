@@ -300,6 +300,73 @@ def test_zero_token_docs_count_in_index_stats(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_unmerge_index_equals_scan_of_remaining(spark):
+    """Folding docs OUT of the index (unmerge_index) must serve
+    identically to a from-scratch scan of the remaining corpus —
+    including a zero-token doc subtracting from n_docs via its
+    presence row, and a term whose df hits 0 vanishing entirely."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings,
+        index_stats,
+        unmerge_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge"),
+            (2, "spark spark fast"),
+            (3, ""),                      # zero-token: presence row
+            (4, "window solo unique"),    # sole holder of some terms
+            (5, "fast merge q"),
+        ],
+        "doc_id long, text string",
+    )
+    post = build_postings(docs)
+    dfs, stats = index_stats(post)
+    del_ids = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    del_post = post.join(del_ids, "doc_id", "left_semi")
+    kept_post = post.join(del_ids, "doc_id", "left_anti")
+    dfs_d, stats_d = unmerge_index(dfs, stats, del_post)
+    # terms only doc 4 held are gone entirely (df hit 0)
+    terms_left = {r.term for r in dfs_d.collect()}
+    assert "solo" not in terms_left and "unique" not in terms_left
+    # the zero-token doc subtracted from n_docs (presence row)
+    st = stats_d.collect()[0].asDict()
+    assert st["__n_docs"] == 3 and st["__total_len"] == 3 + 3 + 3
+    terms = ["spark", "window", "merge", "fast"]
+    got = bm25_topk_indexed(kept_post, dfs_d, stats_d, terms, 10).collect()
+    want = bm25_topk(
+        docs.filter(~F.col("doc_id").isin(3, 4)), terms, 10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_unmerge_index_negative_guard_raises(spark):
+    """Deleting postings that never entered the index drives df or
+    the scalars negative — the in-plan guard must raise loudly, not
+    silently skew idf."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        build_postings,
+        index_stats,
+        unmerge_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "spark merge")], "doc_id long, text string"
+    )
+    stranger = spark.createDataFrame(
+        [(9, "spark spark never ingested words")], "doc_id long, text string"
+    )
+    post_h = build_postings(hist)
+    dfs_h, stats_h = index_stats(post_h)
+    dfs_d, stats_d = unmerge_index(dfs_h, stats_h, build_postings(stranger))
+    with pytest.raises(Exception, match="went negative"):
+        stats_d.collect()
+
+
 def test_merge_index_rejects_doc_id_overlap(spark):
     """Folding a delta whose doc id already lives in the index must
     raise loudly (VERDICT r11 item 3) — silent df/N inflation is the

@@ -553,6 +553,47 @@ def test_maintain_does_not_lose_concurrent_appends(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(120))
 
 
+def test_rollback_moves_pointer_keeps_history(spark, tmp_path):
+    """ROLLBACK commits a new version with the target's manifest: the
+    table reads as of the target, the bad versions stay
+    time-travelable, the batch watermark survives (a rolled-back
+    batch must not replay), and the CAS guard protects against a
+    concurrent writer."""
+    import pytest
+
+    from football_data_pipeline_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        latest_committed_batch,
+        rollback,
+        snapshot_append_writer,
+    )
+
+    log = str(tmp_path / "log")
+    data = str(tmp_path / "data")
+    write = snapshot_append_writer(log, data, ["id"])
+    for i in range(3):
+        write(spark.range(i * 10, (i + 1) * 10).select("id").coalesce(1), i)
+    assert snapshot_versions(spark, log) == [0, 1, 2]
+    v = rollback(spark, log, 0)
+    assert v == 3
+    # the live table is version 0's rows again...
+    assert sorted(r.id for r in read_snapshot(spark, log).collect()) == list(range(10))
+    # ...while the rolled-back state stays one pin away
+    assert read_snapshot(spark, log, version=2).count() == 30
+    # the watermark carried: batch 2 cannot replay itself back in
+    assert latest_committed_batch(spark, log) == 2
+    write(spark.range(20, 30).select("id").coalesce(1), 2)
+    assert snapshot_versions(spark, log) == [0, 1, 2, 3]
+    # a NEW batch lands on top of the rolled-back state
+    write(spark.range(100, 110).select("id").coalesce(1), 3)
+    assert sorted(r.id for r in read_snapshot(spark, log).collect()) == list(
+        range(10)
+    ) + list(range(100, 110))
+    # CAS: a stale expectation raises instead of last-writer-winning
+    with pytest.raises(ConcurrentCommitError):
+        rollback(spark, log, 0, expect_latest=3)
+
+
 def test_maintain_carries_batch_watermark_forward(spark, tmp_path):
     """The compaction commit inherits the log's max batch_id (ADVICE
     r11): maintain(keep_latest=1) expires every batch-stamped append
