@@ -827,6 +827,76 @@ def _pruned_bucketed_read(
     return spark.read.parquet(any_file.file).filter(F.lit(False))
 
 
+def maintain_index(
+    spark: SparkSession,
+    index_root: str,
+    target_rows: int = 100_000,
+    keep_latest: int = 2,
+    do_vacuum: bool = True,
+) -> dict:
+    """Housekeeping for the standing index — the maintain() loop the
+    three logs need, layout-aware: the postings and dfs stores are
+    bucket-partitioned, so they compact through
+    optimize.compact_partitioned_log (bucket-PRESERVING bin-packing;
+    generic maintain() cannot even resolve their directory-encoded
+    bucket column, and cross-bucket packing would erode the term
+    prune), while the unbucketed 1-row-per-batch stats log runs plain
+    snapshots.maintain. Every compaction commit carries the batch
+    watermark, so the streaming writer's replay guard survives any
+    ``keep_latest`` retention. Returns a per-log audit dict."""
+    import os as _os
+
+    from ..sources.optimize import compact_partitioned_log
+    from ..sources.snapshots import (
+        _SNAP_RE,
+        expire_snapshots,
+        get_snapshot_store,
+        maintain,
+        read_manifest,
+        vacuum,
+    )
+
+    report: dict = {}
+    store = get_snapshot_store()
+    for sub in ("postings_log", "dfs_log"):
+        log = f"{index_root}/{sub}"
+        manifest = read_manifest(spark, log)
+        matches = [m for c in manifest.columns if (m := _BUCKET_COL_RE.match(c))]
+        if not matches:  # legacy unbucketed index: plain maintain
+            report[sub] = maintain(
+                spark, log, target_rows,
+                _os.path.join(index_root, f"{sub[:-4]}_opt"),
+                keep_latest=keep_latest, do_vacuum=do_vacuum,
+            )
+            continue
+        bcol = _bucket_col(int(matches[0].group(1)))
+        taken = [
+            int(m.group(1))
+            for name in store.list_dirs(log)
+            if (m := _SNAP_RE.match(name))
+        ]
+        gen = (max(taken) + 1) if taken else 0
+        out = _os.path.join(index_root, f"{sub[:-4]}_fold", f"gen-{gen}")
+        version = compact_partitioned_log(spark, log, bcol, target_rows, out)
+        expired, orphans = expire_snapshots(spark, log, keep_latest)
+        vacuumed = vacuum(orphans) if do_vacuum else 0
+        report[sub] = {
+            "compacted_version": version,
+            "expired": expired,
+            "orphans": len(orphans),
+            "vacuumed": vacuumed,
+        }
+    report["stats_log"] = maintain(
+        spark,
+        f"{index_root}/stats_log",
+        target_rows,
+        _os.path.join(index_root, "stats_opt"),
+        keep_latest=keep_latest,
+        do_vacuum=do_vacuum,
+    )
+    return report
+
+
 def read_index(
     spark: SparkSession, index_root: str, terms: list[str] | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

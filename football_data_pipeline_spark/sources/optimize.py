@@ -54,6 +54,107 @@ from pyspark.sql import functions as F
 from .manifest import build_manifest
 
 
+def compact_partitioned_log(
+    spark: SparkSession,
+    log_dir: str,
+    part_col: str,
+    target_rows: int,
+    out_dir: str,
+) -> int | None:
+    """OPTIMIZE for a snapshot log whose data files live under a
+    DIRECTORY-ENCODED partition column (snapshot_append_writer's
+    ``partition_by`` — e.g. the term-bucketed BM25 postings/dfs
+    stores): bin-pack each partition VALUE's small files without ever
+    crossing values. Generic compact_small_files cannot run here at
+    all — the column is not IN the data files, so its tracked-column
+    aggregate fails to resolve — and even a fixed generic pass would
+    be WRONG for this layout: cross-value packing widens the per-file
+    min/max the readers prune on, eroding the very skip the layout
+    exists to provide.
+
+    Same one-job discipline as compact_small_files (driver-held
+    file→bin map broadcast onto input_file_name(), bin-keyed
+    repartition, partitioned write), with the partition dirs RESTORED
+    on write so per-file min == max == the value stays exact. Files
+    whose min != max (legacy/mixed) or whose value is NULL (the
+    presence-row default partition) are carried untouched. Commits
+    the new manifest with the log's batch watermark (maintain()'s
+    carry rule); returns the committed version, or None when nothing
+    needs packing."""
+    from .snapshots import (
+        commit_snapshot,
+        latest_committed_batch,
+        read_manifest,
+    )
+
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    manifest = read_manifest(spark, log_dir)
+    mn, mx = f"{part_col}_min", f"{part_col}_max"
+    if mn not in manifest.columns or mx not in manifest.columns:
+        raise ValueError(
+            f"manifest of {log_dir!r} does not track {part_col!r} — "
+            "this compactor is for partition-encoded snapshot logs; "
+            "use snapshots.maintain for plain layouts"
+        )
+    rows = manifest.select("file", "n_rows", mn, mx).collect()
+    small: dict[int, list[tuple[int, str]]] = {}
+    keep: list[str] = []
+    for r in rows:
+        v_lo, v_hi = r[mn], r[mx]
+        if r.n_rows < target_rows and v_lo is not None and v_lo == v_hi:
+            small.setdefault(int(v_lo), []).append((r.n_rows, r.file))
+        else:
+            keep.append(r.file)
+    bins: list[tuple[int, list[str]]] = []
+    for v in sorted(small):
+        fs = sorted(small[v], key=lambda t: (-t[0], t[1]))
+        vbins: list[list[str]] = []
+        loads: list[int] = []
+        for n, f in fs:
+            for i, load in enumerate(loads):
+                if load + n <= target_rows:
+                    vbins[i].append(f)
+                    loads[i] += n
+                    break
+            else:
+                vbins.append([f])
+                loads.append(n)
+        for b in vbins:
+            if len(b) == 1:  # rewriting a lone file buys nothing
+                keep.append(b[0])
+            else:
+                bins.append((v, b))
+    if not bins:
+        return None
+    assign = spark.createDataFrame(
+        [(f, v, i) for i, (v, fs) in enumerate(bins) for f in fs],
+        f"__compact_file string, {part_col} long, __compact_bin int",
+    )
+    small_files = [f for _, fs in bins for f in fs]
+    packed = (
+        spark.read.parquet(*small_files)
+        .withColumn("__compact_file", F.input_file_name())
+        .join(F.broadcast(assign), "__compact_file")
+        .drop("__compact_file")
+        .repartition(len(bins), "__compact_bin")
+    )
+    packed.write.partitionBy(part_col, "__compact_bin").mode(
+        "overwrite"
+    ).parquet(out_dir)
+    # reading the OUT root (not leaf globs) re-infers part_col from
+    # the restored dirs, so the fresh manifest's min/max stay exact
+    fresh = build_manifest(spark, out_dir, [part_col])
+    carried = manifest.filter(F.col("file").isin(keep))
+    merged = carried.unionByName(fresh.select(*carried.columns))
+    return commit_snapshot(
+        spark,
+        log_dir,
+        merged,
+        batch_id=latest_committed_batch(spark, log_dir),
+    )
+
+
 def plan_compaction(
     manifest: DataFrame, target_rows: int
 ) -> tuple[list[list[str]], list[str]]:

@@ -260,6 +260,72 @@ def test_term_bucketed_layout_file_prunes(spark, tmp_path):
     ]
 
 
+def test_maintain_index_bucket_preserving(spark, tmp_path):
+    """Index housekeeping must keep the layout's contract: fewer
+    postings/dfs files after compaction, per-file bucket min == max
+    preserved (the prune stays exact), the serve byte-identical, and
+    the streaming replay guard alive through keep_latest=1 — while
+    generic maintain() cannot even run on these logs (the bucket
+    column is directory-encoded)."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        index_append_writer,
+        maintain_index,
+        read_index,
+    )
+    from football_data_pipeline_spark.sources.snapshots import (
+        maintain,
+        read_manifest,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "idx")
+    plog = f"{root}/postings_log"
+    w = index_append_writer(root, n_term_buckets=8)
+    batches = [
+        spark.createDataFrame(
+            [
+                (i * 10 + 1, "spark window merge shared words"),
+                (i * 10 + 2, f"spark fast batchword{i} extra"),
+            ],
+            "doc_id long, text string",
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        w(b, i)
+    terms = ["spark", "window", "fast"]
+    post, dfs, stats = read_index(spark, root, terms)
+    pre = bm25_topk_indexed(post, dfs, stats, terms, 10).collect()
+    pre_files = read_manifest(spark, plog).count()
+    # generic maintain cannot resolve the directory-encoded bucket col
+    with pytest.raises(Exception, match="p_term_bucket_8"):
+        maintain(spark, plog, 100_000, f"{root}/bad_opt")
+    report = maintain_index(spark, root, target_rows=100_000, keep_latest=1)
+    assert report["postings_log"]["compacted_version"] is not None
+    m = read_manifest(spark, plog)
+    assert m.count() < pre_files
+    # per-file bucket bounds stay EXACT — the prune contract
+    for r in m.collect():
+        if r["p_term_bucket_8_min"] is not None:
+            assert r["p_term_bucket_8_min"] == r["p_term_bucket_8_max"]
+    post2, dfs2, stats2 = read_index(spark, root, terms)
+    post_all2, _, _ = read_index(spark, root)
+    assert set(post2.inputFiles()) < set(post_all2.inputFiles())
+    got = bm25_topk_indexed(post2, dfs2, stats2, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in pre]
+    # replay guard survives keep_latest=1 (watermark carried)
+    n = len(snapshot_versions(spark, plog))
+    w(batches[2], 2)
+    assert len(snapshot_versions(spark, plog)) == n
+    # and a genuinely NEW batch still lands
+    w(batches[0].withColumn("doc_id", batches[0].doc_id + 1000), 3)
+    post3, dfs3, stats3 = read_index(spark, root, terms)
+    assert post3.count() > post2.count()
+
+
 def test_zero_token_docs_count_in_index_stats(spark):
     """A corpus containing empty/whitespace-only docs must score
     IDENTICALLY through the materialized index and the batch scan
