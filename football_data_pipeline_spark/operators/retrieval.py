@@ -41,6 +41,9 @@ and serve slices). r12 re-probe (post term-bucketing + overlap
 guard + presence rows): q_bm25_topk 0.82 -> 1.43 s, q_bm25_batch
 1.99 -> 2.71 s, q_bm25_indexed 1.51 -> 2.22 s — all sub-linear;
 the indexed row got FASTER despite the added guard aggregate.
+q_bm25_index_delete 3.85 -> 5.61 s (build-over-ALL-docs dominates —
+it is deliberately the full build+unmerge+serve composition; the
+standing-service steady state pays only the delta-sized unmerge).
 """
 
 from __future__ import annotations
