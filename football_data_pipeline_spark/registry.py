@@ -194,6 +194,20 @@ CHECK_PRIORITY = [
 #   substring-trim/vector funnels are pytest surfaces.
 # - tools/gen_plans_md.py (q_skew_report k-bounded note), registry
 #   curation lists, tests/*: no runtime query lineage.
+# r12 LATE additions (each verified by a fresh full driver-sim at
+# HEAD before its commit):
+# - operators/retrieval.py also gained unmerge_index (index-DELETE
+#   fold) + maintain_index (bucket-preserving housekeeping):
+#   q_bm25_index_delete NEW IN HEAD (q_audio_near_dup yielded its
+#   freshness slot and moved to CARRY).
+# - sources/snapshots.py also gained rollback() (pointer-moving,
+#   history-preserving): additive; its queries already IN HEAD.
+# - sources/optimize.py gained compact_partitioned_log (the bucketed
+#   logs' compactor): pytest surface (test_retrieval maintain test).
+# - streaming/cdc_stream.py gained the snapshot-backed writer/reader/
+#   fold: q_cdc_apply lives in operators/cdc.py (byte-untouched) and
+#   keeps its green r10 row; the new surface is pytest-locked
+#   (test_cdc_stream twin-run/replay/fold).
 # Everything in ROTATE_TAIL holds a green r9, r10 or r11 driver row
 # and its module + shared deps are untouched since that row. The
 # r11 curation notes live in git history (this file at 695fba4).
