@@ -178,6 +178,8 @@ HEADLINE = [
     # fold (build → fold-out → serve, scan-hash-identical)
     "q_hybrid_batch",
     "q_bm25_index_delete",
+    # r12: exact-phrase search through the positional index
+    "q_phrase_search",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

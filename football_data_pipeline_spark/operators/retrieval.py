@@ -512,6 +512,87 @@ def bm25_topk_indexed(
     )
 
 
+# --- positional index + phrase search ---------------------------------
+
+#: the driver phrase fixture (adjacent pair with a multi-occurrence
+#: doc in the testdata corpus, so overlap counting is exercised)
+PHRASE = ("fast", "merge")
+
+
+def build_positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term): one row per token OCCURRENCE — the
+    positional inverted index (Lucene's proximity data; the
+    frequency postings' (doc, term, tf) aggregate cannot answer
+    adjacency). Corpus-token-bounded, computed once per document; a
+    standing service writes it term-bucketed exactly like the
+    frequency postings (term_bucket + snapshot_append_writer's
+    partition_by), so a phrase's terms file-prune the store the same
+    way."""
+    words = F.array_remove(F.split(F.col(text_col), "[ \n]+"), "")
+    return docs.select(F.col(id_col), F.posexplode(words).alias("pos", "term"))
+
+
+def phrase_match(
+    postings_pos: DataFrame, phrase: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_occurrences) of the EXACT consecutive phrase, from
+    positional postings: the i-th word's occurrences align to the
+    phrase START position (pos − i), and the k−1 equi joins on
+    (doc, start) leave exactly one row per full occurrence —
+    overlapping occurrences count separately, repeated words in the
+    phrase fall out of the same alignment. Work is bounded by the
+    PHRASE TERMS' postings (each join key is unique per side, so
+    nothing fans out; the rarest term caps the intermediate early),
+    never the corpus — the standard positional-index query plan. All
+    integers, no floats anywhere."""
+    terms = list(phrase)
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    cur = None
+    for i, t in enumerate(terms):
+        nxt = postings_pos.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("__start")
+        )
+        cur = nxt if cur is None else cur.join(nxt, [id_col, "__start"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def _phrase_oracle() -> str:
+    k = len(PHRASE)
+    conds = " AND ".join(
+        f"ws[i + {i}] = '{t}'" for i, t in enumerate(PHRASE)
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM sized, unnest(range(1, len(ws) - {k} + 2)) AS t(i)
+    WHERE {conds}
+    GROUP BY doc_id
+    """
+
+
+@query("q_phrase_search", oracle=_phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search through the positional inverted index:
+    per-document occurrence counts of the fixed adjacent pair
+    {PHRASE}, computed as start-aligned equi joins of the phrase
+    terms' positional postings (work bounded by those terms'
+    postings, never the corpus). The oracle enumerates every window
+    of the same tokenization and counts matches — overlap semantics
+    and multi-occurrence docs must agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return phrase_match(build_positional_postings(docs), PHRASE)
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],

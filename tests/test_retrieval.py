@@ -260,6 +260,44 @@ def test_term_bucketed_layout_file_prunes(spark, tmp_path):
     ]
 
 
+def test_phrase_match_semantics(spark):
+    """Positional phrase search: exact adjacency, OVERLAPPING
+    occurrences count separately, a repeated-word phrase aligns
+    correctly, longer phrases chain, scattered (non-adjacent) terms
+    never match, and phraseless docs are absent."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast merge x fast merge"),   # 2 occurrences
+            (2, "a a a"),                     # "a a" overlaps: 2
+            (3, "fast x merge"),              # scattered: no match
+            (4, "one two three four"),        # 3-term phrase home
+            (5, "merge fast"),                # reversed: no match
+        ],
+        "doc_id long, text string",
+    )
+    pos = build_positional_postings(docs)
+
+    def got(phrase):
+        return {
+            r.doc_id: r.n_occurrences
+            for r in phrase_match(pos, phrase).collect()
+        }
+
+    assert got(["fast", "merge"]) == {1: 2}
+    assert got(["a", "a"]) == {2: 2}
+    assert got(["two", "three", "four"]) == {4: 1}
+    assert got(["three", "two"]) == {}
+    with pytest.raises(ValueError, match="at least one term"):
+        phrase_match(pos, [])
+
+
 def test_maintain_index_bucket_preserving(spark, tmp_path):
     """Index housekeeping must keep the layout's contract: fewer
     postings/dfs files after compaction, per-file bucket min == max
