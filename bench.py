@@ -178,8 +178,10 @@ HEADLINE = [
     # fold (build → fold-out → serve, scan-hash-identical)
     "q_hybrid_batch",
     "q_bm25_index_delete",
-    # r12: exact-phrase search through the positional index
+    # r12: exact-phrase + slop-bounded proximity search through the
+    # positional index
     "q_phrase_search",
+    "q_near_search",
     # the one-scan ANALYZE stats pass (exact-NDV audit mode)
     "q_analyze_stats",
     # NOT headlined: q_media_curation (the combined gate→dedup

@@ -562,6 +562,81 @@ def phrase_match(
     )
 
 
+#: the driver near-query fixture: same pair as PHRASE but within a
+#: 4-token window, so the result must be a strict superset of the
+#: exact-phrase hits
+NEAR_SLOP = 4
+
+
+def near_match(
+    postings_pos: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_pairs): ordered proximity search — occurrences of
+    ``term_a`` followed by ``term_b`` within ``slop`` tokens
+    (distance 1 = adjacent, i.e. the phrase case). The range
+    predicate is rewritten as an EQUI join: the b side explodes the
+    slop offsets (b at pos aligns to starts pos−1 … pos−slop) and
+    joins the a side on (doc, start) — work is postings × slop,
+    never a per-doc position cross product, and the join stays
+    hash-partitionable at any corpus size. Distinct (a_pos, b_pos)
+    pairs count separately (the honest proximity-frequency number a
+    scoring layer would consume)."""
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    a = postings_pos.filter(F.col("term") == term_a).select(
+        id_col, F.col("pos").alias("__start")
+    )
+    offsets = F.explode(F.array(*[F.lit(d) for d in range(1, slop + 1)]))
+    b = (
+        postings_pos.filter(F.col("term") == term_b)
+        .select(id_col, "pos")
+        .withColumn("__d", offsets)
+        .select(id_col, (F.col("pos") - F.col("__d")).alias("__start"))
+    )
+    return (
+        a.join(b, [id_col, "__start"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _near_oracle() -> str:
+    a, b = PHRASE
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM sized,
+         unnest(range(1, len(ws) + 1)) AS t(i),
+         unnest(range(1, len(ws) + 1)) AS u(j)
+    WHERE ws[i] = '{a}' AND ws[j] = '{b}'
+      AND j - i BETWEEN 1 AND {NEAR_SLOP}
+    GROUP BY doc_id
+    """
+
+
+@query("q_near_search", oracle=_near_oracle())
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search through the positional index: per
+    document, the count of ({PHRASE[0]} … {PHRASE[1]}) occurrence
+    pairs within {NEAR_SLOP} tokens — the slop-offset equi-join plan
+    (postings × slop work, no per-doc position cross product). The
+    oracle enumerates position pairs directly, so the offset rewrite
+    must reproduce exact pair semantics; the result strictly
+    contains q_phrase_search's hits (slop 1 ⊂ slop {NEAR_SLOP})."""
+    docs = load(spark, sf_dir, "documents")
+    return near_match(
+        build_positional_postings(docs), PHRASE[0], PHRASE[1], NEAR_SLOP
+    )
+
+
 def _phrase_oracle() -> str:
     k = len(PHRASE)
     conds = " AND ".join(

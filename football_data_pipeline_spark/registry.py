@@ -136,6 +136,7 @@ CHECK_PRIORITY = [
     # both NEW, so they must be checked:
     "q_bm25_index_delete",
     "q_phrase_search",
+    "q_near_search",
     # operators/hybrid.py: q_hybrid_batch NEW (VERDICT r11 item 6 —
     # the serving-path composition: batch BM25 x IVF lists fused
     # keyed); the module byte-changed so q_hybrid_topk re-checks:
@@ -160,11 +161,12 @@ CHECK_PRIORITY = [
     # (VERDICT r11 item 4) — both media queries re-check:
     "q_media_dedup",
     "q_media_curation",
-    # --- freshness: the 8 oldest r9-latest rows (modules
-    # byte-untouched since r9; q_audio_near_dup and q_multimodal_meta
-    # yielded their slots to the late q_bm25_index_delete and
-    # q_phrase_search above); the remaining 38 r9-latest names carry
-    # to the r13 head (CARRY_TO_NEXT_ROUND below):
+    # --- freshness: the 7 oldest r9-latest rows (modules
+    # byte-untouched since r9; q_audio_near_dup, q_multimodal_meta
+    # and q_pagerank yielded their slots to the late
+    # q_bm25_index_delete / q_phrase_search / q_near_search above);
+    # the remaining 39 r9-latest names carry to the r13 head
+    # (CARRY_TO_NEXT_ROUND below):
     "q_video_frame_dedup",
     "q_video_stats",
     "q_learned_mapping",
@@ -172,7 +174,6 @@ CHECK_PRIORITY = [
     "q_difflib_ratio",
     "q_resolve_alternatives",
     "q_normalize_names",
-    "q_pagerank",
 ]
 
 # --- r12 SHARED-DEP LEDGER -------------------------------------------
@@ -219,6 +220,7 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     # head spent 26 slots repaying the r11 carry IOU, 15 on touched
     # modules and the two new queries, 9 on the oldest r9 rows) —
     # head these in r13:
+    "q_pagerank",
     "q_multimodal_meta",
     "q_audio_near_dup",
     "q_audio_stats",
@@ -341,6 +343,7 @@ ROTATE_TAIL = [
     # green r9 driver rows, modules untouched in r10, r11 AND r12
     # (the freshness remainder recorded in CARRY_TO_NEXT_ROUND
     # above):
+    "q_pagerank",
     "q_multimodal_meta",
     "q_audio_near_dup",
     "q_audio_stats",

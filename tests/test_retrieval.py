@@ -298,6 +298,49 @@ def test_phrase_match_semantics(spark):
         phrase_match(pos, [])
 
 
+def test_near_match_semantics(spark):
+    """Proximity search: adjacency is slop 1 (= phrase), wider slop
+    is a strict superset, ORDER matters, every in-window pair counts,
+    and out-of-window/absent terms never match."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        build_positional_postings,
+        near_match,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast x merge"),              # distance 2
+            (2, "fast merge"),                # adjacent
+            (3, "merge x x fast"),            # reversed: no ordered pair
+            (4, "fast x x x x merge"),        # distance 5: outside slop 4
+            (5, "fast merge fast x merge"),   # pairs within 4: (0,1),(2,4),(0,4)
+        ],
+        "doc_id long, text string",
+    )
+    pos = build_positional_postings(docs)
+
+    def got(slop):
+        return {
+            r.doc_id: r.n_pairs
+            for r in near_match(pos, "fast", "merge", slop).collect()
+        }
+
+    assert got(1) == {2: 1, 5: 1}
+    # slop 1 must equal the exact phrase semantics
+    assert got(1) == {
+        r.doc_id: r.n_occurrences
+        for r in phrase_match(pos, ["fast", "merge"]).collect()
+    }
+    assert got(2) == {1: 1, 2: 1, 5: 2}
+    assert got(4) == {1: 1, 2: 1, 5: 3}
+    assert got(5) == {1: 1, 2: 1, 4: 1, 5: 3}
+    with pytest.raises(ValueError, match="slop"):
+        near_match(pos, "fast", "merge", 0)
+
+
 def test_maintain_index_bucket_preserving(spark, tmp_path):
     """Index housekeeping must keep the layout's contract: fewer
     postings/dfs files after compaction, per-file bucket min == max
