@@ -983,6 +983,11 @@ def _pruned_bucketed_read(
         return spark.read.parquet(*files)
     # no bucket holds any query term: provably empty
     any_file = manifest.select("file").first()
+    if any_file is None:
+        # only empty batches ever committed (ADVICE r12): mirror
+        # read_snapshot's error for the same state instead of an
+        # AttributeError off the None row
+        raise ValueError("snapshot has an empty manifest")
     return spark.read.parquet(any_file.file).filter(F.lit(False))
 
 

@@ -76,11 +76,16 @@ def compact_partitioned_log(
     file→bin map broadcast onto input_file_name(), bin-keyed
     repartition, partitioned write), with the partition dirs RESTORED
     on write so per-file min == max == the value stays exact. Files
-    whose min != max (legacy/mixed) or whose value is NULL (the
-    presence-row default partition) are carried untouched. Commits
-    the new manifest with the log's batch watermark (maintain()'s
-    carry rule); returns the committed version, or None when nothing
-    needs packing."""
+    whose min != max (legacy/mixed) are carried untouched; files
+    whose value is NULL (the presence-row default partition the
+    bucketed postings writer emits one per batch) bin-pack as their
+    own partition group (ADVICE r12 — carrying them forever is a
+    slow small-file leak the maintain loop could never drain;
+    NULL-to-NULL packing keeps the prune contract intact because a
+    term prune never selects a NULL-bounds file). Commits the new
+    manifest with the log's batch watermark (maintain()'s carry
+    rule); returns the committed version, or None when nothing needs
+    packing."""
     from .snapshots import (
         commit_snapshot,
         latest_committed_batch,
@@ -98,16 +103,19 @@ def compact_partitioned_log(
             "use snapshots.maintain for plain layouts"
         )
     rows = manifest.select("file", "n_rows", mn, mx).collect()
-    small: dict[int, list[tuple[int, str]]] = {}
+    small: dict[int | None, list[tuple[int, str]]] = {}
     keep: list[str] = []
     for r in rows:
         v_lo, v_hi = r[mn], r[mx]
-        if r.n_rows < target_rows and v_lo is not None and v_lo == v_hi:
-            small.setdefault(int(v_lo), []).append((r.n_rows, r.file))
+        # None == None groups the all-NULL (default-partition) files
+        # together; mixed-bounds files (min != max) stay carried
+        if r.n_rows < target_rows and v_lo == v_hi:
+            key = None if v_lo is None else int(v_lo)
+            small.setdefault(key, []).append((r.n_rows, r.file))
         else:
             keep.append(r.file)
-    bins: list[tuple[int, list[str]]] = []
-    for v in sorted(small):
+    bins: list[tuple[int | None, list[str]]] = []
+    for v in sorted(small, key=lambda k: (k is not None, k or 0)):
         fs = sorted(small[v], key=lambda t: (-t[0], t[1]))
         vbins: list[list[str]] = []
         loads: list[int] = []

@@ -63,6 +63,7 @@ pytest-identical.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -353,13 +354,25 @@ def compact_cdc_snapshot(
     snap = read_cdc_snapshot_log(
         spark, root, key, payload_cols, keep_seq=True, keep_tombstones=True
     )
-    # number generations past every snap dir (committed or debris) so
-    # a crashed fold's retry takes a fresh dir instead of colliding
+    # number generations past every snap dir AND every existing fold
+    # dir (ADVICE r12): a crash between the fold's parquet write and
+    # its commit leaves a gen-N dir with NO matching snap dir, so
+    # numbering from snap dirs alone would recompute the same gen and
+    # fail permanently on mode('errorifexists') — the retry must take
+    # a fresh dir instead of colliding with its own debris
     store = get_snapshot_store()
+    fold_root = _os.path.join(root, "winners_fold")
+    _GEN_RE = re.compile(r"^gen-(\d+)$")
     taken = [
         int(m.group(1))
         for name in store.list_dirs(log)
         if (m := _SNAP_RE.match(name))
+    ] + [
+        int(m.group(1))
+        for name in (
+            store.list_dirs(fold_root) if store.is_dir(fold_root) else []
+        )
+        if (m := _GEN_RE.match(name))
     ]
     gen = (max(taken) + 1) if taken else 0
     out = _os.path.join(root, "winners_fold", f"gen-{gen}")

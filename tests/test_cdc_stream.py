@@ -320,3 +320,33 @@ def test_cdc_snapshot_fold_keeps_tombstones_and_monotonicity(spark, tmp_path):
         r.k
         for r in read_snapshot(spark, log, version=0).collect()
     } == {1, 2}
+
+
+def test_crashed_fold_retry_takes_fresh_gen_dir(spark, tmp_path):
+    """A crash between the fold's parquet write and its commit leaves
+    a gen-N dir with no matching snap dir (ADVICE r12); the retry
+    must number PAST the debris instead of colliding with
+    mode('errorifexists') and failing permanently."""
+    import os
+
+    from football_data_pipeline_spark.streaming.cdc_stream import (
+        cdc_snapshot_writer,
+        compact_cdc_snapshot,
+    )
+
+    root = tmp_path / "cdc"
+    w = cdc_snapshot_writer(str(root), "k", "seq", "op", ["v"])
+    w(_chg(spark, [(1, 10, "U", "a"), (2, 10, "U", "b")]), 0)
+    w(_chg(spark, [(1, 20, "U", "a2")]), 1)
+    pre = _snap_log(spark, root)
+    # simulate the crashed fold: the gen the snap-dir numbering alone
+    # would pick (max snap + 1) already exists as debris
+    debris = root / "winners_fold" / "gen-2"
+    os.makedirs(debris)
+    (debris / "_started").write_text("crashed before commit")
+    v = compact_cdc_snapshot(spark, str(root), "k", ["v"])
+    assert v is not None
+    assert _snap_log(spark, root) == pre
+    # the retry took a FRESH dir past the debris, which is untouched
+    assert (debris / "_started").read_text() == "crashed before commit"
+    assert (root / "winners_fold" / "gen-3").is_dir()

@@ -536,3 +536,75 @@ def test_merge_index_rejects_doc_id_overlap(spark):
     dfs_h, stats_h = index_stats(post_h)
     with pytest.raises(ValueError, match="already exist in"):
         merge_index(dfs_h, stats_h, delta, existing_postings=post_h)
+
+
+def test_maintain_index_packs_null_presence_files(spark, tmp_path):
+    """The presence-row default-partition files (one per micro-batch
+    with a zero-token doc) must BIN-PACK as their own NULL group
+    (ADVICE r12) — carrying them forever is a small-file leak the
+    maintain loop could never drain — while the serve stays
+    byte-identical and non-NULL per-file bounds stay exact."""
+    from football_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        index_append_writer,
+        maintain_index,
+        read_index,
+    )
+    from football_data_pipeline_spark.sources.snapshots import read_manifest
+
+    root = str(tmp_path / "idx")
+    plog = f"{root}/postings_log"
+    w = index_append_writer(root, n_term_buckets=8)
+    for i in range(3):  # each batch carries one zero-token doc
+        w(
+            spark.createDataFrame(
+                [(i * 10 + 1, "spark window merge"), (i * 10 + 2, "")],
+                "doc_id long, text string",
+            ),
+            i,
+        )
+    bcol = "p_term_bucket_8"
+
+    def null_files(m):
+        return [
+            r.file
+            for r in m.collect()
+            if r[f"{bcol}_min"] is None and r[f"{bcol}_max"] is None
+        ]
+
+    pre_null = null_files(read_manifest(spark, plog))
+    assert len(pre_null) == 3  # one presence file per batch
+    terms = ["spark", "window"]
+    post, dfs, stats = read_index(spark, root, terms)
+    pre = bm25_topk_indexed(post, dfs, stats, terms, 10).collect()
+    maintain_index(spark, root, target_rows=100_000, keep_latest=1)
+    m = read_manifest(spark, plog)
+    assert len(null_files(m)) == 1  # NULL group packed
+    for r in m.collect():  # non-NULL bounds stay exact (the prune)
+        assert r[f"{bcol}_min"] == r[f"{bcol}_max"]
+    post2, dfs2, stats2 = read_index(spark, root, terms)
+    got = bm25_topk_indexed(post2, dfs2, stats2, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in pre]
+
+
+def test_pruned_read_empty_manifest_raises_cleanly(spark, tmp_path):
+    """A committed-but-empty manifest (only empty batches ever
+    committed) must raise read_snapshot's descriptive ValueError from
+    the pruned-read fallback, not an AttributeError off a None row
+    (ADVICE r12)."""
+    import pytest
+
+    from football_data_pipeline_spark.operators.retrieval import (
+        _pruned_bucketed_read,
+    )
+    from football_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    log = str(tmp_path / "empty_log")
+    empty_manifest = spark.createDataFrame(
+        [],
+        "file string, n_rows long, "
+        "p_term_bucket_8_min long, p_term_bucket_8_max long",
+    )
+    commit_snapshot(spark, log, empty_manifest, batch_id=0)
+    with pytest.raises(ValueError, match="empty manifest"):
+        _pruned_bucketed_read(spark, log, ["spark"])
