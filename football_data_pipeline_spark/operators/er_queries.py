@@ -312,23 +312,37 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("api_name"),
         F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
     )
-    batch1 = resolve_names(api, cand, block_key="nk", manual=manual, with_alternatives=False)
+    # localCheckpoint severs batch 1's lineage here (VERDICT r7 #1):
+    # without the cut batch 2's plan re-embeds batch 1's full
+    # resolution cascade — a ~4,500-exchange PLAN STRING that OOMed a
+    # 1g driver just to hold/print. Plan-size regression:
+    # tests/test_resolution.py::test_learned_mapping_plan_bounded.
+    # r13 optimization: checkpoint batch 1 ITSELF (name-sized) rather
+    # than the learned dim derived from it, and hand it to batch 2 as
+    # the hard_fallback — batch 2 then runs ONLY the equality tiers
+    # (exact/manual/learned/normalized probes) and reuses batch 1's
+    # rows for everything they leave unresolved, instead of
+    # re-running the substring + Levenshtein/Jaccard pair kernels a
+    # second time over the same pairs (guide §1.2 step 1; the
+    # equivalence argument lives on resolve_names.hard_fallback).
+    batch1 = resolve_names(
+        api, cand, block_key="nk", manual=manual, with_alternatives=False
+    ).localCheckpoint()
     empty_learned = spark.createDataFrame(
         [], "api_name string, learned_name string, confidence double, strategy string, verified boolean"
     )
-    # localCheckpoint severs batch 1's lineage here (VERDICT r7 #1):
-    # learned_tbl is dim-sized (subset of api names), but without the
-    # cut batch 2's plan re-embeds batch 1's full resolution cascade —
-    # a ~4,500-exchange PLAN STRING that OOMed a 1g driver just to
-    # hold/print. Same pattern as release.py's gated-assets cut;
-    # plan-size regression:
-    # tests/test_resolution.py::test_learned_mapping_plan_bounded.
-    learned_tbl = learn_mappings(
-        batch1, empty_learned, min_confidence=0.8
-    ).localCheckpoint()
+    learned_tbl = learn_mappings(batch1, empty_learned, min_confidence=0.8)
     learned_dim = learned_tbl.select("api_name", "learned_name")
     batch2 = resolve_names(
-        api, cand, block_key="nk", manual=manual, learned=learned_dim, with_alternatives=False
+        api,
+        cand,
+        block_key="nk",
+        manual=manual,
+        learned=learned_dim,
+        with_alternatives=False,
+        hard_fallback=batch1.select(
+            "api_name", "matched_name", "confidence", "strategy"
+        ),
     )
     return batch2.select("api_name", "matched_name", "confidence", "strategy")
 

@@ -258,4 +258,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = supplier.select(F.col("s_suppkey").alias("node")).unionByName(
         customer.select((F.lit(CUST_BASE) + F.col("c_custkey")).alias("node"))
     )
-    return pagerank(nodes, edges)
+    # checkpoint_every=1 (r13 optimization): the unrolled 3-round plan
+    # re-embeds the edge derivation and every prior round per
+    # reference — a 7.3k-line plan string, 238 distinct exchanges, 62
+    # sort-merge joins at sf0.1. The checkpointed path (guide §2.4 —
+    # remove repeated subtree execution; §5 — bound the plan the
+    # driver must optimize) materializes edges/outdeg once and each
+    # round's node-sized score vector, so per-round work is exactly
+    # one edge join + one dst aggregate. Scores are BIT-IDENTICAL to
+    # the unrolled form (every round is grid-rounded before the
+    # checkpoint; tests/test_graphrank.py::
+    # test_checkpointed_matches_unrolled pins it).
+    return pagerank(nodes, edges, checkpoint_every=1)

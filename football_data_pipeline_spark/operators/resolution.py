@@ -399,6 +399,7 @@ def resolve_names(
     api_col: str = "api_name",
     cand_col: str = "odds_name",
     with_alternatives: bool = True,
+    hard_fallback: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end cascade: pair generation (blocked, candidates
     broadcast) → two-pass scoring → collapse.
@@ -419,6 +420,30 @@ def resolve_names(
        resolved names take literal-0 expensive confidences, which is
        exact because a never-chosen strategy's confidence can't
        affect the outcome (strategy priority).
+
+    ``hard_fallback`` (with_alternatives=False only; r13
+    optimization, guide §1.2 step 1 — don't recompute what a prior
+    pass already decided): a precomputed full resolution table
+    (api_col, matched_name, confidence, strategy) covering EVERY
+    input name, valid for any name the equality tiers (strategies
+    1-4, incl. the learned dictionary) leave unresolved. When given,
+    the substring and fuzzy tiers are skipped outright and
+    equality-unresolved names take their fallback row. The caller
+    owns the equivalence proof; the one shipped use is the
+    learned-mapping second batch, where it holds exactly:
+
+    - a name the equality tiers resolve gets the full-cascade answer
+      (its s_star ≤ 4, so strategies 5-8 can never be chosen);
+    - a name they do NOT resolve has no learned entry (a learned
+      target is itself a blocked candidate and equality-matches via
+      strategy 3 at 0.9 ≥ its threshold, so every learned name
+      resolves in tier A), hence its batch-2 cascade sees inputs
+      IDENTICAL to batch 1's (the learned column is NULL, and a NULL
+      target makes conf_3 ≡ 0.0 exactly like the absent column) —
+      its batch-1 row IS its batch-2 row. Names batch 1 resolved via
+      substring/fuzzy never enter the learned dim (those strategies
+      cap at 0.75 < the 0.8 learn threshold), so "unresolved by
+      batch-2 tier A" always lands in this branch with a valid row.
     """
     # The repartition is load-bearing twice over: (a) whole-stage
     # codegen evaluates ProjectExec output lazily at first USE site,
@@ -437,6 +462,8 @@ def resolve_names(
     # single-threaded. Pinning to defaultParallelism keeps the pair
     # explosion spread across every core (at cluster scale the same
     # holds: partition count must be sized to the POST-join stream).
+    if hard_fallback is not None and with_alternatives:
+        raise ValueError("hard_fallback requires with_alternatives=False")
     num_parts = api_df.sparkSession.sparkContext.defaultParallelism
     api_df = (
         api_df.withColumn("__api_norm", normalize_name(F.col(api_col)))
@@ -573,6 +600,18 @@ def resolve_names(
         rest_a = all_names.join(
             F.broadcast(easy_a.select(api_col)), api_col, "left_anti"
         )
+        if hard_fallback is not None:
+            # equality-unresolved names take their precomputed row —
+            # the substring/fuzzy tiers (the per-pair cost drivers)
+            # never run. Inner join: the fallback covers every input
+            # name by contract (no_match rows included).
+            rest_out = rest_a.join(hard_fallback, api_col, "inner").select(
+                F.col(api_col),
+                F.col("matched_name"),
+                F.col("confidence"),
+                F.col("strategy"),
+            )
+            return easy_a.unionByName(rest_out)
         sub_pairs = pairs.join(F.broadcast(rest_a), api_col, "inner")
         easy_sub = resolve_agg(
             score(sub_pairs, expensive="skip").filter(

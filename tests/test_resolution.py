@@ -183,6 +183,52 @@ def test_rank_candidates_guard_enforces_dim_contract(spark):
         rank_candidates(names, "odds_name", max_candidates=5).collect()
 
 
+def test_hard_fallback_matches_full_cascade(spark):
+    """r13 optimization: resolve_names(hard_fallback=batch1) must
+    return EXACTLY what a full second cascade returns for the
+    learned-mapping composition (equality tiers re-run, expensive
+    tiers replaced by batch 1's rows — the equivalence argument on
+    resolve_names.hard_fallback)."""
+    api = spark.createDataFrame([(n,) for n in API_NAMES], "api_name string")
+    cand = spark.createDataFrame([(n,) for n in CANDIDATES], "odds_name string")
+    manual = spark.createDataFrame(
+        [("Paris Saint Germain", "PSG")], "api_name string, target string"
+    )
+    batch1 = resolve_names(
+        api, cand, manual=manual, with_alternatives=False
+    ).localCheckpoint()
+    empty = spark.createDataFrame(
+        [],
+        "api_name string, learned_name string, confidence double, "
+        "strategy string, verified boolean",
+    )
+    learned_dim = learn_mappings(batch1, empty, min_confidence=0.8).select(
+        "api_name", "learned_name"
+    )
+    full = resolve_names(
+        api, cand, manual=manual, learned=learned_dim, with_alternatives=False
+    )
+    fast = resolve_names(
+        api,
+        cand,
+        manual=manual,
+        learned=learned_dim,
+        with_alternatives=False,
+        hard_fallback=batch1.select(
+            "api_name", "matched_name", "confidence", "strategy"
+        ),
+    )
+    rows_full = sorted(map(tuple, full.collect()))
+    rows_fast = sorted(map(tuple, fast.collect()))
+    assert rows_fast == rows_full
+    # every input name appears exactly once (incl. no_match rows)
+    assert len(rows_fast) == len(API_NAMES)
+    # guard: the fallback short-circuit is only defined for the
+    # single-verdict path
+    with pytest.raises(ValueError, match="hard_fallback"):
+        resolve_names(api, cand, hard_fallback=batch1, with_alternatives=True)
+
+
 def test_learned_mapping_plan_bounded(spark):
     """Plan-SIZE regression for q_learned_mapping (VERDICT r7 #1): the
     two-batch resolve -> learn -> resolve composition must NOT embed
