@@ -46,6 +46,7 @@ rep-level candidates stay bounded by the class count.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -166,6 +167,30 @@ def _tone_hash_rows(doc_id: int) -> list[int]:
     return rows
 
 
+@lru_cache(maxsize=256)
+def _tone_payload(rows: tuple[int, ...]) -> bytes:
+    """The full WAV payload for one planted fingerprint. A doc's
+    payload depends on doc_id ONLY through _tone_hash_rows (at most
+    2·ENV_GROUPS distinct patterns), so the sample synthesis +
+    struct pack + WAV framing is pure recomputation per doc — cache
+    per worker (bytes are immutable; rows sharing a payload is
+    safe)."""
+    import struct as _struct
+
+    bits = []
+    for b in rows:
+        bits += [(b >> (7 - i)) & 1 for i in range(8)]
+    amp = SYNTH_BASE_AMP
+    samples = []
+    for j in range(ENV_WINDOWS):
+        if j:
+            amp += SYNTH_STEP * bits[j - 1]
+        samples += [amp] * SYNTH_WIN
+    return encode_wav(
+        SYNTH_RATE, 1, _struct.pack(f"<{len(samples)}h", *samples)
+    )
+
+
 def synth_patterned_tones(docs: DataFrame) -> DataFrame:
     """Wrap text docs as WAV assets whose ENVELOPE encodes the
     planted fingerprint: 65 window-aligned constant-amplitude blocks
@@ -173,29 +198,12 @@ def synth_patterned_tones(docs: DataFrame) -> DataFrame:
     bit is 1 and flat where 0 — each window's mean |amplitude| is
     exact in float64, so the planted bits survive the REAL
     encode→decode→downmix→envelope path bit-for-bit."""
-    import struct as _struct
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                rows = _tone_hash_rows(int(doc_id))
-                bits = []
-                for b in rows:
-                    bits += [(b >> (7 - i)) & 1 for i in range(8)]
-                amp = SYNTH_BASE_AMP
-                samples = []
-                for j in range(ENV_WINDOWS):
-                    if j:
-                        amp += SYNTH_STEP * bits[j - 1]
-                    samples += [amp] * SYNTH_WIN
-                payloads.append(
-                    encode_wav(
-                        SYNTH_RATE,
-                        1,
-                        _struct.pack(f"<{len(samples)}h", *samples),
-                    )
-                )
+            payloads = [
+                _tone_payload(tuple(_tone_hash_rows(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

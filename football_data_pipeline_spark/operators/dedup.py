@@ -321,23 +321,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
-    # cache: three consumers (signature path + both verify sides)
-    # would each re-run the scan + the SortAggregate that the
-    # array-typed min_by buffer forces (measured 3× at sf0.1). The
-    # cached set is one row per DISTINCT word set — already the
-    # collapsed small side at any scale.
-    grp = (
-        d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp"))
-        .agg(
-            F.min("doc_id").alias("rid"),
-            F.count("*").alias("sz"),
-            F.min_by("ws", "doc_id").alias("ws"),
-        )
-        .cache()
+    # cache AFTER the signature columns (r13; was grp alone): four
+    # consumers (both band-join sides + both verify sides) would each
+    # re-run the scan + the SortAggregate that the array-typed min_by
+    # buffer forces (measured 3× at sf0.1), and with the cut at grp
+    # the two band-join sides each still re-ran the 18-hash minhash
+    # transform over every word array (guide §2.4 — Spark shares no
+    # common subplan across a self-join). The cached set is one row
+    # per DISTINCT word set — already the collapsed small side at any
+    # scale; the 18 extra longs are noise next to the word arrays.
+    grp = d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp")).agg(
+        F.min("doc_id").alias("rid"),
+        F.count("*").alias("sz"),
+        F.min_by("ws", "doc_id").alias("ws"),
     )
     mh = grp
     for i, c in enumerate(minhash_signature(F.col("ws"))):
         mh = mh.withColumn(f"mh{i}", c)
+    mh = mh.cache()
+    grp = mh.select("fp", "rid", "sz", "ws")
     sigs = mh.select("rid", F.explode(_band_sigs()).alias("sig"))
     # pair generation parallelism: this corpus has template mega-
     # buckets (~1k reps sharing a band signature → ~500k pairs each).
@@ -683,15 +685,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # convergence probe: labels start equal to the node id and only
+    # ever DECREASE, so the exact label sum is unchanged between
+    # rounds iff no label changed — one narrow aggregate over the
+    # already-checkpointed frame replaces the old per-round
+    # join+count job (r13, guide §2.4: fewer jobs per round).
+    # decimal(38,0) keeps the sum exact for any id range: 2^63 nodes
+    # of magnitude < 2^63 sum below 2^126 ≈ 8.5e37 < 10^38.
+    def label_sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     changed = -1  # max_iter < 1 must hit the RuntimeError below, not a NameError
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.s == labels.node).select(
             F.col("d").alias("node"), F.col("label")
         )
+        # checkpoint the propagated table BEFORE the pointer-jump
+        # self-join: without the cut the self-join's two sides each
+        # re-execute the edge join + min-aggregate subtree (Spark
+        # does not share common subplans across a self-join), doubling
+        # every round's edge work (r13, guide §2.4 — remove repeated
+        # subtree execution; node-sized materialization).
         propagated = (
             neighbor.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         # pointer-jump: adopt the current label's OWN label. Labels
         # start equal to the node id and only ever decrease, so
@@ -711,13 +733,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("__n").alias("node"), F.col("__ll").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
+        new_sum = label_sum(labels)
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         if changed == 0:
             break
     else:
@@ -728,7 +747,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # max_iter (or switch to pointer-doubling) for that data.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing)"
+            "(labels still changing)"
         )
     w_sz = F.count("*").over(Window.partitionBy("component"))
     return (

@@ -43,6 +43,7 @@ documents AND 10x output rows — sub-linear per row, no pair stage.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -352,6 +353,15 @@ FRAME_EVERY_N = 4
 
 
 def _pattern_plane(row_patterns: list[int]) -> bytes:
+    # _frame_hash_rows emits at most 2·PATTERN_GROUPS distinct
+    # patterns (base/perturbed per group), so the per-frame Python
+    # plane construction is pure recomputation — cache per worker
+    # (bytes are immutable; rows sharing a plane is safe)
+    return _pattern_plane_cached(tuple(row_patterns))
+
+
+@lru_cache(maxsize=512)
+def _pattern_plane_cached(row_patterns: tuple[int, ...]) -> bytes:
     """Build a CLIP_W×CLIP_H Y plane whose dHash is EXACTLY the 64
     bits given as 8 per-row 8-bit patterns (row y's byte, MSB =
     leftmost comparison). Works by inverting the dHash pipeline:
