@@ -330,16 +330,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # common subplan across a self-join). The cached set is one row
     # per DISTINCT word set — already the collapsed small side at any
     # scale; the 18 extra longs are noise next to the word arrays.
-    grp = d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp")).agg(
-        F.min("doc_id").alias("rid"),
-        F.count("*").alias("sz"),
-        F.min_by("ws", "doc_id").alias("ws"),
+    grp = (
+        d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("rid"),
+            F.count("*").alias("sz"),
+            F.min_by("ws", "doc_id").alias("ws"),
+        )
+        .cache()
     )
     mh = grp
     for i, c in enumerate(minhash_signature(F.col("ws"))):
         mh = mh.withColumn(f"mh{i}", c)
-    mh = mh.cache()
-    grp = mh.select("fp", "rid", "sz", "ws")
     sigs = mh.select("rid", F.explode(_band_sigs()).alias("sig"))
     # pair generation parallelism: this corpus has template mega-
     # buckets (~1k reps sharing a band signature → ~500k pairs each).
@@ -553,7 +555,12 @@ def ngram_dedup_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     # collapse identical shingle sets (one rep per distinct set per
     # (lang, source)); cached — consumed by the signature path, the
-    # star-pair join-back, and both verify sides
+    # star-pair join-back, and both verify sides. The cut stays at
+    # the aggregate, NOT after the signature columns: an r13 A/B of
+    # the wider cut (cache mh0..15 too, so the two band-join sides
+    # share the transform) measured 1.73 → 2.42 s median — the
+    # duplicated signature work runs in overlapping jobs on idle
+    # cores while the wider cache serializes its materialization.
     grp = (
         sh.groupBy("lang", "source", "fp")
         .agg(

@@ -97,7 +97,16 @@ def release_frames(
         )
         docs = gated.filter(F.col("passes")).select(*docs.columns)
 
-    scored = classify_quality(docs).select("doc_id", "score", "keep")
+    # localCheckpoint (r13): the classifier decision table is
+    # node-sized (doc_id, score, keep) but its subtree is a corpus
+    # scan + token explode + aggregate — and it feeds BOTH flagged
+    # legs (rejected/survivors), each redacted leg and (under
+    # best_quality) the canonical window, so without the cut the
+    # classifier re-ran once per accounting leg (guide §8: decide on
+    # small rows once, attach everywhere).
+    scored = (
+        classify_quality(docs).select("doc_id", "score", "keep").localCheckpoint()
+    )
     flagged = docs.join(scored, "doc_id", "left")
     rejected = flagged.filter(~F.coalesce(F.col("keep"), F.lit(False))).select(
         "doc_id",
@@ -119,7 +128,13 @@ def release_frames(
         .withColumn("n_chars", F.length("text").cast("long"))
     )
 
-    fp = redacted.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    # localCheckpoint (r13): the (doc_id, fingerprint) decision
+    # table is node-sized, but its subtree re-runs the survivor
+    # join + PII redaction + canonical-form fingerprint — and it is
+    # consumed by the canonical aggregate AND the dup join-back.
+    fp = redacted.select(
+        "doc_id", fingerprint(F.col("text")).alias("f")
+    ).localCheckpoint()
     if keep == "min_id":
         canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon"))
     else:

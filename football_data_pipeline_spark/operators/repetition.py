@@ -78,6 +78,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.sliding import chunked_join, sliding_join
 from ..registry import query
 
 #: gate thresholds, percent (integer cross-multiplied — see above).
@@ -194,13 +195,19 @@ def _top_stats(sorted_arr: Column, sep_chars: int) -> Column:
 
 
 def _grams(words: Column, n: int) -> Column:
-    """All word n-grams (single-space joined), [] when too short."""
+    """All word n-grams (single-space joined), [] when too short.
+
+    Built with the arrays_zip sliding kernel (functions/sliding.py),
+    NOT transform-over-sequence-with-slice: the naive lambda captures
+    ``words`` and re-evaluates it once PER WINDOW INDEX — O(len²)
+    per document when ``words`` is itself a split expression (r13;
+    the same trap sliding.py's module docstring documents). The
+    size-guard keeps sliding_join's truncated/empty-input windows
+    unreachable, so the output is element-identical to the naive
+    form: full windows only, [] when size < n."""
     return F.when(
         F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
+        sliding_join(words, n),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
 
@@ -231,14 +238,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # inside a filter would re-split + re-sort the document for
     # EVERY index probe (measured: the un-staged form never finished
     # sf0.001 where the staged form takes ~2 s for sf0.1).
+    # __words is staged FIRST (its own Project) so the nine gram
+    # builders reference a bound column, not the split expression —
+    # un-staged, each sliding_join argument re-evaluated the full
+    # split ~2n+2 times per row (r13; multi-ref non-cheap alias, so
+    # CollapseProject cannot inline it back).
+    pre0 = docs.withColumn("__words", words)
     arrays: dict[str, Column] = {
-        "__words": words,
         "__s_lines": F.array_sort(lines),
         "__s_paras": F.array_sort(paras),
     }
     for n in sorted(TOP_NGRAM_PCT) + sorted(DUP_NGRAM_PCT):
-        arrays[f"__s_g{n}"] = F.array_sort(_grams(words, n))
-    pre = docs.withColumns(arrays)
+        arrays[f"__s_g{n}"] = F.array_sort(_grams(F.col("__words"), n))
+    pre = pre0.withColumns(arrays)
     cols: dict[str, Column] = {
         "n_words": F.size(F.col("__words")).cast("long"),
         "total_wchars": _sum_lengths(F.col("__words")),
@@ -319,22 +331,25 @@ def synth_lined_docs(
     rebuild as pure word slices.
     """
 
-    def chunk(arr: Column, k: int, sep: str) -> Column:
-        n_chunks = F.ceil(F.size(arr) / F.lit(k)).cast("long")
-        return F.when(
-            F.size(arr) > 0,
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    sep, F.slice(arr, (i * k + 1).cast("int"), k)
-                ),
-            ),
-        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-
+    # chunked_join, NOT transform-over-sequence-with-slice (r13): the
+    # naive chunk lambda captured its array argument and re-evaluated
+    # it per chunk index — and `lines` is itself a chunk over the
+    # word split, so building paragraphs re-chunked the whole
+    # document once per paragraph (O(len²) per doc). chunked_join's
+    # stride-gather touches the input a constant number of times, and
+    # staging words/lines as real multi-ref columns keeps
+    # CollapseProject from inlining the splits back into the lambdas.
+    # Output parity: chunk m = words[m·k .. m·k+k−1] joined on sep,
+    # ceil(size/k) chunks, empty input → empty array — exactly the
+    # naive form (tests/test_repetition.py pins the fixture bytes).
     words = F.array_remove(F.split(F.col("text"), " "), "")
-    lines = chunk(words, words_per_line, " ")
-    paras = chunk(lines, lines_per_para, "\n")
-    return docs.withColumn("text", F.concat_ws("\n\n", paras))
+    staged = docs.withColumn("__sw", words).withColumn(
+        "__sl", chunked_join(F.col("__sw"), words_per_line, " ")
+    )
+    paras = chunked_join(F.col("__sl"), lines_per_para, "\n")
+    return staged.withColumn("text", F.concat_ws("\n\n", paras)).drop(
+        "__sw", "__sl"
+    )
 
 
 _STAT_COLS = (
