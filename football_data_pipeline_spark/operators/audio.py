@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -194,6 +195,42 @@ def _stat_round(x: float) -> float:
     return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
+@lru_cache(maxsize=256)
+def _audio_stats_row(payload: bytes) -> tuple:
+    """(decoded, rate, ..., silence_ratio) for one payload — pure
+    function of the bytes, memoized per worker (r13, guide §4.5):
+    byte-exact duplicate payloads skip the WAV decode + signal
+    statistics. Keyed on the payload itself, never a digest."""
+    import numpy as np
+
+    got = try_decode_wav(payload)
+    if got is None:
+        return (False,) + (None,) * 8
+    rate, channels, bits, data = got
+    s = _pcm_array(bits, data)
+    n = len(s) // channels
+    if n == 0:
+        return (False,) + (None,) * 8
+    mono = s.reshape(n, channels).mean(axis=1) if channels > 1 else s
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    sign = np.sign(mono)
+    crossings = int(np.sum(sign[1:] * sign[:-1] < 0))
+    zcr = crossings / (n - 1) if n > 1 else 0.0
+    clip = float(np.mean(np.abs(mono) >= _clip_level(bits)))
+    silence = float(np.mean(np.abs(mono) <= _silence_level(bits)))
+    return (
+        True,
+        rate,
+        channels,
+        n,
+        _stat_round(n / rate),
+        _stat_round(rms),
+        _stat_round(zcr),
+        _stat_round(clip),
+        _stat_round(silence),
+    )
+
+
 def audio_stats(assets: DataFrame) -> DataFrame:
     """(asset_id, decoded, rate, channels, n_samples, duration_s,
     rms, zcr, clip_ratio, silence_ratio): real signal statistics per
@@ -202,42 +239,11 @@ def audio_stats(assets: DataFrame) -> DataFrame:
     decoded=false and NULL stats (audited, never dropped)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                got = try_decode_wav(payload)
-                if got is None:
-                    rows.append((asset_id, False) + (None,) * 8)
-                    continue
-                rate, channels, bits, data = got
-                s = _pcm_array(bits, data)
-                n = len(s) // channels
-                if n == 0:
-                    rows.append((asset_id, False) + (None,) * 8)
-                    continue
-                mono = s.reshape(n, channels).mean(axis=1) if channels > 1 else s
-                rms = float(np.sqrt(np.mean(mono * mono)))
-                sign = np.sign(mono)
-                crossings = int(np.sum(sign[1:] * sign[:-1] < 0))
-                zcr = crossings / (n - 1) if n > 1 else 0.0
-                clip = float(np.mean(np.abs(mono) >= _clip_level(bits)))
-                silence = float(np.mean(np.abs(mono) <= _silence_level(bits)))
-                rows.append(
-                    (
-                        asset_id,
-                        True,
-                        rate,
-                        channels,
-                        n,
-                        _stat_round(n / rate),
-                        _stat_round(rms),
-                        _stat_round(zcr),
-                        _stat_round(clip),
-                        _stat_round(silence),
-                    )
-                )
+            rows = [
+                (asset_id, *_audio_stats_row(bytes(payload)))
+                for asset_id, payload in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -89,6 +89,39 @@ def envelope_fingerprint64(mono) -> int | None:
     return h
 
 
+@lru_cache(maxsize=512)
+def _afp_row(payload: bytes) -> tuple:
+    """(decoded, band0..band{n-1}) for one payload — pure function
+    of the bytes, memoized per worker (r13, guide §4.5): byte-exact
+    duplicate payloads skip the WAV decode + envelope walk. Keyed on
+    the payload itself, never a digest, so a hash collision can
+    never alias two distinct payloads."""
+    import hashlib
+
+    got = try_decode_wav(payload)
+    h = None
+    if got is not None:
+        rate, channels, bits, data = got
+        s = _pcm_array(bits, data)
+        n = len(s) // channels
+        if n:
+            mono = (
+                s[: n * channels].reshape(n, channels).mean(axis=1)
+                if channels > 1
+                else s
+            )
+            h = envelope_fingerprint64(mono)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        ok = False
+    else:
+        ok = True
+    return (
+        ok,
+        *((h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF for i in range(DHASH_BANDS)),
+    )
+
+
 def audio_fingerprint(assets: DataFrame) -> DataFrame:
     """Arrow-batched fingerprint extraction, the audio twin of
     multimodal.image_phash and schema-compatible with it: decodable
@@ -96,37 +129,13 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     16-bit bands; undecodable or sub-ENV_WINDOWS payloads fall back
     to md5-derived bands (byte-exact duplicates still collide;
     decoded=false marks the weaker semantics)."""
-    import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                got = try_decode_wav(b)
-                h = None
-                if got is not None:
-                    rate, channels, bits, data = got
-                    s = _pcm_array(bits, data)
-                    n = len(s) // channels
-                    if n:
-                        mono = (
-                            s[: n * channels].reshape(n, channels).mean(axis=1)
-                            if channels > 1
-                            else s
-                        )
-                        h = envelope_fingerprint64(mono)
-                if h is None:
-                    h = int.from_bytes(
-                        hashlib.md5(bytes(b)).digest()[:8], "big"
-                    )
-                    ok = False
-                else:
-                    ok = True
-                bands = [
-                    (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
-                    for i in range(DHASH_BANDS)
-                ]
-                rows.append((aid, ok, *bands))
+            rows = [
+                (aid, *_afp_row(bytes(b)))
+                for aid, b in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "decoded"]

@@ -33,6 +33,7 @@ from __future__ import annotations
 import struct
 import zlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -493,6 +494,34 @@ STATS_SCHEMA = (
 )
 
 
+@lru_cache(maxsize=512)
+def _image_stats_row(payload: bytes) -> tuple:
+    """(width, height, mean_r, mean_g, mean_b, decoded) for one
+    payload — pure function of the bytes, memoized per worker (r13,
+    guide §4.5). Keyed on the payload itself, never a digest."""
+    import numpy as np
+
+    decoded = try_decode_pixels(payload)
+    if decoded is None:
+        return (None, None, None, None, None, False)
+    w, h, rgb = decoded
+    n = w * h
+    if n == 0:
+        # decodable but statless — NULL stats like
+        # image_quality_stats, never a ZeroDivisionError that kills
+        # the Arrow batch (r9 fix)
+        return (w, h, None, None, None, True)
+    # exact integer channel sums (numpy int64 == the Python sum()
+    # this replaces, bit-for-bit after the float division)
+    ch = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(-1, 3)
+        .astype(np.int64)
+        .sum(axis=0)
+    )
+    return (w, h, ch[0] / n, ch[1] / n, ch[2] / n, True)
+
+
 def image_stats(assets: DataFrame) -> DataFrame:
     """True per-channel pixel statistics for decodable payloads —
     the feature-extraction step computed on REAL pixel data
@@ -500,35 +529,11 @@ def image_stats(assets: DataFrame) -> DataFrame:
     NULL-stats row with decoded=false rather than fake numbers."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = []
-            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = try_decode_pixels(b)
-                if decoded is None:
-                    rows.append((aid, None, None, None, None, None, False))
-                    continue
-                w, h, rgb = decoded
-                n = w * h
-                if n == 0:
-                    # decodable but statless — NULL stats like
-                    # image_quality_stats, never a ZeroDivisionError
-                    # that kills the Arrow batch (r9 fix)
-                    rows.append((aid, w, h, None, None, None, True))
-                    continue
-                # exact integer channel sums (numpy int64 == the
-                # Python sum() this replaces, bit-for-bit after the
-                # float division)
-                ch = (
-                    np.frombuffer(rgb, dtype=np.uint8)
-                    .reshape(-1, 3)
-                    .astype(np.int64)
-                    .sum(axis=0)
-                )
-                rows.append(
-                    (aid, w, h, ch[0] / n, ch[1] / n, ch[2] / n, True)
-                )
+            rows = [
+                (aid, *_image_stats_row(bytes(b)))
+                for aid, b in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -624,37 +629,48 @@ def dhash64(width: int, height: int, rgb: bytes) -> int:
     return h
 
 
+@lru_cache(maxsize=512)
+def _phash_row(payload: bytes) -> tuple:
+    """(decoded, band0..band{n-1}) for one payload — a pure function
+    of the bytes, memoized per worker (r13, guide §4.5): byte-exact
+    duplicate payloads (re-uploads, mirrored assets — and every
+    asset of a synthetic fixture class) skip the decode + hash
+    entirely. Keyed on the payload itself, never a digest, so a
+    hash collision can never alias two distinct payloads."""
+    import hashlib
+
+    decoded = try_decode_pixels(payload)
+    # 0-pixel payloads are decodable but hashless — route them to
+    # the md5 fallback like undecodables instead of letting dhash64
+    # raise and kill the whole Arrow batch (the one-bad-row rule;
+    # r9 fix)
+    if decoded is None or decoded[0] * decoded[1] == 0:
+        h = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        ok = False
+    else:
+        h = dhash64(*decoded)
+        ok = True
+    return (
+        ok,
+        *((h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF for i in range(DHASH_BANDS)),
+    )
+
+
 def image_phash(assets: DataFrame) -> DataFrame:
     """Arrow-batched perceptual-hash extraction: decodable payloads
     (PPM/BMP/PNG) get their dHash split into DHASH_BANDS 16-bit
     bands; undecodable payloads fall back to md5-derived bands
     (byte-exact duplicates still collide; decoded=false marks the
-    weaker semantics). The Python kernel touches each payload once;
+    weaker semantics). The Python kernel touches each payload once
+    (once per DISTINCT payload per worker — _phash_row memoizes);
     everything pair-shaped happens in DataFrame land."""
-    import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = try_decode_pixels(b)
-                # 0-pixel payloads are decodable but hashless — route
-                # them to the md5 fallback like undecodables instead
-                # of letting dhash64 raise and kill the whole Arrow
-                # batch (the one-bad-row rule; r9 fix)
-                if decoded is None or decoded[0] * decoded[1] == 0:
-                    h = int.from_bytes(
-                        hashlib.md5(bytes(b)).digest()[:8], "big"
-                    )
-                    ok = False
-                else:
-                    h = dhash64(*decoded)
-                    ok = True
-                bands = [
-                    (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
-                    for i in range(DHASH_BANDS)
-                ]
-                rows.append((aid, ok, *bands))
+            rows = [
+                (aid, *_phash_row(bytes(b)))
+                for aid, b in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "decoded"]
@@ -796,34 +812,41 @@ IMG_QUALITY_STATS_SCHEMA = (
 )
 
 
+@lru_cache(maxsize=512)
+def _img_quality_row(payload: bytes) -> tuple:
+    """(width, height, mean_luma, std_luma, decoded) for one payload
+    — pure function of the bytes, memoized per worker (r13, guide
+    §4.5): byte-exact duplicate payloads skip the decode + luma
+    statistics. Keyed on the payload itself, never a digest."""
+    import numpy as np
+
+    decoded = try_decode_pixels(payload)
+    if decoded is None:
+        return (None, None, None, None, False)
+    w, h, rgb = decoded
+    if w * h == 0:
+        # zero-pixel payload: decodable but statless — NULL stats
+        # (no NaN), the dims gate rejects it
+        return (w, h, None, None, True)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    # ITU-R 601 luma
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    return (w, h, float(luma.mean()), float(luma.std()), True)
+
+
 def image_quality_stats(assets: DataFrame) -> DataFrame:
     """Per-asset luma mean/stddev over REAL decoded pixels — the
     measurement half of the image quality gate, as one Arrow
     ``mapInPandas`` pass (numpy per image; the decode is the same
     pure-codec path image_stats uses, undecodable → decoded=false
     with NULL stats, never fake numbers)."""
-    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = try_decode_pixels(b)
-                if decoded is None:
-                    rows.append((aid, None, None, None, None, False))
-                    continue
-                w, h, rgb = decoded
-                if w * h == 0:
-                    # zero-pixel payload: decodable but statless —
-                    # NULL stats (no NaN), the dims gate rejects it
-                    rows.append((aid, w, h, None, None, True))
-                    continue
-                px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
-                # ITU-R 601 luma
-                luma = px @ np.array([0.299, 0.587, 0.114])
-                rows.append(
-                    (aid, w, h, float(luma.mean()), float(luma.std()), True)
-                )
+            rows = [
+                (aid, *_img_quality_row(bytes(b)))
+                for aid, b in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

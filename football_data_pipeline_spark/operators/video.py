@@ -192,6 +192,35 @@ def _stat_round(x: float) -> float:
     return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
+@lru_cache(maxsize=256)
+def _video_stats_row(payload: bytes) -> tuple:
+    """(decoded, width, ..., scene_changes) for one clip payload —
+    pure function of the bytes, memoized per worker (r13, guide
+    §4.5): byte-exact duplicate clips skip the decode + per-frame
+    luma statistics. Keyed on the payload itself, never a digest."""
+    import numpy as np
+
+    got = try_decode_y4m(payload)
+    if got is None or not got[5]:
+        return (False,) + (None,) * 7
+    w, h, fn, fd, _cs, frames = got
+    means = np.array(
+        [np.frombuffer(y, dtype="u1").astype("float64").mean() for y in frames]
+    )
+    n = len(frames)
+    fps = fn / fd
+    return (
+        True,
+        w,
+        h,
+        n,
+        _stat_round(fps),
+        _stat_round(n / fps),
+        _stat_round(float(means.mean())),
+        int(np.sum(np.abs(np.diff(means)) >= SCENE_DELTA)),
+    )
+
+
 def video_stats(assets: DataFrame) -> DataFrame:
     """(asset_id, decoded, width, height, n_frames, fps, duration_s,
     mean_luma, scene_changes): real per-frame statistics from decoded
@@ -201,37 +230,11 @@ def video_stats(assets: DataFrame) -> DataFrame:
     with decoded=false and NULL stats."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                got = try_decode_y4m(payload)
-                if got is None or not got[5]:
-                    rows.append((asset_id, False) + (None,) * 7)
-                    continue
-                w, h, fn, fd, _cs, frames = got
-                means = np.array(
-                    [
-                        np.frombuffer(y, dtype="u1").astype("float64").mean()
-                        for y in frames
-                    ]
-                )
-                n = len(frames)
-                fps = fn / fd
-                rows.append(
-                    (
-                        asset_id,
-                        True,
-                        w,
-                        h,
-                        n,
-                        _stat_round(fps),
-                        _stat_round(n / fps),
-                        _stat_round(float(means.mean())),
-                        int(np.sum(np.abs(np.diff(means)) >= SCENE_DELTA)),
-                    )
-                )
+            rows = [
+                (asset_id, *_video_stats_row(bytes(payload)))
+                for asset_id, payload in zip(pdf["asset_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -263,31 +266,45 @@ def sample_frames_y4m(assets: DataFrame, every_n: int = 4) -> DataFrame:
     n_frames/every_n, never with payload size."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    from .multimodal import encode_ppm
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                got = try_decode_y4m(payload)
-                if got is None:
-                    continue  # undecodable assets audited by video_stats
-                w, h, _fn, _fd, _cs, frames = got
-                for idx in range(0, len(frames), every_n):
-                    # gray -> RGB: vectorized byte-triple (ADVICE r7
-                    # replaced a pure-Python per-pixel generator)
-                    rgb = np.repeat(
-                        np.frombuffer(frames[idx], dtype="u1"), 3
-                    ).tobytes()
-                    rows.append((asset_id, idx, encode_ppm(w, h, rgb), w, h))
+            rows = [
+                (asset_id, *tail)
+                for asset_id, payload in zip(pdf["asset_id"], pdf["payload"])
+                for tail in _sampled_frames(bytes(payload), every_n)
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "frame_idx", "payload", "width", "height"],
             )
 
     return assets.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+@lru_cache(maxsize=128)
+def _sampled_frames(payload: bytes, every_n: int) -> tuple:
+    """((frame_idx, ppm_payload, w, h), ...) for one clip payload —
+    pure function of (bytes, stride), memoized per worker (r13,
+    guide §4.5): byte-exact duplicate clips skip the decode and the
+    PPM re-encode of every sampled frame. Undecodable payloads
+    yield no rows (audited by video_stats). Keyed on the payload
+    itself, never a digest."""
+    import numpy as np
+
+    from .multimodal import encode_ppm
+
+    got = try_decode_y4m(payload)
+    if got is None:
+        return ()
+    w, h, _fn, _fd, _cs, frames = got
+    rows = []
+    for idx in range(0, len(frames), every_n):
+        # gray -> RGB: vectorized byte-triple (ADVICE r7 replaced a
+        # pure-Python per-pixel generator)
+        rgb = np.repeat(np.frombuffer(frames[idx], dtype="u1"), 3).tobytes()
+        rows.append((idx, encode_ppm(w, h, rgb), w, h))
+    return tuple(rows)
 
 
 def synth_clip_assets(docs: DataFrame) -> DataFrame:

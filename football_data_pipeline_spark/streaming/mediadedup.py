@@ -70,6 +70,7 @@ writer (pipeline.curation_batch_writer).
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -143,6 +144,52 @@ def media_fingerprints(
     return img.unionByName(aud).unionByName(vid)
 
 
+@lru_cache(maxsize=256)
+def _vfp_rows(payload: bytes, frame_every_n: int) -> tuple:
+    """((fp_seq, decoded, band0..3), ...) for one clip payload — a
+    pure function of (bytes, stride), memoized per worker (r13,
+    guide §4.5): byte-exact duplicate clips skip the Y4M decode and
+    per-frame dHash entirely. Keyed on the payload itself, never a
+    digest, so a hash collision can never alias two distinct
+    payloads."""
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.multimodal import dhash64
+    from ..operators.video import try_decode_y4m
+
+    got = try_decode_y4m(payload)
+    if got is None:
+        h = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        return (
+            (
+                0,
+                False,
+                *(
+                    (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
+                    for i in range(DHASH_BANDS)
+                ),
+            ),
+        )
+    w, h_px, _fn, _fd, _cs, frames = got
+    rows = []
+    for idx in range(0, len(frames), frame_every_n):
+        rgb = np.repeat(np.frombuffer(frames[idx], dtype="u1"), 3).tobytes()
+        hv = dhash64(w, h_px, rgb)
+        rows.append(
+            (
+                idx,
+                True,
+                *(
+                    (hv >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
+                    for i in range(DHASH_BANDS)
+                ),
+            )
+        )
+    return tuple(rows)
+
+
 def video_fingerprints(
     assets: DataFrame, frame_every_n: int = MEDIA_FRAME_EVERY_N
 ) -> DataFrame:
@@ -154,57 +201,20 @@ def video_fingerprints(
     intermediate PPM re-encode/re-decode. Undecodable clips emit ONE
     md5-fallback row (fp_seq 0, decoded=false) like the image/audio
     kernels, so byte-exact duplicate junk still collides."""
-    import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
-
-    from ..operators.multimodal import dhash64
-    from ..operators.video import try_decode_y4m
 
     if frame_every_n < 1:
         raise ValueError("frame_every_n must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                got = try_decode_y4m(payload)
-                if got is None:
-                    h = int.from_bytes(
-                        hashlib.md5(bytes(payload)).digest()[:8], "big"
-                    )
-                    rows.append(
-                        (
-                            aid,
-                            0,
-                            False,
-                            *(
-                                (h >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
-                                for i in range(DHASH_BANDS)
-                            ),
-                        )
-                    )
-                    continue
-                w, h_px, _fn, _fd, _cs, frames = got
-                for idx in range(0, len(frames), frame_every_n):
-                    rgb = np.repeat(
-                        np.frombuffer(frames[idx], dtype="u1"), 3
-                    ).tobytes()
-                    hv = dhash64(w, h_px, rgb)
-                    rows.append(
-                        (
-                            aid,
-                            idx,
-                            True,
-                            *(
-                                (hv >> (DHASH_BITS_PER_BAND * i)) & 0xFFFF
-                                for i in range(DHASH_BANDS)
-                            ),
-                        )
-                    )
+            rows = [
+                (aid, *tail)
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"])
+                for tail in _vfp_rows(bytes(payload), frame_every_n)
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "fp_seq", "decoded", *_BAND_COLS],
