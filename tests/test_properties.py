@@ -564,3 +564,21 @@ def test_square_wave_stats_closed_form(spark, amp, n_half):
     assert row.rms == amp
     assert abs(row.zcr - (n / TONE_HALF_PERIOD - 1) / (n - 1)) < 1e-6
     assert row.clip_ratio == (1.0 if amp >= CLIP_LEVEL else 0.0)
+
+
+def test_connected_components_path_graph_converges_early(spark):
+    """A 13-node path (diameter 12) — the worst propagation shape
+    for its size — must converge well inside pointer-jumping's
+    O(log d) bound AND under the r13 label-sum convergence probe
+    (sum unchanged ⇔ no label changed; labels only ever decrease).
+    Pins the probe against the regression where a wrong early-exit
+    would freeze labels mid-propagation: every node must reach the
+    global min label, not a local one."""
+    from football_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.component, r.component_size) for r in
+           connected_components(pairs, max_iter=8).collect()}
+    assert got == {i: (0, 13) for i in range(13)}

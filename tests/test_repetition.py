@@ -231,3 +231,31 @@ def test_operator_alone_has_zero_exchanges(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_grams_kernel_matches_naive_slice_form(spark):
+    """The r13 arrays_zip gram builder must be element-identical to
+    the naive transform-over-sequence-with-slice form it replaced —
+    including the [] degrade for docs shorter than n and the
+    exact-length boundary (size == n -> one gram)."""
+    from pyspark.sql import functions as F
+
+    from football_data_pipeline_spark.operators.repetition import _grams
+
+    cases = ["", "a", "a b", "a b c", "a b c d", "x " * 9 + "y"]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    words = F.array_remove(F.split("text", "[ \n]+"), "")
+    for n in (2, 3, 5, 10):
+        got = [
+            r.g
+            for r in df.select(_grams(words, n).alias("g"))
+            .collect()
+        ]
+        for text, g in zip(cases, got):
+            ws = [w for w in text.split(" ") if w]
+            want = (
+                [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+                if len(ws) >= n
+                else []
+            )
+            assert g == want, (text, n, g, want)
