@@ -321,15 +321,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
-    # cache AFTER the signature columns (r13; was grp alone): four
-    # consumers (both band-join sides + both verify sides) would each
-    # re-run the scan + the SortAggregate that the array-typed min_by
-    # buffer forces (measured 3× at sf0.1), and with the cut at grp
-    # the two band-join sides each still re-ran the 18-hash minhash
-    # transform over every word array (guide §2.4 — Spark shares no
-    # common subplan across a self-join). The cached set is one row
-    # per DISTINCT word set — already the collapsed small side at any
-    # scale; the 18 extra longs are noise next to the word arrays.
+    # cache at the aggregate: the consumers (signature path + both
+    # verify sides) would each re-run the scan + the SortAggregate
+    # that the array-typed min_by buffer forces (measured 3× at
+    # sf0.1). The cached set is one row per DISTINCT word set —
+    # already the collapsed small side at any scale. The cut stays
+    # HERE, not after the signature columns: an r13 A/B of the wider
+    # cut (cache mh0..17 too, so the two band-join sides share the
+    # transform) measured 3.70 → 4.30 s median — the duplicated
+    # rep-level signature work runs in overlapping jobs on idle cores
+    # while the wider cache serializes its materialization (same
+    # lesson as the ngram_dedup_pairs A/B below).
     grp = (
         d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp"))
         .agg(
@@ -705,7 +707,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).first()["s"]
 
     prev_sum = label_sum(labels)
-    changed = -1  # max_iter < 1 must hit the RuntimeError below, not a NameError
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.s == labels.node).select(
             F.col("d").alias("node"), F.col("label")
@@ -722,6 +723,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        # convergence is probed HERE, on the propagated table, not
+        # after the pointer jump (r13 opt round, guide §2.4 — the
+        # cheapest join is the one you don't run): an unchanged sum ⇔
+        # one-hop propagation is a fixpoint ⇔ labels are constant
+        # along every edge ⇔ fully converged (each component's label
+        # already equals its minimum), and the pointer jump would be
+        # the identity. Detection fires in exactly the same round as
+        # the old post-jump probe — sum(jump(propagated)) = sum(labels)
+        # forces propagated = labels too, since labels only decrease —
+        # so the saved work is the FINAL round's node-sized self-join
+        # + checkpoint, for one extra narrow aggregate per earlier
+        # round (each over an already-checkpointed node-sized frame).
+        if label_sum(propagated) == prev_sum:
+            break
         # pointer-jump: adopt the current label's OWN label. Labels
         # start equal to the node id and only ever decrease, so
         # label(label(x)) ≤ label(x) always — the shortcut composes
@@ -741,11 +756,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .localCheckpoint()
         )
         labels = new_labels
-        new_sum = label_sum(labels)
-        changed = 0 if new_sum == prev_sum else 1
-        prev_sum = new_sum
-        if changed == 0:
-            break
+        prev_sum = label_sum(labels)
     else:
         # fail loudly: an unconverged exit would silently SPLIT real
         # clusters (multiple is_canonical keepers per true component),
