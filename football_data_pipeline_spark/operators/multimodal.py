@@ -707,7 +707,9 @@ def phash_near_dup(
 
 
 def hash_near_dup(
-    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+    hashes: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """The banded near-dup pass over ANY 4×16-bit fingerprint table
     ``(asset_id, decoded, band0..band3)`` — the machinery behind
@@ -715,7 +717,15 @@ def hash_near_dup(
     (the audio envelope fingerprint, audiodedup.py) reuse the
     star-collapse + band-blocking + Hamming-verify pipeline instead
     of reimplementing it. Same pigeonhole guarantee: ≤3 differing
-    bits ⇒ ≥1 equal band."""
+    bits ⇒ ≥1 equal band.
+
+    ``by`` names extra partition-key columns (e.g. the media kind):
+    star collapse and band blocking both carry them in their keys, so
+    assets only ever pair WITHIN a key group — one pass over a mixed
+    table is pair-for-pair identical to a union of per-group passes
+    (r13 opt round: one cache + one set of shuffles instead of one
+    per group; asset_id must remain unique across the whole table
+    and determine its group)."""
     # cached for the four consumers inside the pair plan (group,
     # stars, both verify sides) — released before returning via the
     # localCheckpoint at the end, which pins only the (small) pair
@@ -724,24 +734,26 @@ def hash_near_dup(
     # materialize the (small) pair result and release the hash cache
     # — returning a lazy plan over the cached table would leave the
     # per-asset hashes pinned in executor memory for the session
-    result = _phash_pair_plan(hashes, max_hamming).localCheckpoint()
+    result = _phash_pair_plan(hashes, max_hamming, by).localCheckpoint()
     hashes.unpersist()
     return result
 
 
-def _phash_pair_plan(hashes: DataFrame, max_hamming: int) -> DataFrame:
+def _phash_pair_plan(
+    hashes: DataFrame, max_hamming: int, by: tuple[str, ...] = ()
+) -> DataFrame:
     """The LAZY stars ∪ near plan over a per-asset hash table —
     split out of phash_near_dup so the plan-shape pytest
     (tests/test_multimodal.py) can assert its 100 TB signals (no
     cartesian product, band-bucket equi-joins only) BEFORE the
     eager localCheckpoint erases them from the final plan string."""
-    grp = hashes.groupBy(*[f"band{i}" for i in range(DHASH_BANDS)]).agg(
-        F.min("asset_id").alias("rid")
-    )
+    by = list(by)
+    band_cols = [f"band{i}" for i in range(DHASH_BANDS)]
+    grp = hashes.groupBy(*by, *band_cols).agg(F.min("asset_id").alias("rid"))
     # star pairs: every non-representative is an exact dup (Hamming 0)
     # of its group's min id
     stars = (
-        hashes.join(grp, [f"band{i}" for i in range(DHASH_BANDS)])
+        hashes.join(grp, [*by, *band_cols])
         .filter(F.col("asset_id") != F.col("rid"))
         .select(
             F.col("rid").alias("id_a"),
@@ -750,23 +762,27 @@ def _phash_pair_plan(hashes: DataFrame, max_hamming: int) -> DataFrame:
         )
     )
     reps = grp.select(
+        *by,
         F.col("rid").alias("asset_id"),
-        *[F.col(f"band{i}") for i in range(DHASH_BANDS)],
+        *[F.col(c) for c in band_cols],
     )
     bands = reps.select(
+        *by,
         "asset_id",
-        F.posexplode(
-            F.array(*[F.col(f"band{i}") for i in range(DHASH_BANDS)])
-        ).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_idx", "band_val"
+        ),
     )
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.asset_id") < F.col("b.asset_id"))
+    )
+    for c in by:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     pairs = (
         bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
-        )
+        .join(bands.alias("b"), cond)
         .select(
             F.col("a.asset_id").alias("id_a"), F.col("b.asset_id").alias("id_b")
         )

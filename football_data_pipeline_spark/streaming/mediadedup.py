@@ -229,11 +229,13 @@ def video_fingerprints(
 
 def _fid(df: DataFrame) -> DataFrame:
     """Fingerprint rows keyed by the composite fid, in
-    hash_near_dup's input schema (asset_id column = fid)."""
+    hash_near_dup's input schema (asset_id column = fid); kind rides
+    along as the pair pass's partition key."""
     return df.select(
         (F.col("asset_id") * FRAME_KEY + F.col("fp_seq"))
         .cast("long")
         .alias("asset_id"),
+        "kind",
         "decoded",
         *_BAND_COLS,
     )
@@ -271,12 +273,16 @@ def media_dup_rejects(
     kinds = fps.select("asset_id", "kind").distinct()
 
     # --- within-batch: fid-level pairs via the SHARED banded pass,
-    # per kind, lifted to asset pairs (same-asset frame pairs are
-    # not dups)
-    fid_pairs = None
-    for k in ("image", "audio", "video"):
-        p = hash_near_dup(_fid(fps.filter(F.col("kind") == k)), max_hamming)
-        fid_pairs = p if fid_pairs is None else fid_pairs.unionByName(p)
+    # kind-keyed in ONE pass (r13 opt round; was one pass per kind —
+    # three caches + three sets of shuffles, two of them running on
+    # provably-empty inputs whenever a batch carries a single kind),
+    # lifted to asset pairs (same-asset frame pairs are not dups).
+    # `by=("kind",)` keeps matching PARTITIONED BY KIND: star collapse
+    # and band blocking both carry kind in their keys, so the pair
+    # set is identical to the per-kind union by construction
+    # (tests/test_mediadedup_stream.py pins a cross-kind
+    # band-collision fixture to zero pairs).
+    fid_pairs = hash_near_dup(_fid(fps), max_hamming, by=("kind",))
     asset_pairs = (
         fid_pairs.select(
             F.expr(f"id_a DIV {FRAME_KEY}").alias("asset_a"),

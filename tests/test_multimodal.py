@@ -584,6 +584,48 @@ def test_phash_pair_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hash_near_dup_by_kind_matches_per_kind_union(spark):
+    """The kind-keyed single pass (r13: one cache + one set of
+    shuffles for media_dup_rejects, instead of one pass per kind)
+    must be pair-for-pair identical to the per-kind union — star
+    collapse and band blocking carry the key, so byte-identical
+    fingerprints under DIFFERENT kinds never pair."""
+    from football_data_pipeline_spark.operators.multimodal import hash_near_dup
+
+    rows = [
+        # image: identical-hash star group (1, 2) + near-dup 3 (1 bit off)
+        (1, "image", True, 0x1111, 0x2222, 0x3333, 0x4444),
+        (2, "image", True, 0x1111, 0x2222, 0x3333, 0x4444),
+        (3, "image", True, 0x1110, 0x2222, 0x3333, 0x4444),
+        # audio: byte-identical fingerprint to image 1 — must NOT pair
+        (4, "audio", True, 0x1111, 0x2222, 0x3333, 0x4444),
+        # audio: near-dup of 4 within its own kind
+        (5, "audio", True, 0x1111, 0x2222, 0x3333, 0x4445),
+        # video: unrelated singleton, no pairs at all
+        (6, "video", True, 0x7777, 0x0001, 0x0002, 0x0003),
+    ]
+    schema = (
+        "asset_id long, kind string, decoded boolean, "
+        "band0 int, band1 int, band2 int, band3 int"
+    )
+    fps = spark.createDataFrame(rows, schema)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hash_near_dup(fps, 3, by=("kind",)).collect()
+    }
+    want = {}
+    for k in ("image", "audio", "video"):
+        import pyspark.sql.functions as F
+
+        for r in hash_near_dup(fps.filter(F.col("kind") == k), 3).collect():
+            want[(r.id_a, r.id_b)] = r.hamming
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0  # star within image
+    assert (1, 3) in got and got[(1, 3)] == 1  # near within image
+    assert (4, 5) in got and got[(4, 5)] == 1  # near within audio
+    assert not any({a, b} == {1, 4} for a, b in got)  # cross-kind never
+
+
 def test_phash_zero_pixel_payload_does_not_kill_batch(spark):
     """A decodable 0-pixel payload once made dhash64 raise inside
     the Arrow kernel, killing every row in the batch (r9 fix): it
