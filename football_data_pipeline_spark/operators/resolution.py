@@ -63,7 +63,12 @@ STRATEGIES = (
 #: and 7/8 (edit-distance DP) dominate per-pair cost by ~20×
 CHEAP_STRATEGIES = STRATEGIES[:5]
 
-SUBSTRING_THRESHOLD = 0.75  # strategy 5's early-exit gate
+#: strategy 5's early-exit gate. Note it EQUALS the kernel's 0.75
+#: multiplier cap: substring_confidence = (min/max)·0.75 ≤ 0.75, so
+#: the gate passes only at ratio 1 — equal-length containment, i.e.
+#: string equality — which strategy 4 already resolves at higher
+#: priority. The fast path exploits this (no substring tier).
+SUBSTRING_THRESHOLD = 0.75
 
 
 def reduce_and(conds: list[Column]) -> Column:
@@ -507,7 +512,7 @@ def resolve_names(
         )
 
     if not with_alternatives:
-        # fast path — three tiers, each scanning only the remainder:
+        # fast path — two tiers, each scanning only the remainder:
         #
         # Tier A: strategies 1-4 are pure EQUALITY conditions (exact
         # name, manual target, learned target, normalized name), so
@@ -518,14 +523,12 @@ def resolve_names(
         # field: min(strategy_idx ≪ RANK_BITS | name_rank) IS the
         # cascade order (priority, then name asc).
         #
-        # Tier A': substring containment (strategy 5) is the one
-        # non-equi cheap kernel — it scans pairs, but only of names
-        # tier A left unresolved, pre-filtered to passing pairs (the
-        # ≥0.75 gate is selective, unlike the fuzzy 0.3 fallback).
+        # Tier B: substring/Jaccard/Levenshtein kernels in ONE pair
+        # pass over the remainder (strategy 5 provably never fires —
+        # see the note at the hard tier below — so there is no
+        # separate substring tier; r13 opt round removed it).
         #
-        # Tier B: Levenshtein/Jaccard kernels on the final remainder.
-        #
-        # At sf0.1 (600-candidate blocks) tiers A/A' measure even with
+        # At sf0.1 (600-candidate blocks) tier A measures even with
         # a flat cheap-scan — the fuzzy remainder dominates. The tier
         # structure is kept for its asymptotics: dictionary strategies
         # cost one probe per input ROW, not |block| comparisons per
@@ -612,32 +615,41 @@ def resolve_names(
                 F.col("strategy"),
             )
             return easy_a.unionByName(rest_out)
-        sub_pairs = pairs.join(F.broadcast(rest_a), api_col, "inner")
-        easy_sub = resolve_agg(
-            score(sub_pairs, expensive="skip").filter(
-                F.col("__conf_5") >= F.lit(SUBSTRING_THRESHOLD)
-            ),
-            ranks,
-            api_col=api_col,
-            cand_col=cand_col,
-            strategies=CHEAP_STRATEGIES,
-        ).cache()
-        easy_out = easy_a.unionByName(easy_sub)
-        hard_names = rest_a.join(
-            F.broadcast(easy_sub.select(api_col)), api_col, "left_anti"
-        )
-        # no pre-filter here, deliberately: the 0.3 fallback admits
-        # nearly every pair, so a pass_idx filter would drop nothing
+        # There is deliberately NO separate substring tier (r13 opt
+        # round removed it as provably dead work): strategy 5's
+        # confidence is (min(len)/max(len))·0.75 ≤ 0.75 with equality
+        # iff the lengths match, and containment of equal-length
+        # strings IS string equality — so a pair can clear the 0.75
+        # gate only when __api_norm == __cand_norm, which strategy 4
+        # (normalized equality, higher priority, threshold 0.85 = its
+        # own constant confidence) already resolved in tier A. The old
+        # tier A' therefore always produced an EMPTY verdict set while
+        # paying a full pair-stream pass + cache + anti-join
+        # (tests/test_resolution.py::test_substring_tier_provably_dead
+        # pins the arithmetic fact; the fast-vs-window parity test
+        # pins end-to-end equality).
+        #
+        # The same tier-A-completeness argument bounds the remainder's
+        # pass_idx to {6, 7, 8, NULL} — a rest_a pair passing 1-4
+        # would have resolved its name in tier A, and 5 is impossible
+        # as above — so the aggregate runs over STRATEGIES[5:] only
+        # and Catalyst prunes the never-read cheap confidence columns
+        # out of the pair projection.
+        #
+        # No pass_idx pre-filter here, deliberately: the 0.3 fallback
+        # admits nearly every pair, so a filter would drop nothing
         # while inlining the Levenshtein/Jaccard kernels a second
         # time into the Filter node (measured 2× kernel cost in the
         # physical plan). resolve_agg yields null-key groups →
         # 'no_match' rows for names nothing matches.
+        hard_names = rest_a
         hard_pairs = pairs.join(F.broadcast(hard_names), api_col, "inner")
         hard_agg = resolve_agg(
             score(hard_pairs, expensive="compute"),
             ranks,
             api_col=api_col,
             cand_col=cand_col,
+            strategies=STRATEGIES[5:],
         )
         hard_out = hard_names.join(hard_agg, api_col, "left").select(
             F.col(api_col),
@@ -645,7 +657,7 @@ def resolve_names(
             F.col("confidence"),
             F.coalesce(F.col("strategy"), F.lit("no_match")).alias("strategy"),
         )
-        return easy_out.unionByName(hard_out)
+        return easy_a.unionByName(hard_out)
 
     # alternatives require a full ranking per name → window path;
     # same two-pass split so the ranking sorts stay cheap-kernel

@@ -229,6 +229,85 @@ def test_hard_fallback_matches_full_cascade(spark):
         resolve_names(api, cand, hard_fallback=batch1, with_alternatives=True)
 
 
+def test_substring_tier_provably_dead(spark):
+    """r13 opt round: the fast path dropped its substring tier because
+    strategy 5 can NEVER clear its 0.75 gate on a pair strategy 4
+    would not already have resolved — substring_confidence =
+    (min(len)/max(len))·0.75 is ≤ 0.75 with equality iff the strings
+    are equal-length AND contained, i.e. equal. Pin the arithmetic on
+    the actual Column kernel: containment with unequal lengths stays
+    strictly below the gate; only equality reaches it."""
+    from football_data_pipeline_spark.functions.similarity import (
+        substring_confidence,
+    )
+    from football_data_pipeline_spark.operators.resolution import (
+        SUBSTRING_THRESHOLD,
+    )
+
+    rows = [
+        ("barcelona b", "barcelona"),  # containment, unequal length
+        ("real", "real madrid cf"),
+        ("x", "xx"),
+        ("abc", "zabcz"),
+        ("same name", "same name"),  # equality — the only passer
+        ("", "x"),
+        ("disjoint", "other"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string").select(
+        "a",
+        "b",
+        substring_confidence(F.col("a"), F.col("b")).alias("c5"),
+    )
+    for r in df.collect():
+        if r.a == r.b and len(r.a) > 0:
+            assert r.c5 == SUBSTRING_THRESHOLD
+        else:
+            assert r.c5 < SUBSTRING_THRESHOLD, (r.a, r.b, r.c5)
+
+
+def test_fast_path_matches_window_path_with_containment_pairs(spark):
+    """Differential pin for the r13 fast-path rewrite (substring tier
+    removed, hard tier aggregated over strategies 6-8 only): the
+    agg fast path must return row-for-row what the independent window
+    path computes, on a corpus that exercises containment pairs
+    (sub-0.75 strategy-5 confidences), word-set permutations
+    (strategy 6), fuzzy matches (7/8), equality tiers, and no_match."""
+    api_names = [
+        "Real Madrid",          # word-permutation → word_based (0.7)
+        "FC Barcelona B",       # containment, falls through to fuzzy
+        "Bayern Munich",        # exact
+        "Manchester United",    # normalized (United→Utd)
+        "Paris Saint Germain",  # manual
+        "Zq Wv Kx",             # no_match
+    ]
+    cands = [
+        "Madrid Real",
+        "Barcelona",
+        "Bayern Munich",
+        "Manchester Utd",
+        "PSG",
+        "Liverpool",
+    ]
+    api = spark.createDataFrame([(n,) for n in api_names], "api_name string")
+    cand = spark.createDataFrame([(n,) for n in cands], "odds_name string")
+    manual = spark.createDataFrame(
+        [("Paris Saint Germain", "PSG")], "api_name string, target string"
+    )
+    fast = resolve_names(
+        api, cand, manual=manual, with_alternatives=False
+    )
+    window = resolve_names(
+        api, cand, manual=manual, with_alternatives=True
+    ).select("api_name", "matched_name", "confidence", "strategy")
+    rows_fast = sorted(map(tuple, fast.collect()))
+    rows_window = sorted(map(tuple, window.collect()))
+    assert rows_fast == rows_window
+    by_name = {r[0]: r for r in rows_fast}
+    assert by_name["Real Madrid"][3] == "word_based_matching"
+    assert by_name["Zq Wv Kx"][3] == "no_match"
+    assert by_name["Paris Saint Germain"][3] == "manual_mapping"
+
+
 def test_learned_mapping_plan_bounded(spark):
     """Plan-SIZE regression for q_learned_mapping (VERDICT r7 #1): the
     two-batch resolve -> learn -> resolve composition must NOT embed
