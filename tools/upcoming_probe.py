@@ -143,6 +143,22 @@ def main() -> None:
             now=now,
         )
 
+    def full_narrow_ckpt():
+        """game_info-only bronze checkpoint shared by the three dim
+        extracts (the odds payload never materializes); flatten_odds
+        keeps its own pruned scan."""
+        b = dims._game_bronze(orders)
+        narrow = b.select(
+            "fixture_id", "collection_type", "collected_at_ts", "game_info"
+        ).localCheckpoint()
+        return upcoming_games_with_odds(
+            fixtures=extract_fixtures(narrow),
+            teams=extract_teams(narrow),
+            leagues=extract_leagues(narrow),
+            odds_history=flatten_odds(b),
+            now=now,
+        )
+
     targets = {
         "bronze": lambda: dims._game_bronze(orders),
         "bronze1scan": lambda: bronze_one_scan(orders),
@@ -152,6 +168,7 @@ def main() -> None:
         "odds": lambda: flatten_odds(dims._game_bronze(orders)),
         "full": lambda: full(dims._game_bronze),
         "full_1scan": lambda: full(bronze_one_scan),
+        "full_narrow_ckpt": full_narrow_ckpt,
     }
     for name, fn in targets.items():  # warm
         fn().write.mode("overwrite").format("noop").save()
