@@ -215,11 +215,14 @@ CHECK_PRIORITY = [
 # and its module + shared deps are untouched since that row. The
 # r11 curation notes live in git history (this file at 695fba4).
 CARRY_TO_NEXT_ROUND: list[str] = [
-    # the 36 r9-latest freshness refreshes the r12 head could not
-    # fit (modules byte-untouched since r9, green rows stand; the
+    # the r9-latest freshness refreshes the r12 head could not
+    # fit — all 39 names below, i.e. the 36 remaining r9 rows plus
+    # the 3 yielded-slot names folded in per the note above
+    # (modules byte-untouched since r9, green rows stand; the
     # head spent 26 slots repaying the r11 carry IOU, 15 on touched
     # modules and the two new queries, 9 on the oldest r9 rows) —
-    # head these in r13:
+    # head these in r13 (VERDICT r12 item 7: the count in prose must
+    # match len() of this list, which the driver validates):
     "q_pagerank",
     "q_multimodal_meta",
     "q_audio_near_dup",
