@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for headline queries into plans/<tag>/.
+"""Capture .explain('formatted') for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <tag-suffix> [query ...]
-Writes plans/r13/<query>_<tag-suffix>.txt for every bench headline
-query (or just the ones named). Driver-only planning — no jobs run
-except eager seams (localCheckpoint) inside query constructors.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag-suffix>.txt (round
+dir defaults to r14) for every bench headline query (or just the
+ones named). Driver-only planning — no jobs run except eager seams
+(localCheckpoint) inside query constructors.
 """
 
 from __future__ import annotations
@@ -26,7 +27,9 @@ def main() -> None:
 
     names = sys.argv[2:] or bench.HEADLINE
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="fdps-plans")
