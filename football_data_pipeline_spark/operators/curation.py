@@ -121,7 +121,9 @@ def q_dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_of_group(load(spark, sf_dir, "documents"))
 
 
-def best_of_component(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def best_of_component(
+    docs: DataFrame, pairs: DataFrame, rep: DataFrame | None = None
+) -> DataFrame:
     """The release-grade variant (VERDICT r9 item 3): argmax-quality
     canonical selection over NEAR-dup COMPONENTS instead of exact
     fingerprint groups. ``pairs`` is a verified rep-level near-dup
@@ -142,11 +144,21 @@ def best_of_component(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     argument), so the rep→component join is dimension-sized; member
     expansion is one fingerprint groupBy (the q_dedup_exact
     exchange) + doc_id equi joins; then the SAME two-windows-one-
-    exchange shape as best_of_group, partitioned by component."""
+    exchange shape as best_of_group, partitioned by component.
+
+    ``rep`` (optional): a precomputed (f, rid) fingerprint→rep
+    mapping. When the caller already built the pair table from
+    dedup.minhash_rep_groups, its cached group table holds exactly
+    this mapping (f = fingerprint(text), rid = min doc_id per group
+    — same key expression, same aggregate, same doc set), so passing
+    it skips re-running the corpus-wide fingerprint groupBy here
+    (r14, guide §2.4 — don't re-aggregate what a shared stage
+    already materialized)."""
     from .dedup import connected_components
 
     fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
-    rep = fp.groupBy("f").agg(F.min("doc_id").alias("rid"))
+    if rep is None:
+        rep = fp.groupBy("f").agg(F.min("doc_id").alias("rid"))
     comp = connected_components(
         pairs.select("doc_a", "doc_b")
     ).select(F.col("doc_id").alias("rid"), "component")
@@ -237,8 +249,14 @@ def q_dedup_best_of_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the whole chain (recursive-CTE fixpoint + windows) —
     a drift in the pair set, the component fixpoint, the member
     expansion, or the canonical policy breaks the value hash."""
-    from .dedup import q_dedup_minhash
+    from .dedup import minhash_rep_groups, minhash_verified_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    return best_of_component(docs, pairs)
+    grp = minhash_rep_groups(docs)
+    pairs = minhash_verified_pairs(spark, grp).select("doc_a", "doc_b")
+    # the cached group table IS the fingerprint→rep mapping the
+    # member expansion needs (f = fingerprint(text), rid = min
+    # doc_id) — reuse it instead of re-aggregating the corpus
+    return best_of_component(
+        docs, pairs, rep=grp.select(F.col("fp").alias("f"), "rid")
+    )

@@ -320,19 +320,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        along so downstream can weight clusters.
     """
     docs = load(spark, sf_dir, "documents")
+    return minhash_verified_pairs(spark, minhash_rep_groups(docs))
+
+
+def minhash_rep_groups(docs: DataFrame) -> DataFrame:
+    """The collapse stage: one row per DISTINCT canonical word set —
+    (fp, rid, sz, ws), where fp is exactly ``fingerprint(text)`` and
+    rid the group's min doc_id. Shared by q_dedup_minhash and the
+    best_of_component member expansion (r14: the expansion previously
+    re-aggregated this same fingerprint→rep mapping from scratch).
+
+    Cached at the aggregate: the consumers (signature path + both
+    verify sides + the component member expansion) would each re-run
+    the scan + the SortAggregate that the array-typed min_by buffer
+    forces (measured 3× at sf0.1). The cached set is one row per
+    DISTINCT word set — already the collapsed small side at any
+    scale. The cut stays HERE, not after the signature columns: an
+    r13 A/B of the wider cut (cache mh0..17 too, so the two band-join
+    sides share the transform) measured 3.70 → 4.30 s median — the
+    duplicated rep-level signature work runs in overlapping jobs on
+    idle cores while the wider cache serializes its materialization
+    (same lesson as the ngram_dedup_pairs A/B below)."""
     d = docs.select("doc_id", word_set(F.col("text")).alias("ws"))
-    # cache at the aggregate: the consumers (signature path + both
-    # verify sides) would each re-run the scan + the SortAggregate
-    # that the array-typed min_by buffer forces (measured 3× at
-    # sf0.1). The cached set is one row per DISTINCT word set —
-    # already the collapsed small side at any scale. The cut stays
-    # HERE, not after the signature columns: an r13 A/B of the wider
-    # cut (cache mh0..17 too, so the two band-join sides share the
-    # transform) measured 3.70 → 4.30 s median — the duplicated
-    # rep-level signature work runs in overlapping jobs on idle cores
-    # while the wider cache serializes its materialization (same
-    # lesson as the ngram_dedup_pairs A/B below).
-    grp = (
+    return (
         d.groupBy(F.md5(F.concat_ws(" ", F.array_sort("ws"))).alias("fp"))
         .agg(
             F.min("doc_id").alias("rid"),
@@ -341,6 +351,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+
+
+def minhash_verified_pairs(spark: SparkSession, grp: DataFrame) -> DataFrame:
+    """Signature → band-bucket self-join → exact-Jaccard verify over
+    a rep-group table from :func:`minhash_rep_groups` (q_dedup_minhash
+    minus the collapse stage — see its docstring for the plan
+    argument)."""
     mh = grp
     for i, c in enumerate(minhash_signature(F.col("ws"))):
         mh = mh.withColumn(f"mh{i}", c)
@@ -682,31 +699,59 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     exits when a round changes no label (one scalar count per round —
     an aggregate, not a data collect).
     """
+    # Every localCheckpoint below is LAZY (eager=False): the frame is
+    # materialized by the first job that computes it, which here is
+    # always the per-round convergence aggregate — so checkpoint
+    # materialization, the previous round's pointer-jump, and the sum
+    # all run as ONE Spark job per round instead of the r13 shape's
+    # four (eager propagate-checkpoint, sum, eager jump-checkpoint,
+    # sum). At bench scale the loop cost is per-round driver-job
+    # overhead, not data (the graph is node-sized); at 100 TB the
+    # fused job does exactly the same data work as the split ones.
+    # symmetrize with ONE pass over the pair source: the old
+    # two-branch union executed the whole upstream pair pipeline
+    # (band join + Jaccard verify for the minhash callers) once PER
+    # BRANCH — Spark shares no common subplan across a union.
+    # explode(array(fwd, rev)) reads each pair row exactly once and
+    # emits both orientations (r14, guide §2.4 — remove repeated
+    # subtree execution). Row set is identical by construction.
     sym = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("s"), F.col("doc_a").alias("d")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.s", "__e.d")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence probe: labels start equal to the node id and only
     # ever DECREASE, so the exact label sum is unchanged between
-    # rounds iff no label changed — one narrow aggregate over the
-    # already-checkpointed frame replaces the old per-round
-    # join+count job (r13, guide §2.4: fewer jobs per round).
-    # decimal(38,0) keeps the sum exact for any id range: 2^63 nodes
-    # of magnitude < 2^63 sum below 2^126 ≈ 8.5e37 < 10^38.
+    # rounds iff no label changed — one narrow aggregate (r13, guide
+    # §2.4: fewer jobs per round). decimal(38,0) keeps the sum exact
+    # for any id range: 2^63 nodes of magnitude < 2^63 sum below
+    # 2^126 ≈ 8.5e37 < 10^38.
     def label_sum(df: DataFrame) -> object:
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
+    # job 1: materializes sym + the initial labels via the sum
     prev_sum = label_sum(labels)
+    out = labels
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.s == labels.node).select(
             F.col("d").alias("node"), F.col("label")
@@ -716,47 +761,52 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # re-execute the edge join + min-aggregate subtree (Spark
         # does not share common subplans across a self-join), doubling
         # every round's edge work (r13, guide §2.4 — remove repeated
-        # subtree execution; node-sized materialization).
+        # subtree execution; node-sized materialization). The sum
+        # below materializes it, so the jump still reads checkpointed
+        # rows and per-round edge work stays single-execution.
         propagated = (
             neighbor.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # convergence is probed HERE, on the propagated table, not
-        # after the pointer jump (r13 opt round, guide §2.4 — the
-        # cheapest join is the one you don't run): an unchanged sum ⇔
-        # one-hop propagation is a fixpoint ⇔ labels are constant
-        # along every edge ⇔ fully converged (each component's label
-        # already equals its minimum), and the pointer jump would be
-        # the identity. Detection fires in exactly the same round as
-        # the old post-jump probe — sum(jump(propagated)) = sum(labels)
-        # forces propagated = labels too, since labels only decrease —
-        # so the saved work is the FINAL round's node-sized self-join
-        # + checkpoint, for one extra narrow aggregate per earlier
-        # round (each over an already-checkpointed node-sized frame).
-        if label_sum(propagated) == prev_sum:
+        # Convergence compares CONSECUTIVE PROPAGATE OUTPUTS (r14 —
+        # one job per round; the r13 shape also summed the post-jump
+        # table, a second job). Soundness: the label sequence is
+        # pointwise non-increasing through both steps (propagate takes
+        # a min with the own label; jump maps x → L(L(x)) ≤ L(x)
+        # because L(y) ≤ y for every y), so
+        #   propagated_{t-1} ≥ jumped_{t-1} ≥ propagated_t pointwise,
+        # and equal SUMS force all three pointwise equal. In
+        # particular propagate(jumped_{t-1}) = jumped_{t-1}: a
+        # propagate fixpoint, i.e. labels constant along every edge,
+        # i.e. every component sits at its min (the unique fixpoint
+        # reachable from the monotone descent) — return it. Detection
+        # can fire at most ONE round later than the r13 probe (only
+        # when the final jump did real shortcutting), trading ≤ one
+        # extra node-sized round for half the jobs in every round.
+        s = label_sum(propagated)
+        if s == prev_sum:
+            out = propagated
             break
+        prev_sum = s
         # pointer-jump: adopt the current label's OWN label. Labels
         # start equal to the node id and only ever decrease, so
         # label(label(x)) ≤ label(x) always — the shortcut composes
         # two hops per round: O(log d) rounds on chain-shaped
-        # components instead of O(d). On the 10× probe corpus the
-        # whole loop is ~6.6s over 500k edges (pair GENERATION
-        # dominates that query end-to-end, not this loop).
+        # components instead of O(d). Lazy checkpoint: materialized
+        # inside the NEXT round's sum job.
         jleft = propagated.select(
             F.col("node").alias("__n"), F.col("label").alias("__l")
         )
         jright = propagated.select(
             F.col("node").alias("__ln"), F.col("label").alias("__ll")
         )
-        new_labels = (
+        labels = (
             jleft.join(jright, F.col("__l") == F.col("__ln"))
             .select(F.col("__n").alias("node"), F.col("__ll").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
-        prev_sum = label_sum(labels)
     else:
         # fail loudly: an unconverged exit would silently SPLIT real
         # clusters (multiple is_canonical keepers per true component),
@@ -769,7 +819,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
     w_sz = F.count("*").over(Window.partitionBy("component"))
     return (
-        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+        out.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
         .withColumn("component_size", w_sz.cast("long"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
     )
