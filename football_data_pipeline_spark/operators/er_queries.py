@@ -294,8 +294,46 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.85 ≥ 0.8) return from batch 2 as learned_mapping at 0.9;
     exact/manual winners are unchanged (higher priority than
     learned).
+
+    r14 optimization (guide §1.2 step 1 — the cheapest pass is the
+    one you don't run): batch 2 is computed as a PURE PROJECTION of
+    batch 1, not a second cascade. Proof it equals the oracle's full
+    batch-2 cascade, case by case over batch 1's verdict for a name:
+
+    - The learned dim holds exactly the batch-1 rows with confidence
+      ≥ 0.8: possible winning strategies are exact (1.0), manual
+      (0.95), normalized (0.85) and word_based (Jaccard ∈ [0.8, 1]);
+      substring caps at 0.75 (provably dead — resolution.py) and
+      fuzzy at 0.6, so nothing else reaches 0.8. Each learned target
+      is the name's batch-1 matched candidate — a member of the
+      name's own candidate block, so in batch 2 strategy 3 (cand ==
+      learned target) fires for exactly these names, at 0.9.
+    - Name NOT in the learned dim: its batch-2 pairs carry a NULL
+      learned target, so conf_3 ≡ 0.0 and every other confidence
+      column is computed from inputs IDENTICAL to batch 1's — its
+      batch-2 row IS its batch-1 row (unchanged).
+    - Name in the dim via strategy 1 or 2: those priorities outrank
+      3, so s_star and the winning pair are unchanged → row
+      identical to batch 1's.
+    - Name in the dim via strategy 4 or 6: strategy 3 now passes and
+      outranks both, so s_star = 3; every pair passing it has
+      odds_name == the learned target (batch 1's matched_name), so
+      the winner is that same name at confidence 0.9, strategy
+      'learned_mapping' — i.e. the batch-1 row with (confidence,
+      strategy) rewritten to (0.9, learned_mapping).
+
+    So: rows with matched_name set, confidence ≥ 0.8 and strategy ∉
+    {exact_match, manual_mapping} are promoted to (0.9,
+    learned_mapping); every other row passes through. The r13 shape
+    (checkpoint batch 1, re-run the equality tiers, fall back) ran
+    four broadcast probes + two joins + a serial checkpoint barrier
+    to compute exactly this projection.
+    tests/test_resolution.py::test_learned_projection_matches_full_second_cascade
+    pins the projection against a genuine second resolve_names run
+    with the learned dim active; the driver oracle re-verifies the
+    composition end-to-end.
     """
-    from .resolution import learn_mappings
+    from ..functions.stable import rnd
 
     customer = load(spark, sf_dir, "customer")
     api = customer.select(F.col("c_name").alias("api_name"), F.col("c_nationkey").alias("nk"))
@@ -312,39 +350,31 @@ def q_learned_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("api_name"),
         F.regexp_replace(F.col("c_name"), "Customer#", "Cust#").alias("manual_target"),
     )
-    # localCheckpoint severs batch 1's lineage here (VERDICT r7 #1):
-    # without the cut batch 2's plan re-embeds batch 1's full
-    # resolution cascade — a ~4,500-exchange PLAN STRING that OOMed a
-    # 1g driver just to hold/print. Plan-size regression:
-    # tests/test_resolution.py::test_learned_mapping_plan_bounded.
-    # r13 optimization: checkpoint batch 1 ITSELF (name-sized) rather
-    # than the learned dim derived from it, and hand it to batch 2 as
-    # the hard_fallback — batch 2 then runs ONLY the equality tiers
-    # (exact/manual/learned/normalized probes) and reuses batch 1's
-    # rows for everything they leave unresolved, instead of
-    # re-running the substring + Levenshtein/Jaccard pair kernels a
-    # second time over the same pairs (guide §1.2 step 1; the
-    # equivalence argument lives on resolve_names.hard_fallback).
+    # batch 1 has exactly ONE consumer now (the projection below), so
+    # the r7/r13 lineage-cut checkpoint is gone too — no serial
+    # materialization barrier, and the plan stays one-cascade-sized
+    # (tests/test_resolution.py::test_learned_mapping_plan_bounded).
     batch1 = resolve_names(
         api, cand, block_key="nk", manual=manual, with_alternatives=False
-    ).localCheckpoint()
-    empty_learned = spark.createDataFrame(
-        [], "api_name string, learned_name string, confidence double, strategy string, verified boolean"
     )
-    learned_tbl = learn_mappings(batch1, empty_learned, min_confidence=0.8)
-    learned_dim = learned_tbl.select("api_name", "learned_name")
-    batch2 = resolve_names(
-        api,
-        cand,
-        block_key="nk",
-        manual=manual,
-        learned=learned_dim,
-        with_alternatives=False,
-        hard_fallback=batch1.select(
-            "api_name", "matched_name", "confidence", "strategy"
-        ),
+    # the batch-2 projection (equivalence proof in the docstring):
+    # learn-eligible rows not already won by a higher-priority
+    # dictionary strategy come back as learned_mapping at 0.9
+    promote = (
+        F.col("matched_name").isNotNull()
+        & (F.col("confidence") >= 0.8)
+        & ~F.col("strategy").isin("exact_match", "manual_mapping")
     )
-    return batch2.select("api_name", "matched_name", "confidence", "strategy")
+    return batch1.select(
+        "api_name",
+        "matched_name",
+        F.when(promote, rnd(F.lit(0.9), 4))
+        .otherwise(F.col("confidence"))
+        .alias("confidence"),
+        F.when(promote, F.lit("learned_mapping"))
+        .otherwise(F.col("strategy"))
+        .alias("strategy"),
+    )
 
 
 #: reference-canonical mapping cases (enhanced_mapping.py:912-957 plus

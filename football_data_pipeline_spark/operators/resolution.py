@@ -404,7 +404,6 @@ def resolve_names(
     api_col: str = "api_name",
     cand_col: str = "odds_name",
     with_alternatives: bool = True,
-    hard_fallback: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end cascade: pair generation (blocked, candidates
     broadcast) → two-pass scoring → collapse.
@@ -426,29 +425,11 @@ def resolve_names(
        exact because a never-chosen strategy's confidence can't
        affect the outcome (strategy priority).
 
-    ``hard_fallback`` (with_alternatives=False only; r13
-    optimization, guide §1.2 step 1 — don't recompute what a prior
-    pass already decided): a precomputed full resolution table
-    (api_col, matched_name, confidence, strategy) covering EVERY
-    input name, valid for any name the equality tiers (strategies
-    1-4, incl. the learned dictionary) leave unresolved. When given,
-    the substring and fuzzy tiers are skipped outright and
-    equality-unresolved names take their fallback row. The caller
-    owns the equivalence proof; the one shipped use is the
-    learned-mapping second batch, where it holds exactly:
-
-    - a name the equality tiers resolve gets the full-cascade answer
-      (its s_star ≤ 4, so strategies 5-8 can never be chosen);
-    - a name they do NOT resolve has no learned entry (a learned
-      target is itself a blocked candidate and equality-matches via
-      strategy 3 at 0.9 ≥ its threshold, so every learned name
-      resolves in tier A), hence its batch-2 cascade sees inputs
-      IDENTICAL to batch 1's (the learned column is NULL, and a NULL
-      target makes conf_3 ≡ 0.0 exactly like the absent column) —
-      its batch-1 row IS its batch-2 row. Names batch 1 resolved via
-      substring/fuzzy never enter the learned dim (those strategies
-      cap at 0.75 < the 0.8 learn threshold), so "unresolved by
-      batch-2 tier A" always lands in this branch with a valid row.
+    (The r13 ``hard_fallback`` seam — reuse a prior batch's rows for
+    equality-unresolved names — was removed in r14: its one shipped
+    caller, the learned-mapping second batch, collapsed further into
+    a pure projection of batch 1; the equivalence proof lives on
+    er_queries.q_learned_mapping.)
     """
     # The repartition is load-bearing twice over: (a) whole-stage
     # codegen evaluates ProjectExec output lazily at first USE site,
@@ -467,8 +448,6 @@ def resolve_names(
     # single-threaded. Pinning to defaultParallelism keeps the pair
     # explosion spread across every core (at cluster scale the same
     # holds: partition count must be sized to the POST-join stream).
-    if hard_fallback is not None and with_alternatives:
-        raise ValueError("hard_fallback requires with_alternatives=False")
     num_parts = api_df.sparkSession.sparkContext.defaultParallelism
     api_df = (
         api_df.withColumn("__api_norm", normalize_name(F.col(api_col)))
@@ -534,6 +513,18 @@ def resolve_names(
         # cost one probe per input ROW, not |block| comparisons per
         # row, which is the difference that matters when blocks are
         # thousands wide.
+        # r14 probe, REVERTED: a single-pass tier A (pre-aggregate the
+        # candidate dim to per-key min ranks, LEFT-probe all four
+        # strategy keys on one stream, least() the packed keys, derive
+        # the remainder from the same pass's NULL keys) produced a
+        # structurally smaller plan (q_fuzzy_join 248 → 150 Exchange
+        # prints, 110 → 62 scans) but LOST wall-clock in every leg of
+        # a 3-leg stash-toggled ABAB at sf0.1 (medians 6.65/3.87/4.26
+        # vs 4.25/3.20/3.38 s) — the four independent inner-join
+        # subtrees overlap on idle cores while the chained left-probes
+        # serialize one stream behind two dim aggregates (the same
+        # overlap-beats-fewer-passes lesson as the r13 bm25
+        # postings-cache and wider-minhash-cache A/Bs).
         a, c = api_df.alias("A"), candidates_df.alias("C")
         blk = (
             [F.col(f"A.{block_key}") == F.col(f"C.{block_key}")] if block_key else []
@@ -590,31 +581,20 @@ def resolve_names(
                 ).alias("strategy"),
             )
         )
-        # cache the per-name verdicts (dim-sized): multiple consumers
-        # (the union output, the anti-joins) would otherwise re-run
-        # their tier's whole subtree per reference. Lifecycle: the
-        # returned plan references these cached frames, so they stay
-        # pinned for the session (a dim-sized cost) — a long-lived
-        # driver running the cascade repeatedly should
-        # spark.catalog.clearCache() between corpora or materialize
-        # the result and unpersist (the phash_near_dup pattern)
+        # cache the per-name verdicts (dim-sized): the two consumers
+        # (the union output and the remainder anti-join) would
+        # otherwise re-run the tier's whole subtree per reference.
+        # Lifecycle: the returned plan references these cached
+        # frames, so they stay pinned for the session (a dim-sized
+        # cost) — a long-lived driver running the cascade repeatedly
+        # should spark.catalog.clearCache() between corpora or
+        # materialize the result and unpersist (the phash_near_dup
+        # pattern)
         easy_a = easy_a.cache()
         all_names = api_df.select(api_col).distinct()
         rest_a = all_names.join(
             F.broadcast(easy_a.select(api_col)), api_col, "left_anti"
         )
-        if hard_fallback is not None:
-            # equality-unresolved names take their precomputed row —
-            # the substring/fuzzy tiers (the per-pair cost drivers)
-            # never run. Inner join: the fallback covers every input
-            # name by contract (no_match rows included).
-            rest_out = rest_a.join(hard_fallback, api_col, "inner").select(
-                F.col(api_col),
-                F.col("matched_name"),
-                F.col("confidence"),
-                F.col("strategy"),
-            )
-            return easy_a.unionByName(rest_out)
         # There is deliberately NO separate substring tier (r13 opt
         # round removed it as provably dead work): strategy 5's
         # confidence is (min(len)/max(len))·0.75 ≤ 0.75 with equality

@@ -183,12 +183,15 @@ def test_rank_candidates_guard_enforces_dim_contract(spark):
         rank_candidates(names, "odds_name", max_candidates=5).collect()
 
 
-def test_hard_fallback_matches_full_cascade(spark):
-    """r13 optimization: resolve_names(hard_fallback=batch1) must
-    return EXACTLY what a full second cascade returns for the
-    learned-mapping composition (equality tiers re-run, expensive
-    tiers replaced by batch 1's rows — the equivalence argument on
-    resolve_names.hard_fallback)."""
+def test_learned_projection_matches_full_second_cascade(spark):
+    """r14 optimization: q_learned_mapping computes batch 2 as a pure
+    projection of batch 1 (promote matched rows with confidence ≥ 0.8
+    not already won by exact/manual to (0.9, learned_mapping)). The
+    projection must return EXACTLY what a genuine second resolve_names
+    run with the learned dictionary active returns — the equivalence
+    proof on er_queries.q_learned_mapping, pinned row-for-row here."""
+    from football_data_pipeline_spark.functions.stable import rnd
+
     api = spark.createDataFrame([(n,) for n in API_NAMES], "api_name string")
     cand = spark.createDataFrame([(n,) for n in CANDIDATES], "odds_name string")
     manual = spark.createDataFrame(
@@ -208,25 +211,34 @@ def test_hard_fallback_matches_full_cascade(spark):
     full = resolve_names(
         api, cand, manual=manual, learned=learned_dim, with_alternatives=False
     )
-    fast = resolve_names(
-        api,
-        cand,
-        manual=manual,
-        learned=learned_dim,
-        with_alternatives=False,
-        hard_fallback=batch1.select(
-            "api_name", "matched_name", "confidence", "strategy"
-        ),
+    promote = (
+        F.col("matched_name").isNotNull()
+        & (F.col("confidence") >= 0.8)
+        & ~F.col("strategy").isin("exact_match", "manual_mapping")
+    )
+    proj = batch1.select(
+        "api_name",
+        "matched_name",
+        F.when(promote, rnd(F.lit(0.9), 4))
+        .otherwise(F.col("confidence"))
+        .alias("confidence"),
+        F.when(promote, F.lit("learned_mapping"))
+        .otherwise(F.col("strategy"))
+        .alias("strategy"),
     )
     rows_full = sorted(map(tuple, full.collect()))
-    rows_fast = sorted(map(tuple, fast.collect()))
-    assert rows_fast == rows_full
+    rows_proj = sorted(map(tuple, proj.collect()))
+    assert rows_proj == rows_full
     # every input name appears exactly once (incl. no_match rows)
-    assert len(rows_fast) == len(API_NAMES)
-    # guard: the fallback short-circuit is only defined for the
-    # single-verdict path
-    with pytest.raises(ValueError, match="hard_fallback"):
-        resolve_names(api, cand, hard_fallback=batch1, with_alternatives=True)
+    assert len(rows_proj) == len(API_NAMES)
+    # the fixture exercises the promotion: at least one learned row
+    # must exist and keep its batch-1 matched name
+    promoted = [r for r in rows_proj if r[3] == "learned_mapping"]
+    assert promoted, "fixture produced no learn-eligible batch-1 row"
+    b1 = {r[0]: r for r in map(tuple, batch1.collect())}
+    for name, matched, conf, strat in promoted:
+        assert matched == b1[name][1]
+        assert conf == pytest.approx(0.9)
 
 
 def test_substring_tier_provably_dead(spark):
