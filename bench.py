@@ -2,10 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (contract-minimum keys only — r14, VERDICT r13
+item 1: the rich dict's growth got the r12 printed line
+front-truncated in the driver's tail capture, losing the
+round-over-round comparison; diagnostics live in bench_out.json):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "spread": {"q_...": sec, ...},
-   "trials": N, "sf": <float>}
+   "queries": {"q_...": sec, ...}, "sf": <float>}
+bench_out.json additionally carries spread/trials/noisy_trials.
 
 Each query is fully materialized through the no-op sink (format
 "noop") so projection pruning can't skip work, and timing excludes
@@ -200,6 +203,18 @@ HEADLINE = [
 # vs its recorded 1.31→1.58); see tools/video_stats_ab.py.
 
 #: spread ≈ median at trials=3 in BENCH_r03 — needs more samples.
+#: q_dedup_best_of_component joined in r14 (VERDICT r13 item 5): the
+#: driver's r13 print carried spread 35.9 on an 11.1 s median at
+#: trials=3 — it inherits q_dedup_minhash's cache straddle PLUS the
+#: CC checkpoints, so the headline total was hostage to one query's
+#: variance. The r13 wall-clock concern is gone: the r14 CC rewrite
+#: (one-pass symmetrize + fused rounds) roughly halved the query, so
+#: 6 trials cost what 3 did in r13.
+#: q_video_stats joined in r14 (VERDICT r13 item 7): driver print
+#: 4.13 s spread 3.2 vs quiet-box 1.1 s median — same first-trial
+#: codegen/cache straddle signature (its kernel memo warms within
+#: the first measured pass); extra trials + the max-trim read the
+#: steady state.
 #: q_dedup_minhash joined in r4: its cached signature table makes
 #: the first trials re-computation-heavy and later ones cache-warm
 #: (measured solo: 5.6, 4.0, 7.0, 4.4, 2.7, 2.9 s), so 3 samples
@@ -234,6 +249,9 @@ NOISY_QUERIES = {
     # host contention (same-session median 2.0 s, at the r9 level,
     # spread 1.5 s >= the delta) — buy it the extra trials
     "q_audio_near_dup",
+    # joined in r14 (see the r14 notes above)
+    "q_dedup_best_of_component",
+    "q_video_stats",
 }
 NOISY_TRIALS = 6
 
@@ -304,10 +322,16 @@ def main() -> None:
     }
     # the artifact must never depend on stdout capture length: the
     # r10 run's 47-query line was front-truncated by the driver's
-    # tail capture (VERDICT r10 item 3) — persist the full dict too
+    # tail capture (VERDICT r10 item 3) — persist the full dict to
+    # bench_out.json, and PRINT only the contract-minimum keys
+    # (VERDICT r13 item 1: the growing printed line got the r12
+    # artifact front-truncated again, which cost the driver its
+    # whole round-over-round comparison; spread/trials/noisy_trials
+    # are diagnostics, so they live in the file only)
     with open(os.path.join(os.path.dirname(__file__), "bench_out.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    printed = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    print(json.dumps(printed))
     spark.stop()
 
 

@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
-from functools import lru_cache
+from ..functions.memo import payload_memo
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -195,7 +195,7 @@ def _stat_round(x: float) -> float:
     return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
-@lru_cache(maxsize=256)
+@payload_memo(maxsize=256)
 def _audio_stats_row(payload: bytes) -> tuple:
     """(decoded, rate, ..., silence_ratio) for one payload — pure
     function of the bytes, memoized per worker (r13, guide §4.5):

@@ -48,6 +48,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 from functools import lru_cache
 
+from ..functions.memo import payload_memo
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,7 +91,7 @@ def envelope_fingerprint64(mono) -> int | None:
     return h
 
 
-@lru_cache(maxsize=512)
+@payload_memo(maxsize=512)
 def _afp_row(payload: bytes) -> tuple:
     """(decoded, band0..band{n-1}) for one payload — pure function
     of the bytes, memoized per worker (r13, guide §4.5): byte-exact

@@ -33,7 +33,7 @@ from __future__ import annotations
 import struct
 import zlib
 from collections.abc import Iterator
-from functools import lru_cache
+from ..functions.memo import payload_memo
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -494,7 +494,7 @@ STATS_SCHEMA = (
 )
 
 
-@lru_cache(maxsize=512)
+@payload_memo(maxsize=512)
 def _image_stats_row(payload: bytes) -> tuple:
     """(width, height, mean_r, mean_g, mean_b, decoded) for one
     payload — pure function of the bytes, memoized per worker (r13,
@@ -629,7 +629,7 @@ def dhash64(width: int, height: int, rgb: bytes) -> int:
     return h
 
 
-@lru_cache(maxsize=512)
+@payload_memo(maxsize=512)
 def _phash_row(payload: bytes) -> tuple:
     """(decoded, band0..band{n-1}) for one payload — a pure function
     of the bytes, memoized per worker (r13, guide §4.5): byte-exact
@@ -828,7 +828,7 @@ IMG_QUALITY_STATS_SCHEMA = (
 )
 
 
-@lru_cache(maxsize=512)
+@payload_memo(maxsize=512)
 def _img_quality_row(payload: bytes) -> tuple:
     """(width, height, mean_luma, std_luma, decoded) for one payload
     — pure function of the bytes, memoized per worker (r13, guide

@@ -45,6 +45,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 from functools import lru_cache
 
+from ..functions.memo import payload_memo
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -192,7 +194,7 @@ def _stat_round(x: float) -> float:
     return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
-@lru_cache(maxsize=256)
+@payload_memo(maxsize=256)
 def _video_stats_row(payload: bytes) -> tuple:
     """(decoded, width, ..., scene_changes) for one clip payload —
     pure function of the bytes, memoized per worker (r13, guide
@@ -282,7 +284,7 @@ def sample_frames_y4m(assets: DataFrame, every_n: int = 4) -> DataFrame:
     return assets.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-@lru_cache(maxsize=128)
+@payload_memo(maxsize=128)
 def _sampled_frames(payload: bytes, every_n: int) -> tuple:
     """((frame_idx, ppm_payload, w, h), ...) for one clip payload —
     pure function of (bytes, stride), memoized per worker (r13,

@@ -91,142 +91,62 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 DRIVER_CAP = 50
 
 CHECK_PRIORITY = [
-    # =========== ROUND 12 CURATION ===========
-    # --- the r11 carry IOU heads the round (codified rule; VERDICT
-    # r11 next-round item 2 — these 26 hold green r8 rows, modules
-    # byte-untouched since, covered every round by the local
-    # all-queries gate; they owe a FRESH driver row first):
-    "q_scd2_history",
-    "q_first_last_change",
-    "q_validate_counts",
-    "q_team_events",
-    "q_lineups_flatten",
-    "q_team_stats_extract",
+    # =========== ROUND 14 CURATION (optimization round 2) ===========
+    # --- the 8 r13-touched names that never got a driver row in r13
+    # (VERDICT r13 item 2: CHECK_PRIORITY was not rotated, so the CC
+    # rewrite, pagerank checkpoint, repetition kernels and release
+    # checkpoints rode on builder-side verification only) — they
+    # lead the head; 6 of the 8 are ALSO r14-touched:
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_best_of_component",
+    "q_pagerank",
+    "q_gopher_repetition",
+    "q_release_drops_best",
+    "q_audio_near_dup",
+    # --- modules touched in r14 (the codified rule: every query
+    # whose module or shared dep changed in-round re-checks):
+    # operators/dedup.py (CC rewrite: one-pass symmetrize, fused
+    # lazy-checkpoint rounds, consecutive-propagated-sum convergence;
+    # minhash split into rep_groups + verified_pairs) — all its
+    # queries and every module importing it re-check:
+    "q_dedup_exact",
+    "q_line_dedup",
+    "q_dedup_simhash",
+    "q_source_overlap",
+    "q_dedup_incremental",
+    "q_leakage_split",
+    "q_lsh_recall",
     "q_minhash_error",
-    "q_quality_classifier",
-    "q_dataset_card",
-    "q_semdedup",
-    "q_pq_encode",
-    "q_pq_recall",
-    "q_hard_negatives",
-    "q_learnability",
-    "q_diverse_sample",
-    "q_target_mixture",
-    "q_epoch_order",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_dsir_weights",
-    "q_rollup_report",
-    "q_repetition",
-    "q_winnow_fingerprints",
-    "q_containment",
-    "q_moving_avg",
-    "q_anomaly",
-    # --- modules NEW or edited in r12 (the codified rule):
-    # operators/retrieval.py: term-bucketed postings layout + pruned
-    # read_index (VERDICT r11 item 1), zero-token presence rows in
-    # build_postings/index_stats (ADVICE r11), merge_index doc-id
-    # overlap guard (VERDICT r11 item 3), batch-oracle pair DISTINCT
-    # (ADVICE r11) — all three retrieval queries re-check:
-    "q_bm25_topk",
-    "q_bm25_batch",
-    "q_bm25_indexed",
-    # ...and (r12, late) the index-DELETE fold, the retention/dedup
-    # counterpart of the fold-in, and positional phrase search —
-    # both NEW, so they must be checked:
-    "q_bm25_index_delete",
-    "q_phrase_search",
-    "q_near_search",
-    # operators/hybrid.py: q_hybrid_batch NEW (VERDICT r11 item 6 —
-    # the serving-path composition: batch BM25 x IVF lists fused
-    # keyed); the module byte-changed so q_hybrid_topk re-checks:
-    "q_hybrid_topk",
-    "q_hybrid_batch",
-    # sources/snapshots.py: maintain() compaction commit inherits the
-    # batch watermark (ADVICE r11) + snapshot_append_writer grew
-    # partition_by (the bucketed-postings write path) — its queries
-    # and every dependent module's re-check:
-    "q_cow_delete",
-    "q_merge_cow",
-    "q_cow_update",
-    "q_incremental_view",
-    "q_mor_delete",
-    "q_snapshot_diff",
-    # streaming/supersede.py: unpersist guard (ADVICE r11) + the
-    # snapshot-backed writer becomes the documented default
-    # (VERDICT r11 item 4):
-    "q_supersede",
-    # streaming/pipeline.py + mediadedup.py (+ vectors.py, pytest
-    # surface): funnel histories ported to the snapshot log
-    # (VERDICT r11 item 4) — both media queries re-check:
-    "q_media_dedup",
-    "q_media_curation",
-    # --- freshness: the 7 oldest r9-latest rows (modules
-    # byte-untouched since r9; q_audio_near_dup, q_multimodal_meta
-    # and q_pagerank yielded their slots to the late
-    # q_bm25_index_delete / q_phrase_search / q_near_search above);
-    # the remaining 39 r9-latest names carry to the r13 head
-    # (CARRY_TO_NEXT_ROUND below):
-    "q_video_frame_dedup",
-    "q_video_stats",
-    "q_learned_mapping",
+    "q_dedup_best_of_group",
+    # operators/resolution.py + er_queries.py (q_learned_mapping
+    # batch 2 collapsed to a projection of batch 1; hard_fallback
+    # seam removed):
+    "q_normalize_names",
     "q_fuzzy_join",
+    "q_learned_mapping",
     "q_difflib_ratio",
     "q_resolve_alternatives",
-    "q_normalize_names",
-]
-
-# --- r12 SHARED-DEP LEDGER -------------------------------------------
-# Modules edited in r12 and their registered-query lineage:
-# - operators/retrieval.py (bucketed layout, presence rows, merge
-#   guard, oracle DISTINCT): q_bm25_topk/q_bm25_batch/q_bm25_indexed
-#   IN HEAD.
-# - operators/hybrid.py (q_hybrid_batch NEW; imports retrieval CTEs
-#   + embedsearch's q_knn_ivf — embedsearch byte-untouched):
-#   q_hybrid_topk + q_hybrid_batch IN HEAD.
-# - sources/snapshots.py (maintain watermark carry, append-writer
-#   partition_by): q_cow_delete/q_merge_cow/q_cow_update IN HEAD;
-#   dependents sources/incremental.py (q_incremental_view), mor.py
-#   (q_mor_delete), changelog.py (q_snapshot_diff), streaming/
-#   supersede.py (q_supersede) IN HEAD.
-# - sources/optimize.py (collision-safe working columns, ADVICE
-#   r11): NO registered query (pytest: tests/test_optimize.py);
-#   its query-bearing caller snapshots.py is IN HEAD.
-# - streaming/pipeline.py, mediadedup.py, vectors.py (snapshot-log
-#   unification): q_media_dedup + q_media_curation IN HEAD; the
-#   substring-trim/vector funnels are pytest surfaces.
-# - tools/gen_plans_md.py (q_skew_report k-bounded note), registry
-#   curation lists, tests/*: no runtime query lineage.
-# r12 LATE additions (each verified by a fresh full driver-sim at
-# HEAD before its commit):
-# - operators/retrieval.py also gained unmerge_index (index-DELETE
-#   fold) + maintain_index (bucket-preserving housekeeping):
-#   q_bm25_index_delete NEW IN HEAD (q_audio_near_dup yielded its
-#   freshness slot and moved to CARRY).
-# - sources/snapshots.py also gained rollback() (pointer-moving,
-#   history-preserving): additive; its queries already IN HEAD.
-# - sources/optimize.py gained compact_partitioned_log (the bucketed
-#   logs' compactor): pytest surface (test_retrieval maintain test).
-# - streaming/cdc_stream.py gained the snapshot-backed writer/reader/
-#   fold: q_cdc_apply lives in operators/cdc.py (byte-untouched) and
-#   keeps its green r10 row; the new surface is pytest-locked
-#   (test_cdc_stream twin-run/replay/fold).
-# Everything in ROTATE_TAIL holds a green r9, r10 or r11 driver row
-# and its module + shared deps are untouched since that row. The
-# r11 curation notes live in git history (this file at 695fba4).
-CARRY_TO_NEXT_ROUND: list[str] = [
-    # the r9-latest freshness refreshes the r12 head could not
-    # fit — all 39 names below, i.e. the 36 remaining r9 rows plus
-    # the 3 yielded-slot names folded in per the note above
-    # (modules byte-untouched since r9, green rows stand; the
-    # head spent 26 slots repaying the r11 carry IOU, 15 on touched
-    # modules and the two new queries, 9 on the oldest r9 rows) —
-    # head these in r13 (VERDICT r12 item 7: the count in prose must
-    # match len() of this list, which the driver validates):
-    "q_pagerank",
-    "q_multimodal_meta",
-    "q_audio_near_dup",
+    # media kernel modules (video/audio/audiodedup/multimodal/
+    # streaming-mediadedup: payload memos byte-gated via the new
+    # functions/memo.py shared dep) and their composition dependents
+    # (release.py, streaming/media.py, datacard.py, versioning.py,
+    # streaming/supersede.py import dedup/multimodal/audio helpers):
+    "q_video_frame_dedup",
+    "q_video_stats",
     "q_audio_stats",
+    "q_multimodal_meta",
+    "q_media_curation",
+    "q_media_dedup",
+    "q_release_drops",
+    "q_dataset_card",
+    "q_corpus_diff",
+    "q_media_gate",
+    "q_supersede",
+    # --- the r9-carry drain (VERDICT r13 item 2 / r12 item 2): the
+    # oldest 17 of the 34 still-carried r9-latest names fit under the
+    # cap this round; the remaining 17 stay in CARRY_TO_NEXT_ROUND:
     "q_fixtures_extract",
     "q_leagues_extract",
     "q_team_stats_trend",
@@ -244,6 +164,41 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_anti_join",
     "q_or_join",
     "q_union_roles",
+]
+
+# --- r14 SHARED-DEP LEDGER -------------------------------------------
+# Modules edited in r14 and their registered-query lineage:
+# - operators/dedup.py (connected_components rewrite + minhash
+#   split): all 11 dedup.py queries IN HEAD; importers curation.py
+#   (both queries IN HEAD), datacard.py (q_dataset_card IN HEAD),
+#   versioning.py (q_corpus_diff IN HEAD), release.py (both IN
+#   HEAD), streaming pipeline/supersede/vectors (q_supersede IN
+#   HEAD; pipeline/vectors register no queries — pytest surfaces).
+# - operators/resolution.py + er_queries.py (learned-mapping
+#   projection; hard_fallback removal): all 5 er_queries IN HEAD.
+# - functions/memo.py (NEW: byte-gated payload memo) + its users
+#   video.py/audio.py/audiodedup.py/multimodal.py/
+#   streaming/mediadedup.py: q_video_frame_dedup, q_video_stats,
+#   q_audio_stats, q_audio_near_dup, q_multimodal_meta,
+#   q_media_dedup, q_media_curation IN HEAD; dependent
+#   streaming/media.py (q_media_gate IN HEAD).
+# - bench.py (printed-line shrink, NOISY_QUERIES additions),
+#   tools/capture_plans.py (round-dir parameter): harness only, no
+#   query lineage.
+# Everything in ROTATE_TAIL holds a green r9-r13 driver row and its
+# module + shared deps are untouched since that row. The r13-head
+# names rotated out this round (retrieval/lakehouse/streaming
+# families, the r11-carry repayments) all hold green r13 rows
+# (CORRECTNESS_r13.json) with modules untouched in r14.
+CARRY_TO_NEXT_ROUND: list[str] = [
+    # the r9-latest freshness refreshes the r14 head could not fit —
+    # the 17 names below (of the 34 carried into this round; the
+    # head drained the other 17 oldest plus the 5 that re-check via
+    # touched modules: q_pagerank, q_multimodal_meta,
+    # q_audio_near_dup, q_audio_stats, q_corpus_diff). Head these in
+    # r15. _validate_curation() asserts this list's length against
+    # _CARRY_DOCUMENTED_COUNT so the prose and the code cannot drift
+    # (ADVICE r13).
     "q_team_search",
     "q_text_stats",
     "q_lang_id",
@@ -260,81 +215,56 @@ CARRY_TO_NEXT_ROUND: list[str] = [
     "q_weighted_sum",
     "q_kpi_ratio",
     "q_asof_join",
-    "q_corpus_diff",
     "q_salted_join",
 ]
+
+#: the carry count the curation notes above document — validated
+#: against len(CARRY_TO_NEXT_ROUND) so the comment cannot go stale
+_CARRY_DOCUMENTED_COUNT = 17
+
 ROTATE_TAIL = [
-    # green r11 driver rows (CORRECTNESS_r11.json), modules untouched
-    # in r12:
-    "q_hll_audit",
-    "q_quantile_audit",
-    "q_corr_profile",
-    "q_weighted_sample",
-    "q_job_expiry",
-    "q_bloom_semi",
-    "q_heavy_hitters",
-    "q_temperature_sample",
-    "q_salted_distinct",
-    "q_mixture_epochs",
-    "q_ewma",
-    "q_gopher_rules",
-    "q_cube_report",
-    "q_skew_report",
-    "q_length_filter",
-    "q_length_quantiles",
-    "q_profile_documents",
-    "q_k_anonymity",
-    "q_team_form",
-    "q_odds_flatten",
-    "q_latest_per_key",
-    "q_lag_movement",
-    "q_upcoming_games",
-    "q_upsert_latest",
-    "q_lm_score",
-    "q_fluency_buckets",
-    "q_lm_bigram",
-    "q_sessionize",
-    "q_retention_cohorts",
-    "q_funnel",
-    "q_teams_extract",
-    "q_league_teams",
-    "q_json_extract",
-    "q_h2h_flatten",
-    "q_gopher_repetition",
-    "q_bloom_skipping",
-    "q_partition_prune",
-    # green r10 driver rows, modules untouched in r11 AND r12:
-    "q_media_gate",
-    "q_dedup_best_of_group",
-    "q_dedup_best_of_component",
-    "q_release_drops",
-    "q_release_drops_best",
-    "q_knn_ivfpq",
-    "q_pair_curation",
-    "q_zorder_skipping",
-    "q_drift_psi",
-    "q_html_extract",
+    # every query not in the r14 head (registration order): green
+    # r9-r13 driver rows, modules + shared deps untouched in r14 —
+    # see the shared-dep ledger above for the audit
     "q_analyze_stats",
+    "q_bloom_skipping",
+    "q_merge_cow",
+    "q_cow_update",
+    "q_cow_delete",
+    "q_snapshot_diff",
+    "q_incremental_view",
+    "q_mor_delete",
+    "q_partition_prune",
+    "q_zorder_skipping",
+    "q_stratified_sample",
+    "q_holdout_split",
+    "q_quality_sample",
+    "q_quality_classifier",
     "q_windowed_volatility",
     "q_bpe_merges",
     "q_bpe_tokenize",
     "q_chunking",
     "q_cdc_apply",
-    "q_stratified_sample",
-    "q_holdout_split",
-    "q_quality_sample",
-    "q_dedup_exact",
-    "q_line_dedup",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ngram_jaccard",
-    "q_dedup_components",
-    "q_source_overlap",
-    "q_dedup_incremental",
-    "q_leakage_split",
-    "q_lsh_recall",
+    "q_latest_per_key",
+    "q_lag_movement",
+    "q_first_last_change",
+    "q_scd2_history",
+    "q_teams_extract",
+    "q_upcoming_games",
+    "q_validate_counts",
     "q_team_odds_lookup",
     "q_odds_trends",
+    "q_league_teams",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_repetition",
+    "q_seq_histogram",
+    "q_tfidf_terms",
+    "q_winnow_fingerprints",
+    "q_containment",
+    "q_drift_psi",
     "q_knn_bruteforce",
     "q_dedup_embed",
     "q_knn_ivf",
@@ -342,38 +272,61 @@ ROTATE_TAIL = [
     "q_ivf_centroids",
     "q_ivf_reassign",
     "q_semantic_decontam",
+    "q_json_extract",
+    "q_upsert_latest",
+    "q_odds_flatten",
+    "q_lineups_flatten",
+    "q_team_stats_extract",
+    "q_h2h_flatten",
+    "q_team_events",
+    "q_html_extract",
+    "q_team_form",
+    "q_near_search",
+    "q_phrase_search",
+    "q_bm25_batch",
+    "q_bm25_topk",
+    "q_bm25_indexed",
+    "q_bm25_index_delete",
+    "q_hybrid_batch",
+    "q_hybrid_topk",
+    "q_semdedup",
+    "q_pq_encode",
+    "q_pq_recall",
+    "q_knn_ivfpq",
+    "q_lm_score",
+    "q_fluency_buckets",
+    "q_lm_bigram",
+    "q_hard_negatives",
+    "q_learnability",
+    "q_diverse_sample",
+    "q_target_mixture",
+    "q_mixture_epochs",
+    "q_temperature_sample",
+    "q_epoch_order",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_pair_curation",
+    "q_k_anonymity",
+    "q_profile_documents",
+    "q_length_quantiles",
+    "q_length_filter",
+    "q_skew_report",
     "q_star_join",
-    # green r9 driver rows, modules untouched in r10, r11 AND r12
-    # (the freshness remainder recorded in CARRY_TO_NEXT_ROUND
-    # above):
-    "q_pagerank",
-    "q_multimodal_meta",
-    "q_audio_near_dup",
-    "q_audio_stats",
-    "q_fixtures_extract",
-    "q_leagues_extract",
-    "q_team_stats_trend",
-    "q_pii_scan",
-    "q_token_packing",
-    "q_corpus_clean",
-    "q_left_join_count",
-    "q_group_multi",
-    "q_topk_group",
-    "q_conditional_agg",
-    "q_scalar_agg",
-    "q_count_distinct",
-    "q_date_trunc_trend",
-    "q_semi_join",
-    "q_anti_join",
-    "q_or_join",
-    "q_union_roles",
     "q_team_search",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_seq_histogram",
-    "q_tfidf_terms",
+    "q_cube_report",
+    "q_gopher_rules",
+    "q_dsir_weights",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rollup_report",
+    "q_salted_distinct",
+    "q_salted_join",
+    "q_heavy_hitters",
+    "q_bloom_semi",
+    "q_hll_audit",
+    "q_quantile_audit",
+    "q_corr_profile",
     "q_substring_dedup",
     "q_substring_strip",
     "q_exact_decontam",
@@ -382,9 +335,12 @@ ROTATE_TAIL = [
     "q_range_join",
     "q_weighted_sum",
     "q_kpi_ratio",
+    "q_job_expiry",
     "q_asof_join",
-    "q_corpus_diff",
-    "q_salted_join",
+    "q_moving_avg",
+    "q_anomaly",
+    "q_ewma",
+    "q_weighted_sample",
 ]
 
 
@@ -399,6 +355,11 @@ def _validate_curation() -> None:
     dupes = set(CHECK_PRIORITY) & set(ROTATE_TAIL)
     if dupes:
         raise ValueError(f"names in both CHECK_PRIORITY and ROTATE_TAIL: {sorted(dupes)}")
+    if len(CARRY_TO_NEXT_ROUND) != _CARRY_DOCUMENTED_COUNT:
+        raise ValueError(
+            f"CARRY_TO_NEXT_ROUND has {len(CARRY_TO_NEXT_ROUND)} names but the "
+            f"curation notes document {_CARRY_DOCUMENTED_COUNT} — update both"
+        )
     stray_carry = [n for n in CARRY_TO_NEXT_ROUND if n not in ROTATE_TAIL]
     if stray_carry:
         raise ValueError(

@@ -70,7 +70,7 @@ writer (pipeline.curation_batch_writer).
 from __future__ import annotations
 
 from collections.abc import Callable
-from functools import lru_cache
+from ..functions.memo import payload_memo
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -144,7 +144,7 @@ def media_fingerprints(
     return img.unionByName(aud).unionByName(vid)
 
 
-@lru_cache(maxsize=256)
+@payload_memo(maxsize=256)
 def _vfp_rows(payload: bytes, frame_every_n: int) -> tuple:
     """((fp_seq, decoded, band0..3), ...) for one clip payload — a
     pure function of (bytes, stride), memoized per worker (r13,
