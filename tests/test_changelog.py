@@ -22,6 +22,12 @@ from football_data_pipeline_spark.sources.snapshots import (
     update_where_cow,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 
 def _naive_diff(spark, log, v_from, v_to):
     a = read_snapshot(spark, log, v_to)

@@ -27,6 +27,12 @@ from football_data_pipeline_spark.registry import (
 
 from .conftest import assert_matches_oracle
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
 HEAD = _curated_names()[:DRIVER_CAP]
 

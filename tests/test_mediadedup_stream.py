@@ -19,6 +19,12 @@ from football_data_pipeline_spark.streaming.mediadedup import (
     start_media_dedup_pipeline,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 SCHEMA = "asset_id long, kind string, payload binary"
 
 

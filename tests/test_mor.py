@@ -16,6 +16,12 @@ from football_data_pipeline_spark.sources.mor import (
 )
 from football_data_pipeline_spark.sources.snapshots import delete_where_cow
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 N = 800
 RANGES = [(100, 199), (520, 569)]  # file-aligned + boundary-straddling
 

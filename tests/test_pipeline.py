@@ -15,6 +15,12 @@ from football_data_pipeline_spark.streaming.pipeline import start_pipeline
 
 from .test_flatten import DEMO_DOC
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 
 def _write_doc(dirpath, name: str, doc: dict) -> None:
     dirpath.mkdir(parents=True, exist_ok=True)

@@ -15,6 +15,12 @@ from football_data_pipeline_spark.operators.retrieval import (
     bm25_topk,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 
 def _py_bm25(corpus: dict[int, str], terms: list[str]) -> dict[int, float]:
     def rnd(x, k):

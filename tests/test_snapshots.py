@@ -28,6 +28,12 @@ from football_data_pipeline_spark.sources.snapshots import (
     vacuum,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 N_ROWS = 2000
 DEL_LO, DEL_HI = 700, 1099  # spans parts of several 125-row files
 

@@ -20,6 +20,12 @@ from football_data_pipeline_spark.streaming.movement import movement_alerts
 
 from .conftest import SF_DIR
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 def _now():
     return F.to_timestamp(F.lit("2024-03-01 12:00:00"))
 

@@ -12,6 +12,12 @@ from football_data_pipeline_spark.operators.substring import (
     substring_dup_spans,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 K = 5  # small k so the planted texts stay readable
 
 

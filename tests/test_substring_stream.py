@@ -7,6 +7,12 @@ from __future__ import annotations
 
 from football_data_pipeline_spark.streaming.pipeline import substring_trim_batch_writer
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 SCHEMA = "doc_id long, text string, lang string, source string"
 K = 8  # MIN_MATCH_WORDS — the writer uses the engine default
 

@@ -17,6 +17,12 @@ from football_data_pipeline_spark.streaming.supersede import (
     read_live_corpus,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 

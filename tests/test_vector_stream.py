@@ -9,6 +9,12 @@ from football_data_pipeline_spark.streaming.vectors import (
     vector_ingest_batch_writer,
 )
 
+import pytest as _pytest_r14
+
+# r14 slow tier: multi-minute e2e file — excluded from the default
+# (driver-window) run by pytest.ini; the full suite (-m "") runs it.
+pytestmark = _pytest_r14.mark.slow
+
 SCHEMA = "vec_id long, embedding array<float>"
 DIMS = 64
 
